@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: run headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with a noop-format write (full plan runs on executors,
+nothing funnels back to the driver), matching how the engine would run at
+scale. Each query is timed after a warm-up of the session (first query pays
+JVM/codegen warm-up; we run a trivial scan first to absorb it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_backup_spark import catalog
+from kafka_backup_spark.session import get_spark
+
+# Headline set: one per operator family (filters, manifest aggs, as-of joins,
+# reset plan, validation, repartition shuffle, TPC-H joins, dedup/text/ANN).
+HEADLINE = [
+    "pitr_window",
+    "describe_rollup",
+    "dry_run_estimate",
+    "asof_offset_lookup",
+    "timestamp_asof",
+    "group_reset_plan",
+    "validation_message_count",
+    "validation_offset_range",
+    "murmur2_repartition",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q5_region_volume",
+    "dedup_exact",
+    "text_metrics",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "cosine_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    # absorb JVM/codegen/session warm-up outside the timed region
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    qs = catalog.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,679 @@
+"""Operator-inventory queries (SURVEY.md §2) with DuckDB oracles.
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Column names/aliases are identical on both sides (driver hash-compares after
+sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_backup_spark import manifest as mani
+from kafka_backup_spark.operators import filters, projections
+from kafka_backup_spark.operators.asof import lookup_target_offsets, nearest_offsets_by_timestamp
+from kafka_backup_spark.operators.repartition import assign_target_partitions
+from kafka_backup_spark.offset_reset import generate_group_plan, reset_latency_percentiles
+from kafka_backup_spark.queries.common import (
+    MAPPING_CTE,
+    RECORDS_CTE,
+    SEGMENT_SPAN,
+    detailed_mapping_df,
+    manifest_cte,
+    manifest_df,
+    records_df,
+)
+from kafka_backup_spark.validation.checks import message_count_check, offset_range_check
+
+PITR_LO = 1704500000000  # 2024-01-06T00:53:20Z
+PITR_HI = 1705500000000  # 2024-01-17T14:40:00Z
+
+
+# ── P4/P5: PITR window ────────────────────────────────────────────────────
+
+
+def q_pitr_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    out = filters.pitr_filter(
+        r, F.timestamp_millis(F.lit(PITR_LO)), F.timestamp_millis(F.lit(PITR_HI))
+    )
+    return out.select("topic", "partition", "offset", "ts_ms")
+
+
+SQL_PITR_WINDOW = f"""
+WITH {RECORDS_CTE}
+SELECT topic, "partition", "offset", ts_ms
+FROM records WHERE ts_ms >= {PITR_LO} AND ts_ms <= {PITR_HI}
+"""
+
+
+# ── P1/F1: glob topic filter ──────────────────────────────────────────────
+
+
+def q_topic_glob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    out = filters.topic_filter(r, include=["click", "purch*", "sign?p"], exclude=["*error*"])
+    return out.groupBy("topic").agg(F.count(F.lit(1)).alias("n_records"))
+
+
+SQL_TOPIC_GLOB = f"""
+WITH {RECORDS_CTE}
+SELECT topic, count(*) AS n_records
+FROM records
+WHERE (topic = 'click' OR topic LIKE 'purch%' OR topic LIKE 'sign_p')
+  AND topic NOT LIKE '%error%'
+GROUP BY topic
+"""
+
+
+# ── P2/F2: ~regex topic filter ────────────────────────────────────────────
+
+
+def q_topic_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    out = filters.topic_filter(r, include=["~^(view|click)$"])
+    return out.groupBy("topic").agg(F.count(F.lit(1)).alias("n_records"))
+
+
+SQL_TOPIC_REGEX = f"""
+WITH {RECORDS_CTE}
+SELECT topic, count(*) AS n_records
+FROM records WHERE regexp_matches(topic, '^(view|click)$')
+GROUP BY topic
+"""
+
+
+# ── P6: offset-range scan [start, end) ────────────────────────────────────
+
+
+def q_offset_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    return filters.offset_range_filter(r, 1000, 3000).select("topic", "partition", "offset")
+
+
+SQL_OFFSET_RANGE = f"""
+WITH {RECORDS_CTE}
+SELECT topic, "partition", "offset"
+FROM records WHERE "offset" >= 1000 AND "offset" < 3000
+"""
+
+
+# ── P7: source-partition allowlist ────────────────────────────────────────
+
+
+def q_partition_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    return (
+        filters.partition_filter(r, [1, 3])
+        .groupBy("topic", "partition")
+        .agg(F.count(F.lit(1)).alias("n_records"), F.max("offset").alias("max_offset"))
+    )
+
+
+SQL_PARTITION_SELECT = f"""
+WITH {RECORDS_CTE}
+SELECT topic, "partition", count(*) AS n_records, max("offset") AS max_offset
+FROM records WHERE "partition" IN (1, 3)
+GROUP BY topic, "partition"
+"""
+
+
+# ── P11: topic rename (identity default) ──────────────────────────────────
+
+TOPIC_MAPPING = {"click": "click_v2", "error": "errors"}
+
+
+def q_topic_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    return projections.rename_topics(r, TOPIC_MAPPING).groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+
+
+SQL_TOPIC_RENAME = f"""
+WITH {RECORDS_CTE}
+SELECT CASE topic WHEN 'click' THEN 'click_v2' WHEN 'error' THEN 'errors' ELSE topic END AS topic,
+       count(*) AS n_records
+FROM records GROUP BY 1
+"""
+
+
+# ── S8/A1: manifest build + totals ────────────────────────────────────────
+
+
+def q_manifest_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return manifest_df(spark, sf_dir)
+
+
+SQL_MANIFEST_BUILD = f"""
+WITH {RECORDS_CTE}, {manifest_cte()}
+SELECT topic, "partition", key, start_offset, end_offset, start_ts, end_ts,
+       record_count, uncompressed_size, compressed_size
+FROM manifest
+"""
+
+
+def q_manifest_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mani.manifest_totals(manifest_df(spark, sf_dir))
+
+
+SQL_MANIFEST_TOTALS = f"""
+WITH {RECORDS_CTE}, {manifest_cte()}
+SELECT CAST(sum(record_count) AS BIGINT) AS total_records,
+       count(*) AS total_segments,
+       CAST(sum(uncompressed_size) AS BIGINT) AS total_uncompressed,
+       CAST(sum(compressed_size) AS BIGINT) AS total_compressed
+FROM manifest
+"""
+
+
+# ── A2: describe rollup ───────────────────────────────────────────────────
+
+
+def q_describe_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mani.describe(manifest_df(spark, sf_dir))
+
+
+SQL_DESCRIBE_ROLLUP = f"""
+WITH {RECORDS_CTE}, {manifest_cte()}
+SELECT topic, "partition",
+       count(*) AS segments,
+       CAST(sum(record_count) AS BIGINT) AS records,
+       CAST(sum(uncompressed_size) AS BIGINT) AS uncompressed_size,
+       CAST(sum(compressed_size) AS BIGINT) AS compressed_size,
+       min(start_offset) AS min_offset,
+       max(end_offset) AS max_offset,
+       min(start_ts) AS min_ts,
+       max(end_ts) AS max_ts
+FROM manifest
+GROUP BY ROLLUP(topic, "partition")
+"""
+
+
+# ── A3: list summary ──────────────────────────────────────────────────────
+
+
+def q_list_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = manifest_df(spark, sf_dir)
+    return m.groupBy("topic").agg(
+        F.count_distinct("partition").alias("partitions"),
+        F.count(F.lit(1)).alias("segments"),
+        F.sum("record_count").alias("records"),
+    )
+
+
+SQL_LIST_SUMMARY = f"""
+WITH {RECORDS_CTE}, {manifest_cte()}
+SELECT topic,
+       CAST(count(DISTINCT "partition") AS BIGINT) AS partitions,
+       count(*) AS segments,
+       CAST(sum(record_count) AS BIGINT) AS records
+FROM manifest GROUP BY topic
+"""
+
+
+# ── A8: dry-run estimate (time-pruned) ────────────────────────────────────
+
+
+def q_dry_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mani.dry_run_estimate(manifest_df(spark, sf_dir), PITR_LO, PITR_HI)
+
+
+SQL_DRY_RUN = f"""
+WITH {RECORDS_CTE}, {manifest_cte()}
+SELECT topic, "partition",
+       count(*) AS segments,
+       CAST(sum(record_count) AS BIGINT) AS records,
+       CAST(sum(uncompressed_size) AS BIGINT) AS bytes,
+       min(start_offset) AS min_offset,
+       max(end_offset) AS max_offset,
+       min(start_ts) AS min_ts,
+       max(end_ts) AS max_ts
+FROM manifest
+WHERE start_ts <= {PITR_HI} AND end_ts >= {PITR_LO}
+GROUP BY topic, "partition"
+"""
+
+
+# ── J6/U1: manifest union-merge, existing wins ────────────────────────────
+
+
+def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    existing = mani.build_manifest(r.filter(F.col("offset") < 7000), SEGMENT_SPAN)
+    current = mani.build_manifest(r, SEGMENT_SPAN)
+    return mani.merge_manifests(existing, current)
+
+
+SQL_MANIFEST_MERGE = f"""
+WITH {RECORDS_CTE},
+{manifest_cte("m_old", where='r."offset" < 7000')},
+{manifest_cte("m_cur")},
+u AS (
+    SELECT *, 0 AS prec FROM m_old
+    UNION ALL
+    SELECT *, 1 AS prec FROM m_cur
+),
+d1 AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY topic, "partition", key ORDER BY prec) AS rn
+        FROM u
+    ) WHERE rn = 1
+),
+d2 AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY topic, "partition", start_offset ORDER BY prec) AS rn2
+        FROM d1
+    ) WHERE rn2 = 1
+)
+SELECT topic, "partition", key, start_offset, end_offset, start_ts, end_ts,
+       record_count, uncompressed_size, compressed_size
+FROM d2
+"""
+
+
+# ── J5/U4: resume anti-join ───────────────────────────────────────────────
+
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = manifest_df(spark, sf_dir)
+    completed = m.filter((F.col("start_offset") % 2000) < 1000).select("key")
+    return mani.skip_completed(m, completed).select(
+        "topic", "partition", "key", "start_offset", "end_offset", "record_count"
+    )
+
+
+SQL_RESUME_ANTI_JOIN = f"""
+WITH {RECORDS_CTE}, {manifest_cte()}
+SELECT topic, "partition", key, start_offset, end_offset, record_count
+FROM manifest m
+WHERE NOT EXISTS (
+    SELECT 1 FROM manifest c
+    WHERE (c.start_offset % 2000) < 1000 AND c.key = m.key
+)
+"""
+
+
+# ── J1: as-of offset lookup (exact / extrapolated / missing) ──────────────
+
+
+def q_asof_offset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    mapping = detailed_mapping_df(spark, sf_dir).drop("timestamp")
+    probes = r.filter(F.col("offset") % 7 == 0).select(
+        "topic", "partition", (F.col("offset") + 3).alias("source_offset")
+    )
+    return lookup_target_offsets(probes, mapping)
+
+
+SQL_ASOF_OFFSET_LOOKUP = f"""
+WITH {RECORDS_CTE}, {MAPPING_CTE},
+probes AS (
+    SELECT topic, "partition", "offset" + 3 AS source_offset
+    FROM records WHERE "offset" % 7 = 0
+)
+SELECT p.topic, p."partition", p.source_offset,
+       m.target_offset + (p.source_offset - m.source_offset) AS target_offset
+FROM probes p
+ASOF LEFT JOIN mapping m
+  ON p.topic = m.topic AND p."partition" = m."partition"
+ AND p.source_offset >= m.source_offset
+"""
+
+
+# ── J1 fallback: range interpolation ──────────────────────────────────────
+
+
+def q_offset_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    ranges = r.groupBy("topic", "partition").agg(
+        F.min("offset").alias("source_first_offset"),
+        F.max("offset").alias("source_last_offset"),
+        (F.min("offset") + 100000).alias("target_first_offset"),
+        (F.max("offset") + 200000).alias("target_last_offset"),
+    )
+    probes = r.filter(F.col("offset") % 13 == 0).select(
+        "topic", "partition", F.col("offset").alias("source_offset")
+    )
+    return lookup_target_offsets(probes, None, ranges)
+
+
+SQL_OFFSET_INTERPOLATION = f"""
+WITH {RECORDS_CTE},
+ranges AS (
+    SELECT topic, "partition",
+           min("offset") AS source_first_offset,
+           max("offset") AS source_last_offset,
+           min("offset") + 100000 AS target_first_offset,
+           max("offset") + 200000 AS target_last_offset
+    FROM records GROUP BY topic, "partition"
+),
+probes AS (
+    SELECT topic, "partition", "offset" AS source_offset
+    FROM records WHERE "offset" % 13 = 0
+)
+SELECT p.topic, p."partition", p.source_offset,
+       CASE
+         WHEN rg.source_last_offset - rg.source_first_offset > 0 THEN
+           rg.target_first_offset + CAST(trunc(
+             (p.source_offset - rg.source_first_offset)
+             / CAST(rg.source_last_offset - rg.source_first_offset AS DOUBLE)
+             * (rg.target_last_offset - rg.target_first_offset)
+           ) AS BIGINT)
+         ELSE rg.target_first_offset
+       END AS target_offset
+FROM probes p
+LEFT JOIN ranges rg ON p.topic = rg.topic AND p."partition" = rg."partition"
+"""
+
+
+# ── J2: timestamp as-of ───────────────────────────────────────────────────
+
+
+def q_timestamp_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    mapping = detailed_mapping_df(spark, sf_dir)
+    probes = r.filter(F.col("offset") % 17 == 0).select(
+        "topic", "partition", (F.col("ts_ms") - 1).alias("probe_ts")
+    ).distinct()
+    return nearest_offsets_by_timestamp(probes, mapping)
+
+
+SQL_TIMESTAMP_ASOF = f"""
+WITH {RECORDS_CTE}, {MAPPING_CTE},
+probes AS (
+    SELECT DISTINCT topic, "partition", ts_ms - 1 AS probe_ts
+    FROM records WHERE "offset" % 17 = 0
+),
+first_ge AS (
+    SELECT topic, "partition", probe_ts, source_offset, target_offset FROM (
+        SELECT p.topic, p."partition", p.probe_ts, m.source_offset, m.target_offset,
+               row_number() OVER (
+                   PARTITION BY p.topic, p."partition", p.probe_ts
+                   ORDER BY m."timestamp", m.source_offset
+               ) AS rn
+        FROM probes p
+        JOIN mapping m ON p.topic = m.topic AND p."partition" = m."partition"
+        WHERE m."timestamp" >= p.probe_ts
+    ) WHERE rn = 1
+),
+last_pair AS (
+    SELECT topic, "partition",
+           arg_max(source_offset, source_offset) AS source_offset,
+           arg_max(target_offset, source_offset) AS target_offset
+    FROM mapping GROUP BY topic, "partition"
+)
+SELECT p.topic, p."partition", p.probe_ts,
+       coalesce(f.source_offset, l.source_offset) AS source_offset,
+       coalesce(f.target_offset, l.target_offset) AS target_offset
+FROM probes p
+LEFT JOIN first_ge f ON p.topic = f.topic AND p."partition" = f."partition" AND p.probe_ts = f.probe_ts
+LEFT JOIN last_pair l ON p.topic = l.topic AND p."partition" = l."partition"
+"""
+
+
+# ── J3: consumer-group reset plan ─────────────────────────────────────────
+
+
+def q_group_reset_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    g0 = (
+        r.filter(F.col("offset") % 3 == 0)
+        .groupBy("topic", "partition")
+        .agg(F.max("offset").alias("offset"))
+        .withColumn("group_id", F.lit("g0"))
+    )
+    g1 = (
+        r.filter(F.col("offset") % 5 == 0)
+        .groupBy("topic", "partition")
+        .agg(F.max("offset").alias("offset"))
+        .withColumn("group_id", F.lit("g1"))
+    )
+    groups = g0.unionByName(g1).select("group_id", "topic", "partition", "offset")
+    mapping = detailed_mapping_df(spark, sf_dir).drop("timestamp")
+    return generate_group_plan(groups, mapping)
+
+
+SQL_GROUP_RESET_PLAN = f"""
+WITH {RECORDS_CTE}, {MAPPING_CTE},
+groups AS (
+    SELECT 'g0' AS group_id, topic, "partition", max("offset") AS committed
+    FROM records WHERE "offset" % 3 = 0 GROUP BY topic, "partition"
+    UNION ALL
+    SELECT 'g1' AS group_id, topic, "partition", max("offset") AS committed
+    FROM records WHERE "offset" % 5 = 0 GROUP BY topic, "partition"
+),
+looked AS (
+    SELECT g.group_id, g.topic, g."partition", g.committed AS source_offset,
+           m.target_offset + (g.committed - m.source_offset) AS target_offset
+    FROM groups g
+    ASOF LEFT JOIN mapping m
+      ON g.topic = m.topic AND g."partition" = m."partition" AND g.committed >= m.source_offset
+)
+SELECT group_id, topic, "partition", source_offset, target_offset,
+       bool_and(target_offset IS NOT NULL) OVER (PARTITION BY group_id) AS complete
+FROM looked
+"""
+
+
+# ── A4/J7: message-count check ────────────────────────────────────────────
+
+WATERMARKS_CTE = """
+watermarks AS (
+    SELECT topic, "partition",
+           min("offset") AS earliest,
+           CASE WHEN "partition" % 2 = 0
+                THEN min("offset") + count(*)
+                ELSE max("offset") + 1 END AS latest
+    FROM records GROUP BY topic, "partition"
+)
+"""
+
+
+def _watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    return r.groupBy("topic", "partition").agg(
+        F.min("offset").alias("earliest"),
+        F.when(
+            F.col("partition") % 2 == 0, F.min("offset") + F.count(F.lit(1))
+        )
+        .otherwise(F.max("offset") + 1)
+        .alias("latest"),
+    )
+
+
+def q_validation_message_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return message_count_check(manifest_df(spark, sf_dir), _watermarks(spark, sf_dir))
+
+
+SQL_VALIDATION_MESSAGE_COUNT = f"""
+WITH {RECORDS_CTE}, {manifest_cte()}, {WATERMARKS_CTE},
+expected AS (
+    SELECT topic, "partition", CAST(sum(record_count) AS BIGINT) AS expected_count
+    FROM manifest GROUP BY topic, "partition"
+)
+SELECT coalesce(e.topic, w.topic) AS topic,
+       coalesce(e."partition", w."partition") AS "partition",
+       coalesce(e.expected_count, 0) AS expected_count,
+       coalesce(w.latest - w.earliest, 0) AS restored_count,
+       abs(coalesce(e.expected_count, 0) - coalesce(w.latest - w.earliest, 0)) AS discrepancy,
+       CASE WHEN w.latest IS NULL THEN 'error'
+            WHEN abs(coalesce(e.expected_count, 0) - coalesce(w.latest - w.earliest, 0)) > 0 THEN 'failed'
+            ELSE 'passed' END AS status
+FROM expected e FULL OUTER JOIN watermarks w
+  ON e.topic = w.topic AND e."partition" = w."partition"
+"""
+
+
+# ── A5/J7: offset-range check ─────────────────────────────────────────────
+
+
+def q_validation_offset_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return offset_range_check(manifest_df(spark, sf_dir), _watermarks(spark, sf_dir))
+
+
+SQL_VALIDATION_OFFSET_RANGE = f"""
+WITH {RECORDS_CTE}, {manifest_cte()}, {WATERMARKS_CTE},
+expected AS (
+    SELECT topic, "partition",
+           min(start_offset) AS expected_low,
+           max(end_offset) AS expected_high,
+           CAST(sum(record_count) AS BIGINT) AS record_count
+    FROM manifest GROUP BY topic, "partition"
+)
+SELECT e.topic, e."partition", e.expected_low, e.expected_high,
+       w.latest AS live_high_watermark,
+       CASE WHEN coalesce(e.record_count, 0) = 0 THEN 'passed'
+            WHEN w.latest IS NULL THEN 'error'
+            WHEN w.latest >= e.expected_high + 1 THEN 'passed'
+            ELSE 'failed' END AS status
+FROM expected e LEFT JOIN watermarks w
+  ON e.topic = w.topic AND e."partition" = w."partition"
+"""
+
+
+# ── A10: exact percentiles ────────────────────────────────────────────────
+
+
+def q_reset_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = records_df(spark, sf_dir).sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+    lat = ev.select(F.col("value").alias("latency_ms"))
+    out = reset_latency_percentiles(lat)
+    return out.select(
+        F.round("p50", 6).alias("p50"), F.round("p99", 6).alias("p99"), F.round("avg", 6).alias("avg")
+    )
+
+
+SQL_RESET_PERCENTILES = """
+SELECT round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       round(avg(value), 6) AS avg
+FROM events
+"""
+
+
+# ── O1-O5: deterministic top-k ────────────────────────────────────────────
+
+
+def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    return (
+        r.orderBy(F.col("offset").desc())
+        .limit(50)
+        .select("topic", "partition", "offset", "ts_ms")
+    )
+
+
+SQL_TOPK_EVENTS = f"""
+WITH {RECORDS_CTE}
+SELECT topic, "partition", "offset", ts_ms
+FROM records ORDER BY "offset" DESC LIMIT 50
+"""
+
+
+# ── U2: set difference (missing literal includes) ─────────────────────────
+
+
+def q_set_difference_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    want = spark.createDataFrame(
+        [("click",), ("signup",), ("ghost_topic",)], "topic string"
+    )
+    return want.exceptAll(r.select("topic").distinct())
+
+
+SQL_SET_DIFFERENCE_TOPICS = f"""
+WITH {RECORDS_CTE},
+want(topic) AS (VALUES ('click'), ('signup'), ('ghost_topic'))
+SELECT topic FROM want
+EXCEPT ALL
+SELECT DISTINCT topic FROM records
+"""
+
+
+# ── U3: semi join (groups ∩ backed topics) ────────────────────────────────
+
+
+def q_semi_join_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    groups = spark.createDataFrame([("click",), ("error",), ("nope",)], "topic string")
+    return (
+        r.join(groups, "topic", "left_semi")
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+
+
+SQL_SEMI_JOIN_TOPICS = f"""
+WITH {RECORDS_CTE},
+groups(topic) AS (VALUES ('click'), ('error'), ('nope'))
+SELECT topic, count(*) AS n_records
+FROM records
+WHERE topic IN (SELECT topic FROM groups)
+GROUP BY topic
+"""
+
+
+# ── F5/F6: scalar hash/base64 functions ───────────────────────────────────
+
+
+def q_scalar_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.md5(F.col("text").cast("binary")).alias("md5_hex"),
+        F.base64(F.substring(F.col("text"), 1, 24).cast("binary")).alias("prefix_b64"),
+    )
+
+
+SQL_SCALAR_HASHES = """
+SELECT doc_id,
+       sha256(text) AS sha256_hex,
+       md5(text) AS md5_hex,
+       to_base64(CAST(substring(text, 1, 24) AS BLOB)) AS prefix_b64
+FROM documents
+"""
+
+
+# ── R1: murmur2 repartition distribution (no SQL oracle — verified by
+#        golden-vector pytest instead; driver records rows-only) ──────────
+
+
+def q_murmur2_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    out = assign_target_partitions(r, 5, strategy="murmur2")
+    return out.groupBy("target_partition").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.count_distinct("key").alias("n_keys"),
+    )
+
+
+CORE_QUERIES: dict[str, tuple] = {
+    "pitr_window": (q_pitr_window, SQL_PITR_WINDOW),
+    "topic_glob_filter": (q_topic_glob, SQL_TOPIC_GLOB),
+    "topic_regex_filter": (q_topic_regex, SQL_TOPIC_REGEX),
+    "offset_range_scan": (q_offset_range, SQL_OFFSET_RANGE),
+    "partition_select": (q_partition_select, SQL_PARTITION_SELECT),
+    "topic_rename": (q_topic_rename, SQL_TOPIC_RENAME),
+    "manifest_build": (q_manifest_build, SQL_MANIFEST_BUILD),
+    "manifest_totals": (q_manifest_totals, SQL_MANIFEST_TOTALS),
+    "describe_rollup": (q_describe_rollup, SQL_DESCRIBE_ROLLUP),
+    "list_summary": (q_list_summary, SQL_LIST_SUMMARY),
+    "dry_run_estimate": (q_dry_run, SQL_DRY_RUN),
+    "manifest_merge": (q_manifest_merge, SQL_MANIFEST_MERGE),
+    "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
+    "asof_offset_lookup": (q_asof_offset_lookup, SQL_ASOF_OFFSET_LOOKUP),
+    "offset_interpolation": (q_offset_interpolation, SQL_OFFSET_INTERPOLATION),
+    "timestamp_asof": (q_timestamp_asof, SQL_TIMESTAMP_ASOF),
+    "group_reset_plan": (q_group_reset_plan, SQL_GROUP_RESET_PLAN),
+    "validation_message_count": (q_validation_message_count, SQL_VALIDATION_MESSAGE_COUNT),
+    "validation_offset_range": (q_validation_offset_range, SQL_VALIDATION_OFFSET_RANGE),
+    "reset_percentiles": (q_reset_percentiles, SQL_RESET_PERCENTILES),
+    "topk_events": (q_topk_events, SQL_TOPK_EVENTS),
+    "set_difference_topics": (q_set_difference_topics, SQL_SET_DIFFERENCE_TOPICS),
+    "semi_join_topics": (q_semi_join_topics, SQL_SEMI_JOIN_TOPICS),
+    "scalar_hashes": (q_scalar_hashes, SQL_SCALAR_HASHES),
+    "murmur2_repartition": (q_murmur2_repartition, None),
+}

@@ -1,0 +1,321 @@
+"""General join/agg coverage (TPC-H-shaped) + training-data pipeline
+operators (M7: dedup, text analysis, similarity search) with DuckDB oracles.
+
+Money-like aggregates go through DECIMAL (exact) then cast to DOUBLE so both
+engines produce bit-identical values; similarity scores are rounded to 4dp
+before ranking so float summation order can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+
+
+# ── TPC-H Q1: pricing summary ─────────────────────────────────────────────
+
+_Q1_BODY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))
+                * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
+       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_Q1_BODY)
+
+
+SQL_TPCH_Q1 = _Q1_BODY
+
+
+# ── TPC-H Q3-shaped: shipping priority ────────────────────────────────────
+
+_Q3_BODY = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       {odate_ms} AS o_orderdate_ms,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "orders", "lineitem")
+    # orders.o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC so the
+    # cast is an identity relabel and matches DuckDB's epoch_ms on naive ts
+    return spark.sql(_Q3_BODY.format(odate_ms="unix_millis(cast(o_orderdate as timestamp))"))
+
+
+SQL_TPCH_Q3 = _Q3_BODY.format(odate_ms="epoch_ms(o_orderdate)")
+
+
+# ── TPC-H Q5-shaped: local supplier volume ────────────────────────────────
+
+_Q5_BODY = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    return spark.sql(_Q5_BODY)
+
+
+SQL_TPCH_Q5 = _Q5_BODY
+
+
+# ── M7: exact dedup over a corpus with planted duplicates ─────────────────
+# (sf documents have no exact dups; plant them deterministically so the
+# dedup path is actually exercised)
+
+_CORPUS = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return docs.unionByName(planted)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; keep min(doc_id) as canonical.
+    The 100-TB path: one shuffle on a 128-bit content hash, no sort."""
+    c = _corpus(spark, sf_dir)
+    return (
+        c.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+WITH {_CORPUS}
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+# ── M7: text quality metrics ──────────────────────────────────────────────
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    alpha_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(alpha_chars.cast("double") / n_tokens.cast("double"), 6).alias("avg_token_len"),
+    )
+
+
+SQL_TEXT_METRICS = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE), 6) AS avg_token_len
+FROM documents
+"""
+
+
+# ── M7: per-language stats ────────────────────────────────────────────────
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
+    )
+
+
+SQL_LANG_STATS = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ── M7: document fingerprint (normalized content hash) ────────────────────
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.lower(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(lower(replace(text, ' ', ''))) AS fingerprint
+FROM documents
+"""
+
+
+# ── M7: MinHash signatures over character 8-shingles ──────────────────────
+# 4 hash families via seed-suffixed md5; min per (doc, seed). The LSH
+# banding step groups equal signatures — candidate generation is a group-by,
+# not an n² self-join, which is what survives at 100 TB.
+
+N_MINHASH_SEEDS = 4
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.length("text") >= 8)
+    shingled = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"), "text"
+    ).select("doc_id", F.expr("substring(text, i, 8)").alias("shingle"))
+    seeded = shingled.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(s) for s in range(N_MINHASH_SEEDS)])).alias("seed"),
+        "shingle",
+    )
+    return seeded.groupBy("doc_id", "seed").agg(
+        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed")).cast("binary"))).alias(
+            "minhash"
+        )
+    )
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH shingles AS (
+    SELECT doc_id,
+           unnest([substring(text, CAST(i AS INT), 8)
+                   for i in range(1, greatest(length(text) - 7, 0) + 1)]) AS shingle
+    FROM documents WHERE length(text) >= 8
+),
+seeded AS (
+    SELECT s.doc_id, s.shingle, seeds.seed
+    FROM shingles s,
+         (SELECT unnest(range({N_MINHASH_SEEDS})) AS seed) seeds
+)
+SELECT doc_id, CAST(seed AS INT) AS seed,
+       min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
+FROM seeded GROUP BY doc_id, seed
+"""
+
+
+# ── M7: brute-force cosine top-k (ANN baseline) ───────────────────────────
+# Probes broadcast against the corpus; dot products stay in zip_with/
+# aggregate (JVM codegen, no Python). Similarity rounded to 4dp before
+# ranking so cross-engine float summation order can't flip results.
+
+N_PROBES = 5
+TOP_K = 3
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    pairs = F.broadcast(probes).crossJoin(corpus).filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+
+    def dot(a, b):
+        prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+        return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+    sims = pairs.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("pe"), F.col("ne"))
+            / (F.sqrt(dot(F.col("pe"), F.col("pe"))) * F.sqrt(dot(F.col("ne"), F.col("ne")))),
+            4,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_COSINE_TOPK = f"""
+WITH flat AS (
+    SELECT p.vec_id AS probe_id, n.vec_id AS neighbor_id,
+           CAST(unnest(p.embedding) AS DOUBLE) AS px,
+           CAST(unnest(n.embedding) AS DOUBLE) AS nx
+    FROM (SELECT * FROM embeddings WHERE vec_id < {N_PROBES}) p
+    JOIN embeddings n ON n.vec_id <> p.vec_id
+),
+sims AS (
+    SELECT probe_id, neighbor_id,
+           round(sum(px * nx) / (sqrt(sum(px * px)) * sqrt(sum(nx * nx))), 4) AS cosine_sim
+    FROM flat GROUP BY probe_id, neighbor_id
+),
+ranked AS (
+    SELECT probe_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (
+               PARTITION BY probe_id ORDER BY cosine_sim DESC, neighbor_id ASC
+           ) AS INT) AS rank
+    FROM sims
+)
+SELECT probe_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+PIPELINE_QUERIES: dict[str, tuple] = {
+    "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3_priority": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5_region_volume": (q_tpch_q5, SQL_TPCH_Q5),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_metrics": (q_text_metrics, SQL_TEXT_METRICS),
+    "lang_stats": (q_lang_stats, SQL_LANG_STATS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+}

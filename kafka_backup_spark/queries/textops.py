@@ -1,0 +1,508 @@
+"""Text-analysis + near-dup operators for the training-data pipeline (M7).
+
+All hot paths are built-in-function compositions (whole-stage codegen, no
+Python UDFs): tokenization is ``split``/``regexp_extract_all``, hashing is a
+portable polynomial rolling hash expressed with ``aggregate`` over character
+codes so the DuckDB oracle computes bit-identical values, and near-dup
+candidate generation is a shingle equi-join (the 100-TB path swaps the full
+shingle join for LSH band buckets — see ``q_lsh_candidates``).
+
+Cross-engine determinism rules: integer arithmetic wherever possible; ratios
+rounded to 6dp; similarity rounded to 4dp before thresholding/ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MOD32 = 4_294_967_296  # 2^32
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def rolling_hash32(col: Column) -> Column:
+    """Polynomial rolling hash h = (h*31 + charcode) mod 2^32 over a string.
+
+    Pure built-ins (sequence/substring/ascii/aggregate) so it runs JVM-side
+    and is reproducible in any engine — the document-fingerprinting primitive
+    (SURVEY.md M7: rolling-hash fingerprints)."""
+    chars = F.sequence(F.lit(1), F.length(col))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, i: F.pmod(acc * 31 + F.ascii(F.substring(col, i, F.lit(1))), F.lit(MOD32)),
+    )
+
+
+# list_reduce has no explicit init: acc starts as the first element, which
+# equals Spark's aggregate(…, 0, acc*31+x) after one step; BIGINT casts keep
+# the accumulator out of INT32 overflow
+ROLLING_HASH_SQL = (
+    "list_reduce([CAST(ascii(substring({c}, CAST(i AS INT), 1)) AS BIGINT)"
+    " for i in range(1, len({c})+1)],"
+    " (acc, x) -> (acc*31+x) % 4294967296)"
+)
+
+
+# ── token counting: whitespace + BPE-ish regex ────────────────────────────
+
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit(TOKEN_RE), 0)).cast("long").alias("bpe_tokens"),
+        F.size(F.array_distinct(F.split(lower, " "))).cast("long").alias("distinct_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS bpe_tokens,
+       CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS distinct_tokens
+FROM documents
+"""
+
+
+# ── quality scoring: length / stopword / uniqueness ratios ────────────────
+
+STOPWORDS = ("the", "a", "of", "is")
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    uniq = F.size(F.array_distinct(toks))
+    mean_len = (F.length("text") - n + 1).cast("double") / n
+    return d.select(
+        "doc_id",
+        F.round(stop.cast("double") / n, 6).alias("stopword_ratio"),
+        F.round(uniq.cast("double") / n, 6).alias("uniq_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        (
+            (F.length("text") >= 64)
+            & (stop.cast("double") / n < 0.5)
+            & (uniq.cast("double") / n > 0.05)
+        ).alias("keep"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH t AS (
+    SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       round(CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS uniq_ratio,
+       round(CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks), 6) AS mean_token_len,
+       (length(text) >= 64
+        AND CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS DOUBLE) / len(toks) < 0.5
+        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.05) AS keep
+FROM t
+"""
+
+
+# ── language ID: marker-word profile scoring ──────────────────────────────
+# n-gram/profile heuristic: score(text, lang) = Σ count(marker tokens);
+# predicted = argmax score, ties → lexicographically smallest lang.
+
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast"),
+    "fr": ("le", "la", "vite"),
+    "de": ("der", "die", "schnell"),
+    "es": ("el", "la", "rapido"),
+    "zh": ("de", "kuai", "biao"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    scored = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lang).alias("cand_lang"),
+                        F.size(F.filter(toks, lambda t: t.isin(*words)))
+                        .cast("long")
+                        .alias("score"),
+                    )
+                    for lang, words in sorted(LANG_PROFILES.items())
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.cand_lang", "s.score")
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score")
+    )
+
+
+_PROFILE_ROWS = ", ".join(
+    f"('{lang}', [{', '.join(repr(w) for w in words)}])"
+    for lang, words in sorted(LANG_PROFILES.items())
+)
+
+SQL_LANG_ID = f"""
+WITH profiles(cand_lang, words) AS (VALUES {_PROFILE_ROWS}),
+scored AS (
+    SELECT d.doc_id, p.cand_lang,
+           CAST(len(list_filter(string_split(lower(d.text), ' '),
+                                x -> list_contains(p.words, x))) AS BIGINT) AS score
+    FROM documents d CROSS JOIN profiles p
+),
+ranked AS (
+    SELECT doc_id, cand_lang, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
+    FROM scored
+)
+SELECT doc_id, cand_lang AS pred_lang, score FROM ranked WHERE rn = 1
+"""
+
+
+# ── SimHash32 over whitespace tokens ──────────────────────────────────────
+# bit b of simhash = 1 iff Σ over token instances of (±1 by hash bit b) > 0.
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).withColumn("h", rolling_hash32(F.col("w")))
+    bits = tok.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+SQL_SIMHASH = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+hashed AS (
+    SELECT doc_id, {ROLLING_HASH_SQL.format(c='w')} AS h FROM tok
+),
+bits AS (
+    SELECT doc_id, CAST(b.b AS INT) AS b,
+           CASE WHEN (h // (1::BIGINT << CAST(b.b AS INT))) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+    FROM hashed, range(0, 32) b(b)
+),
+summed AS (
+    SELECT doc_id, b, sum(contrib) AS s FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM summed GROUP BY doc_id
+"""
+
+
+# ── rolling-hash k-gram fingerprint (winnowing-style min-hash) ────────────
+
+
+def q_kgram_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min and count of distinct word-3-gram rolling hashes per document —
+    the fingerprint used for containment-style near-dup screens."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    hashed = grams.withColumn("h", rolling_hash32(F.col("g")))
+    return hashed.groupBy("doc_id").agg(
+        F.min("h").alias("min_fp"),
+        F.count_distinct("h").alias("n_grams"),
+    )
+
+
+SQL_KGRAM_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+grams AS (
+    SELECT doc_id,
+           unnest([toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2]
+                   for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS g
+    FROM t
+),
+hashed AS (SELECT doc_id, {ROLLING_HASH_SQL.format(c='g')} AS h FROM grams)
+SELECT doc_id, min(h) AS min_fp, CAST(count(DISTINCT h) AS BIGINT) AS n_grams
+FROM hashed GROUP BY doc_id
+"""
+
+
+# ── near-dup via word-3-gram Jaccard over a planted corpus ────────────────
+# Plant near-duplicates (doc_id%10==0 → +1000000, 3 extra tail tokens) so the
+# detector has true positives; jaccard = |∩| / |∪| over DISTINCT 3-grams.
+# Scale path: replace the raw shingle join with LSH band buckets
+# (q_lsh_candidates) so candidate pairs stay near-linear in corpus size.
+
+NEAR_DUP_TAIL = " zz yy xx"
+JACCARD_THRESHOLD = 0.5
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", F.lower(F.col("text")).alias("text"))
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
+    )
+    return d.unionByName(planted)
+
+
+_NEAR_CORPUS_CTE = f"""
+corpus AS (
+    SELECT doc_id, lower(text) AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lower(text) || '{NEAR_DUP_TAIL}' AS text
+    FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def _gram_sets(c: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return (
+        c.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i),
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+
+
+_GRAMS_CTE = """
+grams AS (
+    SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest([toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2]
+                       for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) t
+    )
+)
+"""
+
+
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _near_corpus(spark, sf_dir)
+    grams = _gram_sets(c)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_NEAR_DUP_JACCARD = f"""
+WITH {_NEAR_CORPUS_CTE}, {_GRAMS_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ── MinHash-LSH band buckets → candidate pairs ────────────────────────────
+# 8 minhash seeds grouped into 4 bands of 2; docs sharing any band bucket are
+# candidates. This is the candidate generator that replaces the O(n²) shingle
+# join at 100 TB: cost is one groupBy per band on (band, signature).
+
+N_SEEDS = 8
+BAND_SIZE = 2
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _near_corpus(spark, sf_dir)
+    grams = _gram_sets(c)
+    seeded = grams.select(
+        "doc_id",
+        "g",
+        F.explode(F.array(*[F.lit(s) for s in range(N_SEEDS)])).alias("seed"),
+    ).withColumn("h", rolling_hash32(F.concat_ws("#", F.col("g"), F.col("seed"))))
+    sigs = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat_ws(":", F.array_sort(F.collect_list("minhash"))).alias("sig"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_LSH_CANDIDATES = f"""
+WITH {_NEAR_CORPUS_CTE}, {_GRAMS_CTE},
+seeded AS (
+    SELECT g.doc_id, g.g, CAST(s.s AS INT) AS seed,
+           {ROLLING_HASH_SQL.format(c="(g.g || '#' || CAST(s.s AS INT))")} AS h
+    FROM grams g, range(0, {N_SEEDS}) s(s)
+),
+sigs AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+bands AS (
+    SELECT doc_id, seed // {BAND_SIZE} AS band,
+           string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY minhash) AS sig
+    FROM sigs GROUP BY doc_id, seed // {BAND_SIZE}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+# ── embedding near-dup within coarse buckets (IVF-style) ──────────────────
+# Plant perturbed copies (vec_id%50==0 → +1000000, scaled ×1.001 — cosine
+# exactly 1.0); search only within `label` buckets, the coarse-quantizer
+# pattern that bounds pair count at scale.
+
+COSINE_DUP_THRESHOLD = 0.9999
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias("embedding"),
+        "label",
+    )
+    c = emb.select("vec_id", "embedding", "label").unionByName(planted)
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (
+                    F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
+                    * F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
+                ),
+                4,
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH corpus AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           [x * 1.001 for x in embedding] AS embedding, label
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+flat AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(unnest(a.embedding) AS DOUBLE) AS ax,
+           CAST(unnest(b.embedding) AS DOUBLE) AS bx
+    FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+sims AS (
+    SELECT vec_a, vec_b,
+           round(sum(ax*bx) / (sqrt(sum(ax*ax)) * sqrt(sum(bx*bx))), 4) AS cosine_sim
+    FROM flat GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, cosine_sim FROM sims WHERE cosine_sim >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+TEXTOPS_QUERIES: dict[str, tuple] = {
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "kgram_fingerprint": (q_kgram_fingerprint, SQL_KGRAM_FINGERPRINT),
+    "near_dup_jaccard": (q_near_dup_jaccard, SQL_NEAR_DUP_JACCARD),
+    "lsh_candidates": (q_lsh_candidates, SQL_LSH_CANDIDATES),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+}
