@@ -8,10 +8,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from kafka_backup_spark.queries.core import CORE_QUERIES
+from kafka_backup_spark.queries.extra import EXTRA_QUERIES
 from kafka_backup_spark.queries.pipeline import PIPELINE_QUERIES
 from kafka_backup_spark.queries.textops import TEXTOPS_QUERIES
 
-ALL_QUERIES: dict[str, tuple] = {**CORE_QUERIES, **PIPELINE_QUERIES, **TEXTOPS_QUERIES}
+ALL_QUERIES: dict[str, tuple] = {
+    **CORE_QUERIES,
+    **PIPELINE_QUERIES,
+    **TEXTOPS_QUERIES,
+    **EXTRA_QUERIES,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

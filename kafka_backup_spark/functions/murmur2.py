@@ -75,9 +75,82 @@ def _murmur2_udf(keys: pd.Series) -> pd.Series:
     return keys.map(lambda b: None if b is None else murmur2(bytes(b)))
 
 
-def murmur2_expr(col: Column | str) -> Column:
-    """Signed-32 murmur2 of a binary column (null in → null out)."""
+def murmur2_pandas_expr(col: Column | str) -> Column:
+    """Signed-32 murmur2 via Arrow-batched pandas UDF (legacy path; the
+    JVM-native ``murmur2_expr`` below is preferred — no Python workers)."""
     return _murmur2_udf(F.col(col) if isinstance(col, str) else col)
+
+
+_M32 = 1 << 32
+
+
+def murmur2_expr(col: Column | str) -> Column:
+    """Signed-32 murmur2 of a binary column as a PURE-JVM expression.
+
+    The byte loop becomes ``aggregate`` folds over the hex encoding: all
+    arithmetic is BIGINT mod 2^32 (products ≤ 2^32·0x5BD1E995 < 2^63, no
+    overflow), so the whole hash stays inside whole-stage codegen — no
+    Python workers on the repartition hot path. Verified bit-for-bit against
+    the published Kafka vectors in tests/test_murmur2.py.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    hx = F.hex(c)  # 2 hex chars per byte, uppercase
+    length = F.length(c)
+    n_words = F.floor(length / 4).cast("long")  # full 4-byte words
+    rem = length % 4
+    n4 = n_words * 4
+
+    def byte_at(i: Column) -> Column:
+        # i is 0-based byte index; conv returns its decimal value as string
+        return F.conv(F.substring(hx, i * 2 + 1, F.lit(2)), 16, 10).cast("long")
+
+    def word_at(w: Column) -> Column:
+        i = w * 4
+        return (
+            byte_at(i)
+            + byte_at(i + 1) * 256
+            + byte_at(i + 2) * 65536
+            + byte_at(i + 3) * 16777216
+        )
+
+    def mul_m(x: Column) -> Column:
+        return (x * F.lit(_M)) % F.lit(_M32)
+
+    def xor(a: Column, b: Column) -> Column:
+        return a.bitwiseXOR(b)
+
+    def shr(x: Column, n: int) -> Column:
+        return F.floor(x / F.lit(1 << n)).cast("long")
+
+    h0 = xor(F.lit(KAFKA_SEED).cast("long"), length.cast("long"))
+
+    def step(h: Column, w: Column) -> Column:
+        k = word_at(w - 1)  # sequence is 1-based below
+        k = mul_m(k)
+        k = xor(k, shr(k, _R))
+        k = mul_m(k)
+        return xor(mul_m(h), k)
+
+    body = F.aggregate(
+        F.when(n_words > 0, F.sequence(F.lit(1), n_words)).otherwise(
+            F.array().cast("array<bigint>")
+        ),
+        h0,
+        step,
+    )
+
+    # tail bytes (little-endian xor, then one multiply when rem >= 1)
+    t = body
+    t = F.when(rem == 3, xor(t, byte_at(n4 + 2) * 65536)).otherwise(t)
+    t = F.when(rem >= 2, xor(t, byte_at(n4 + 1) * 256)).otherwise(t)
+    t = F.when(rem >= 1, mul_m(xor(t, byte_at(n4)))).otherwise(t)
+
+    # finalization
+    t = xor(t, shr(t, 13))
+    t = mul_m(t)
+    t = xor(t, shr(t, 15))
+    # unsigned 32 → signed 32 (Java parity)
+    return F.when(c.isNotNull(), F.when(t >= (1 << 31), t - _M32).otherwise(t))
 
 
 def kafka_partition_expr(col: Column | str, num_partitions: int) -> Column:
@@ -91,3 +164,46 @@ def kafka_partition_expr(col: Column | str, num_partitions: int) -> Column:
         h.isNotNull(),
         F.pmod(h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(num_partitions)).cast(IntegerType()),
     )
+
+
+def _duck_byte(hx: str, i: str) -> str:
+    """DuckDB SQL: decimal value of byte ``i`` (0-based) of hex string col."""
+    return (
+        f"((strpos('0123456789ABCDEF', substring({hx}, 2*({i})+1, 1))-1)*16"
+        f" + strpos('0123456789ABCDEF', substring({hx}, 2*({i})+2, 1))-1)"
+    )
+
+
+def murmur2_duckdb_sql(col: str) -> str:
+    """DuckDB SQL expression computing the same signed-32 murmur2 over a BLOB
+    column — the oracle twin of ``murmur2_expr`` (same hex-fold shape;
+    validated against the Kafka vectors in tests/test_murmur2.py)."""
+    hx = f"upper(hex({col}))"
+    length = f"octet_length({col})"
+    nw = f"({length} // 4)"
+    n4 = f"({nw}*4)"
+    rem = f"({length} % 4)"
+
+    def word(w0: str) -> str:
+        i = f"(4*({w0}))"
+        return (
+            f"({_duck_byte(hx, i)} + {_duck_byte(hx, f'{i}+1')}*256"
+            f" + {_duck_byte(hx, f'{i}+2')}*65536 + {_duck_byte(hx, f'{i}+3')}*16777216)"
+        )
+
+    k0 = word("w-1")
+    k1 = f"(({k0} * {_M}) % 4294967296)"
+    k2 = f"xor({k1}, {k1} >> {_R})"
+    k3 = f"(({k2} * {_M}) % 4294967296)"
+    step = f"(h, w) -> xor((h * {_M}) % 4294967296, {k3})"
+    body = (
+        f"list_reduce(list_prepend(CAST(xor({KAFKA_SEED}, {length}) AS BIGINT), "
+        f"[CAST(w AS BIGINT) for w in range(1, {nw}+1)]), {step})"
+    )
+    t3 = f"(CASE WHEN {rem} = 3 THEN xor({body}, {_duck_byte(hx, n4 + '+2')}*65536) ELSE {body} END)"
+    t2 = f"(CASE WHEN {rem} >= 2 THEN xor({t3}, {_duck_byte(hx, n4 + '+1')}*256) ELSE {t3} END)"
+    t1 = f"(CASE WHEN {rem} >= 1 THEN (xor({t2}, {_duck_byte(hx, n4)}) * {_M}) % 4294967296 ELSE {t2} END)"
+    f1 = f"xor({t1}, {t1} >> 13)"
+    f2 = f"(({f1} * {_M}) % 4294967296)"
+    f3 = f"xor({f2}, {f2} >> 15)"
+    return f"(CASE WHEN {f3} >= 2147483648 THEN {f3} - 4294967296 ELSE {f3} END)"

@@ -18,6 +18,17 @@ from kafka_backup_spark.schema import events_as_records, load_table
 
 SEGMENT_SPAN = 1000
 
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow input up to the session's default
+    parallelism. Small-SF testdata arrives as one parquet file → one task;
+    at 100 TB the scan itself yields thousands of splits and this becomes a
+    no-op (cheap guard: skip when already parallel enough)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
 # ── Spark side ────────────────────────────────────────────────────────────
 
 

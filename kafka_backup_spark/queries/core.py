@@ -637,8 +637,10 @@ FROM documents
 """
 
 
-# ── R1: murmur2 repartition distribution (no SQL oracle — verified by
-#        golden-vector pytest instead; driver records rows-only) ──────────
+# ── R1: murmur2 repartition distribution ──────────────────────────────────
+# The Kafka-default-partitioner hash runs as a pure-JVM expression on the
+# Spark side and as the equivalent hex-fold SQL on DuckDB — both validated
+# against the published Kafka vectors (tests/test_murmur2.py).
 
 
 def q_murmur2_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,6 +650,22 @@ def q_murmur2_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_records"),
         F.count_distinct("key").alias("n_keys"),
     )
+
+
+def _murmur2_repartition_sql() -> str:
+    from kafka_backup_spark.functions.murmur2 import murmur2_duckdb_sql
+
+    h = murmur2_duckdb_sql("key")
+    return f"""
+WITH {RECORDS_CTE}
+SELECT CAST(({h} & 2147483647) % 5 AS INT) AS target_partition,
+       count(*) AS n_records,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_keys
+FROM records GROUP BY 1
+"""
+
+
+SQL_MURMUR2_REPARTITION = _murmur2_repartition_sql()
 
 
 CORE_QUERIES: dict[str, tuple] = {
@@ -675,5 +693,5 @@ CORE_QUERIES: dict[str, tuple] = {
     "set_difference_topics": (q_set_difference_topics, SQL_SET_DIFFERENCE_TOPICS),
     "semi_join_topics": (q_semi_join_topics, SQL_SEMI_JOIN_TOPICS),
     "scalar_hashes": (q_scalar_hashes, SQL_SCALAR_HASHES),
-    "murmur2_repartition": (q_murmur2_repartition, None),
+    "murmur2_repartition": (q_murmur2_repartition, SQL_MURMUR2_REPARTITION),
 }

@@ -1,0 +1,351 @@
+"""Second wave of operator-inventory queries: header provenance round-trip
+(P8/P9/P10 + F7 LE codecs), snapshot import (J4), consumer-group validation
+(A6), validation summary (A7), integrity scan (A11), lag metrics (A9),
+reset-plan rollup (J3), and epoch formatting (F8).
+
+Synthetic "live cluster" inputs (committed offsets, error codes, observed
+segment stats) are derived deterministically from the record stream so the
+DuckDB oracle can rebuild them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_backup_spark import manifest as mani
+from kafka_backup_spark.offset_reset import generate_group_plan, import_group_snapshot, plan_summary
+from kafka_backup_spark.operators import projections
+from kafka_backup_spark.queries.common import (
+    MAPPING_CTE,
+    RECORDS_CTE,
+    detailed_mapping_df,
+    manifest_cte,
+    manifest_df,
+    records_df,
+)
+from kafka_backup_spark.validation.checks import (
+    consumer_group_check,
+    integrity_scan,
+    message_count_check,
+    offset_range_check,
+    validation_summary,
+)
+
+
+# ── P8/P9/P10 + F7: header injection → LE-binary codec → recovery ─────────
+# Inject provenance headers, then overwrite `offset` with a simulated
+# broker-assigned offset (+999); the original offset must come back from the
+# 8-byte little-endian header, NOT the fallback path.
+
+
+def q_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    injected = projections.inject_restore_headers(r)
+    reassigned = injected.withColumn("offset", F.col("offset") + 999)
+    out = projections.extract_source_offset(reassigned)
+    return out.select("topic", "partition", "offset", "source_offset")
+
+
+SQL_HEADER_ROUNDTRIP = f"""
+WITH {RECORDS_CTE}
+SELECT topic, "partition", "offset" + 999 AS "offset", "offset" AS source_offset
+FROM records
+"""
+
+
+# ── J4: consumer-group snapshot import (rename + invalid-drop) ────────────
+
+SNAP_TOPIC_MAPPING = {"click": "click_v2"}
+SNAP_PARTITION_MAPPING = {1: 11}
+
+
+def _snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic consumer-group snapshot: per (group, topic, partition) max
+    committed offset, with partition-0 entries planted invalid (-1)."""
+    r = records_df(spark, sf_dir)
+    base = r.groupBy("topic", "partition").agg(F.max("offset").alias("offset"))
+    g0 = base.withColumn("group_id", F.lit("g0"))
+    g1 = base.withColumn("group_id", F.lit("g1")).withColumn(
+        "offset", F.when(F.col("partition") == 0, F.lit(-1)).otherwise(F.col("offset"))
+    )
+    return g0.unionByName(g1).select("group_id", "topic", "partition", "offset")
+
+
+_SNAPSHOT_CTE = """
+snapshot AS (
+    SELECT 'g0' AS group_id, topic, "partition", max("offset") AS "offset"
+    FROM records GROUP BY topic, "partition"
+    UNION ALL
+    SELECT 'g1' AS group_id, topic, "partition",
+           CASE WHEN "partition" = 0 THEN -1 ELSE max("offset") END AS "offset"
+    FROM records GROUP BY topic, "partition"
+)
+"""
+
+
+def q_snapshot_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = _snapshot(spark, sf_dir)
+    return import_group_snapshot(snap, SNAP_TOPIC_MAPPING, SNAP_PARTITION_MAPPING)
+
+
+SQL_SNAPSHOT_IMPORT = f"""
+WITH {RECORDS_CTE}, {_SNAPSHOT_CTE}
+SELECT group_id,
+       CASE topic WHEN 'click' THEN 'click_v2' ELSE topic END AS topic,
+       CAST(CASE "partition" WHEN 1 THEN 11 ELSE "partition" END AS INTEGER) AS "partition",
+       "offset"
+FROM snapshot WHERE "offset" >= 0
+"""
+
+
+# ── J3 rollup: reset-plan per-group summary ───────────────────────────────
+
+
+def q_reset_plan_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    groups = (
+        r.filter(F.col("offset") % 3 == 0)
+        .groupBy("topic", "partition")
+        .agg(F.max("offset").alias("offset"))
+        .withColumn("group_id", F.lit("g0"))
+        .select("group_id", "topic", "partition", "offset")
+    )
+    mapping = detailed_mapping_df(spark, sf_dir).drop("timestamp")
+    return plan_summary(generate_group_plan(groups, mapping))
+
+
+SQL_RESET_PLAN_SUMMARY = f"""
+WITH {RECORDS_CTE}, {MAPPING_CTE},
+groups AS (
+    SELECT 'g0' AS group_id, topic, "partition", max("offset") AS committed
+    FROM records WHERE "offset" % 3 = 0 GROUP BY topic, "partition"
+),
+looked AS (
+    SELECT g.group_id,
+           m.target_offset + (g.committed - m.source_offset) AS target_offset
+    FROM groups g
+    ASOF LEFT JOIN mapping m
+      ON g.topic = m.topic AND g."partition" = m."partition" AND g.committed >= m.source_offset
+)
+SELECT group_id, count(*) AS offsets,
+       CAST(sum(CASE WHEN target_offset IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS mapped,
+       bool_and(target_offset IS NOT NULL) AS complete
+FROM looked GROUP BY group_id
+"""
+
+
+# ── A6: consumer-group offset check ───────────────────────────────────────
+
+
+def q_consumer_group_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    offsets = (
+        r.groupBy("topic", "partition")
+        .agg(F.max("offset").alias("offset"))
+        .withColumn("group_id", F.concat(F.lit("grp-"), (F.col("partition") % 2).cast("string")))
+        .withColumn(
+            "error_code", F.when(F.col("offset") % 7 == 0, F.lit(1)).otherwise(F.lit(0))
+        )
+    )
+    return consumer_group_check(offsets)
+
+
+_GROUP_OFFSETS_CTE = """
+grp_offsets AS (
+    SELECT topic, "partition", max("offset") AS "offset",
+           'grp-' || CAST("partition" % 2 AS VARCHAR) AS group_id,
+           CASE WHEN max("offset") % 7 = 0 THEN 1 ELSE 0 END AS error_code
+    FROM records GROUP BY topic, "partition"
+)
+"""
+
+SQL_CONSUMER_GROUP_CHECK = f"""
+WITH {RECORDS_CTE}, {_GROUP_OFFSETS_CTE}
+SELECT group_id, count(*) AS offset_count,
+       CAST(count(DISTINCT topic) AS BIGINT) AS topic_count,
+       CAST(sum(CASE WHEN error_code != 0 THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       CASE WHEN sum(CASE WHEN error_code != 0 THEN 1 ELSE 0 END) > 0
+            THEN 'failed' ELSE 'passed' END AS status
+FROM grp_offsets GROUP BY group_id
+"""
+
+
+# ── A7: validation summary over message-count + offset-range checks ───────
+
+WATERMARKS_CTE = """
+watermarks AS (
+    SELECT topic, "partition",
+           min("offset") AS earliest,
+           CASE WHEN "partition" % 2 = 0
+                THEN min("offset") + count(*)
+                ELSE max("offset") + 1 END AS latest
+    FROM records GROUP BY topic, "partition"
+)
+"""
+
+
+def _watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    return r.groupBy("topic", "partition").agg(
+        F.min("offset").alias("earliest"),
+        F.when(F.col("partition") % 2 == 0, F.min("offset") + F.count(F.lit(1)))
+        .otherwise(F.max("offset") + 1)
+        .alias("latest"),
+    )
+
+
+def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = manifest_df(spark, sf_dir)
+    w = _watermarks(spark, sf_dir)
+    return validation_summary(message_count_check(m, w), offset_range_check(m, w))
+
+
+SQL_VALIDATION_SUMMARY = f"""
+WITH {RECORDS_CTE}, {manifest_cte()}, {WATERMARKS_CTE},
+mc_expected AS (
+    SELECT topic, "partition", CAST(sum(record_count) AS BIGINT) AS expected_count
+    FROM manifest GROUP BY topic, "partition"
+),
+mc AS (
+    SELECT CASE WHEN w.latest IS NULL THEN 'error'
+                WHEN abs(coalesce(e.expected_count, 0)
+                         - coalesce(w.latest - w.earliest, 0)) > 0 THEN 'failed'
+                ELSE 'passed' END AS status
+    FROM mc_expected e FULL OUTER JOIN watermarks w
+      ON e.topic = w.topic AND e."partition" = w."partition"
+),
+or_expected AS (
+    SELECT topic, "partition",
+           max(end_offset) AS expected_high,
+           CAST(sum(record_count) AS BIGINT) AS record_count
+    FROM manifest GROUP BY topic, "partition"
+),
+orc AS (
+    SELECT CASE WHEN coalesce(e.record_count, 0) = 0 THEN 'passed'
+                WHEN w.latest IS NULL THEN 'error'
+                WHEN w.latest >= e.expected_high + 1 THEN 'passed'
+                ELSE 'failed' END AS status
+    FROM or_expected e LEFT JOIN watermarks w
+      ON e.topic = w.topic AND e."partition" = w."partition"
+),
+statuses AS (SELECT status FROM mc UNION ALL SELECT status FROM orc)
+SELECT count(*) AS total,
+       CAST(sum(CASE WHEN status = 'passed' THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+       CAST(sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+       CAST(sum(CASE WHEN status = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       CAST(sum(CASE WHEN status = 'warning' THEN 1 ELSE 0 END) AS BIGINT) AS warnings,
+       CASE WHEN sum(CASE WHEN status IN ('failed', 'error') THEN 1 ELSE 0 END) > 0 THEN 'failed'
+            WHEN sum(CASE WHEN status = 'warning' THEN 1 ELSE 0 END) > 0 THEN 'warning'
+            ELSE 'passed' END AS overall
+FROM statuses
+"""
+
+
+# ── A11: integrity scan (missing / corrupted / valid) ─────────────────────
+# Observed store = manifest minus segments at 5000-aligned offsets (planted
+# missing), with record counts perturbed on partition 2 (planted corruption).
+
+
+def q_integrity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = manifest_df(spark, sf_dir)
+    observed = (
+        m.filter(F.col("start_offset") % 5000 != 0)
+        .withColumn(
+            "record_count",
+            F.when(F.col("partition") == 2, F.col("record_count") + 1).otherwise(
+                F.col("record_count")
+            ),
+        )
+        .select("key", "record_count", "start_offset", "end_offset")
+    )
+    return integrity_scan(m, observed)
+
+
+SQL_INTEGRITY_SCAN = f"""
+WITH {RECORDS_CTE}, {manifest_cte()},
+observed AS (
+    SELECT key,
+           CASE WHEN "partition" = 2 THEN record_count + 1 ELSE record_count END AS obs_count,
+           start_offset AS obs_start, end_offset AS obs_end
+    FROM manifest WHERE start_offset % 5000 != 0
+)
+SELECT m.key, m.topic, m."partition",
+       CASE WHEN o.obs_count IS NULL THEN 'missing'
+            WHEN o.obs_count != m.record_count OR o.obs_start != m.start_offset
+                 OR o.obs_end != m.end_offset THEN 'corrupted'
+            ELSE 'valid' END AS status
+FROM manifest m LEFT JOIN observed o ON m.key = o.key
+"""
+
+
+# ── A9: lag / progress metrics ────────────────────────────────────────────
+# lag = high watermark − committed; snapshot_remaining = Σ(latest − earliest)
+# − processed, per topic (backup/engine.rs:928-937, 830-848 semantics).
+
+
+def q_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _watermarks(spark, sf_dir)
+    committed = w.select(
+        "topic", "partition", (F.col("latest") - (F.col("partition") + 1) * 10).alias("current")
+    )
+    j = w.join(committed, ["topic", "partition"])
+    return j.groupBy("topic").agg(
+        F.sum(F.col("latest") - F.col("current")).alias("total_lag"),
+        F.sum(F.col("latest") - F.col("earliest")).alias("snapshot_total"),
+        F.max(F.col("latest") - F.col("current")).alias("max_partition_lag"),
+    )
+
+
+SQL_LAG_METRICS = f"""
+WITH {RECORDS_CTE}, {WATERMARKS_CTE},
+j AS (
+    SELECT topic, "partition", earliest, latest,
+           latest - ("partition" + 1) * 10 AS current
+    FROM watermarks
+)
+SELECT topic,
+       CAST(sum(latest - current) AS BIGINT) AS total_lag,
+       CAST(sum(latest - earliest) AS BIGINT) AS snapshot_total,
+       CAST(max(latest - current) AS BIGINT) AS max_partition_lag
+FROM j GROUP BY topic
+"""
+
+
+# ── F8: epoch-millis → formatted datetime (describe-style) ────────────────
+
+
+def q_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = manifest_df(spark, sf_dir)
+    return m.select(
+        "key",
+        F.date_format(
+            F.timestamp_seconds(F.floor(F.col("start_ts") / 1000)), "yyyy-MM-dd HH:mm:ss"
+        ).alias("start_fmt"),
+        (F.col("start_ts") % 1000).alias("start_millis"),
+        F.date_format(
+            F.timestamp_seconds(F.floor(F.col("end_ts") / 1000)), "yyyy-MM-dd HH:mm:ss"
+        ).alias("end_fmt"),
+    )
+
+
+SQL_TIME_FORMAT = f"""
+WITH {RECORDS_CTE}, {manifest_cte()}
+SELECT key,
+       strftime(make_timestamp((start_ts // 1000) * 1000000), '%Y-%m-%d %H:%M:%S') AS start_fmt,
+       start_ts % 1000 AS start_millis,
+       strftime(make_timestamp((end_ts // 1000) * 1000000), '%Y-%m-%d %H:%M:%S') AS end_fmt
+FROM manifest
+"""
+
+
+EXTRA_QUERIES: dict[str, tuple] = {
+    "header_roundtrip": (q_header_roundtrip, SQL_HEADER_ROUNDTRIP),
+    "snapshot_import": (q_snapshot_import, SQL_SNAPSHOT_IMPORT),
+    "reset_plan_summary": (q_reset_plan_summary, SQL_RESET_PLAN_SUMMARY),
+    "consumer_group_check": (q_consumer_group_check, SQL_CONSUMER_GROUP_CHECK),
+    "validation_summary": (q_validation_summary, SQL_VALIDATION_SUMMARY),
+    "integrity_scan": (q_integrity_scan, SQL_INTEGRITY_SCAN),
+    "lag_metrics": (q_lag_metrics, SQL_LAG_METRICS),
+    "time_format": (q_time_format, SQL_TIME_FORMAT),
+}

@@ -200,46 +200,80 @@ FROM documents
 
 
 # ── M7: MinHash signatures over character 8-shingles ──────────────────────
-# 4 hash families via seed-suffixed md5; min per (doc, seed). The LSH
-# banding step groups equal signatures — candidate generation is a group-by,
-# not an n² self-join, which is what survives at 100 TB.
+# Each DISTINCT shingle is hashed ONCE (portable rolling hash, JVM-side);
+# the 4 hash families are affine transforms (a_s·h + c_s) mod p of that one
+# hash, aggregated as 4 mins in a single map-side-combinable groupBy, then
+# unpivoted. No per-seed row blowup, no cryptographic hash in the hot path —
+# the shape that survives 100 TB. The LSH banding step downstream groups
+# equal signatures, so candidate generation stays a group-by, not an n² join.
 
 N_MINHASH_SEEDS = 4
+_MH_A = (1000003, 1000033, 1000037, 1000039)
+_MH_C = (12345, 67890, 13579, 24680)
+_MH_P = 2305843009213693951  # 2^61-1; a·h < 2^52 so no overflow
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.length("text") >= 8)
-    shingled = docs.select(
-        "doc_id", F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"), "text"
-    ).select("doc_id", F.expr("substring(text, i, 8)").alias("shingle"))
-    seeded = shingled.select(
+    from kafka_backup_spark.queries.common import spread
+    from kafka_backup_spark.queries.textops import rolling_hash32
+
+    docs = spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.length("text") >= 8)
+    )
+    shingles = docs.select(
         "doc_id",
-        F.explode(F.array(*[F.lit(s) for s in range(N_MINHASH_SEEDS)])).alias("seed"),
-        "shingle",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 7),
+                    lambda i: F.substring(F.col("text"), i, F.lit(8)),
+                )
+            )
+        ).alias("shingle"),
     )
-    return seeded.groupBy("doc_id", "seed").agg(
-        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed")).cast("binary"))).alias(
-            "minhash"
-        )
+    h = shingles.withColumn("h", rolling_hash32(F.col("shingle")))
+    mins = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * _MH_A[s] + _MH_C[s]) % _MH_P).alias(f"m{s}")
+            for s in range(N_MINHASH_SEEDS)
+        ]
     )
+    stack = ", ".join(f"{s}, m{s}" for s in range(N_MINHASH_SEEDS))
+    return mins.select(
+        "doc_id",
+        F.expr(f"stack({N_MINHASH_SEEDS}, {stack}) AS (seed, minhash)"),
+    ).select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
 
 
-SQL_MINHASH_SIGNATURES = f"""
+def _minhash_sql() -> str:
+    from kafka_backup_spark.queries.textops import ROLLING_HASH_SQL
+
+    arms = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {s} AS seed, min((h * {_MH_A[s]} + {_MH_C[s]}) % {_MH_P}) AS minhash"
+        f" FROM hashed GROUP BY doc_id"
+        for s in range(N_MINHASH_SEEDS)
+    )
+    return f"""
 WITH shingles AS (
-    SELECT doc_id,
-           unnest([substring(text, CAST(i AS INT), 8)
-                   for i in range(1, greatest(length(text) - 7, 0) + 1)]) AS shingle
-    FROM documents WHERE length(text) >= 8
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([substring(text, CAST(i AS INT), 8)
+                       for i in range(1, greatest(length(text) - 7, 0) + 1)]) AS shingle
+        FROM documents WHERE length(text) >= 8
+    )
 ),
-seeded AS (
-    SELECT s.doc_id, s.shingle, seeds.seed
-    FROM shingles s,
-         (SELECT unnest(range({N_MINHASH_SEEDS})) AS seed) seeds
+hashed AS (
+    SELECT doc_id, {ROLLING_HASH_SQL.format(c='shingle')} AS h FROM shingles
 )
-SELECT doc_id, CAST(seed AS INT) AS seed,
-       min(md5(shingle || '#' || CAST(seed AS VARCHAR))) AS minhash
-FROM seeded GROUP BY doc_id, seed
+SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM (
+{arms}
+)
 """
+
+
+SQL_MINHASH_SIGNATURES = _minhash_sql()
 
 
 # ── M7: brute-force cosine top-k (ANN baseline) ───────────────────────────
@@ -252,7 +286,9 @@ TOP_K = 3
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from kafka_backup_spark.queries.common import spread
+
+    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )

@@ -20,7 +20,9 @@ MOD32 = 4_294_967_296  # 2^32
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from kafka_backup_spark.queries.common import spread
+
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def rolling_hash32(col: Column) -> Column:
@@ -278,6 +280,7 @@ JACCARD_THRESHOLD = 0.5
 
 def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", F.lower(F.col("text")).alias("text"))
+    # planted rows inherit the parent's partitioning; no extra spread needed
     planted = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
@@ -435,7 +438,9 @@ COSINE_DUP_THRESHOLD = 0.9999
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from kafka_backup_spark.queries.common import spread
+
+    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     planted = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias("embedding"),
