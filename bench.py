@@ -42,6 +42,14 @@ HEADLINE = [
     "doc_fingerprint",
     "minhash_signatures",
     "cosine_topk",
+    "header_roundtrip",
+    "validation_summary",
+    "integrity_scan",
+    "quality_score",
+    "simhash",
+    "near_dup_jaccard",
+    "lsh_candidates",
+    "embedding_near_dup",
 ]
 
 

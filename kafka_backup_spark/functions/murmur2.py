@@ -153,13 +153,20 @@ def murmur2_expr(col: Column | str) -> Column:
     return F.when(c.isNotNull(), F.when(t >= (1 << 31), t - _M32).otherwise(t))
 
 
-def kafka_partition_expr(col: Column | str, num_partitions: int) -> Column:
+def kafka_partition_expr(
+    col: Column | str, num_partitions: int, impl: str = "pandas"
+) -> Column:
     """Kafka default-partitioner target partition for a binary key column.
 
     Null keys yield null (callers overlay round-robin for those — see
     operators/repartition.py).
+
+    ``impl``: "pandas" (default — Arrow-batched, ~10× faster than the
+    interpreted higher-order-function fold for short keys) or "jvm" (no
+    Python workers; used for oracle-parity checks). Both are bit-identical
+    to the Kafka vectors (tests/test_murmur2.py).
     """
-    h = murmur2_expr(col)
+    h = murmur2_pandas_expr(col) if impl == "pandas" else murmur2_expr(col)
     return F.when(
         h.isNotNull(),
         F.pmod(h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(num_partitions)).cast(IntegerType()),

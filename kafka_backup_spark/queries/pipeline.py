@@ -200,22 +200,20 @@ FROM documents
 
 
 # ── M7: MinHash signatures over character 8-shingles ──────────────────────
-# Each DISTINCT shingle is hashed ONCE (portable rolling hash, JVM-side);
-# the 4 hash families are affine transforms (a_s·h + c_s) mod p of that one
-# hash, aggregated as 4 mins in a single map-side-combinable groupBy, then
-# unpivoted. No per-seed row blowup, no cryptographic hash in the hot path —
-# the shape that survives 100 TB. The LSH banding step downstream groups
-# equal signatures, so candidate generation stays a group-by, not an n² join.
+# Each DISTINCT shingle is hashed ONCE (fast_hash64: native md5+conv, stays
+# in whole-stage codegen); the hash families are affine transforms
+# (a_s·h + c_s) mod p of that one hash, aggregated as N mins in a single
+# map-side-combinable groupBy, then unpivoted. No per-seed row blowup, no
+# per-seed hashing — the shape that survives 100 TB. The LSH banding step
+# downstream groups equal signatures, so candidate generation stays a
+# group-by, not an n² join.
 
 N_MINHASH_SEEDS = 4
-_MH_A = (1000003, 1000033, 1000037, 1000039)
-_MH_C = (12345, 67890, 13579, 24680)
-_MH_P = 2305843009213693951  # 2^61-1; a·h < 2^52 so no overflow
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.functions.hashing import fast_hash64, seeded_hash
     from kafka_backup_spark.queries.common import spread
-    from kafka_backup_spark.queries.textops import rolling_hash32
 
     docs = spread(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -233,10 +231,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    h = shingles.withColumn("h", rolling_hash32(F.col("shingle")))
+    h = shingles.withColumn("h", fast_hash64(F.col("shingle")))
     mins = h.groupBy("doc_id").agg(
         *[
-            F.min((F.col("h") * _MH_A[s] + _MH_C[s]) % _MH_P).alias(f"m{s}")
+            F.min(seeded_hash(F.col("h"), s)).alias(f"m{s}")
             for s in range(N_MINHASH_SEEDS)
         ]
     )
@@ -248,10 +246,10 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
-    from kafka_backup_spark.queries.textops import ROLLING_HASH_SQL
+    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb, seeded_hash_duckdb
 
     arms = "\n    UNION ALL\n".join(
-        f"    SELECT doc_id, {s} AS seed, min((h * {_MH_A[s]} + {_MH_C[s]}) % {_MH_P}) AS minhash"
+        f"    SELECT doc_id, {s} AS seed, min({seeded_hash_duckdb('h', s)}) AS minhash"
         f" FROM hashed GROUP BY doc_id"
         for s in range(N_MINHASH_SEEDS)
     )
@@ -265,7 +263,7 @@ WITH shingles AS (
     )
 ),
 hashed AS (
-    SELECT doc_id, {ROLLING_HASH_SQL.format(c='shingle')} AS h FROM shingles
+    SELECT doc_id, {fast_hash64_duckdb('shingle')} AS h FROM shingles
 )
 SELECT doc_id, CAST(seed AS INT) AS seed, minhash FROM (
 {arms}

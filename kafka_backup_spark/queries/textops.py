@@ -179,18 +179,26 @@ SELECT doc_id, cand_lang AS pred_lang, score FROM ranked WHERE rn = 1
 
 # ── SimHash32 over whitespace tokens ──────────────────────────────────────
 # bit b of simhash = 1 iff Σ over token instances of (±1 by hash bit b) > 0.
+# Distinct tokens are hashed once (fast_hash64 % 2^32) and weighted by their
+# occurrence count, so the 32× bit fan-out runs over doc-vocabulary rows
+# (~50/doc), not token instances (~300/doc).
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.functions.hashing import fast_hash64
+
     d = _docs(spark, sf_dir)
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
-    ).withColumn("h", rolling_hash32(F.col("w")))
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", fast_hash64(F.col("w")) % F.lit(1 << 32))
+    )
     bits = tok.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+        "doc_id", "h", "cnt", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
     ).withColumn(
         "contrib",
-        F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1),
+        F.when(F.expr("shiftright(h, b) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
     )
     return (
         bits.groupBy("doc_id", "b")
@@ -204,16 +212,22 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SIMHASH = f"""
+def _simhash_sql() -> str:
+    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb
+
+    return f"""
 WITH tok AS (
     SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
 ),
+counted AS (
+    SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY doc_id, w
+),
 hashed AS (
-    SELECT doc_id, {ROLLING_HASH_SQL.format(c='w')} AS h FROM tok
+    SELECT doc_id, cnt, {fast_hash64_duckdb('w')} % 4294967296 AS h FROM counted
 ),
 bits AS (
     SELECT doc_id, CAST(b.b AS INT) AS b,
-           CASE WHEN (h // (1::BIGINT << CAST(b.b AS INT))) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+           CASE WHEN (h // (1::BIGINT << CAST(b.b AS INT))) % 2 = 1 THEN cnt ELSE -cnt END AS contrib
     FROM hashed, range(0, 32) b(b)
 ),
 summed AS (
@@ -223,6 +237,9 @@ SELECT doc_id,
        CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM summed GROUP BY doc_id
 """
+
+
+SQL_SIMHASH = _simhash_sql()
 
 
 # ── rolling-hash k-gram fingerprint (winnowing-style min-hash) ────────────
@@ -332,13 +349,18 @@ grams AS (
 
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.functions.hashing import fast_hash64
+
     c = _near_corpus(spark, sf_dir)
-    grams = _gram_sets(c)
+    # join on the 64-bit gram hash, not the gram string: ~3× smaller shuffle
+    # and a long-typed join key; both engines hash identically so any
+    # (negligible-probability) collision is mirrored in the oracle
+    grams = _gram_sets(c).select("doc_id", fast_hash64(F.col("g")).alias("h"))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
     inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -356,14 +378,22 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NEAR_DUP_JACCARD = f"""
+def _near_dup_sql_prefix() -> str:
+    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb
+
+    return f"""
 WITH {_NEAR_CORPUS_CTE}, {_GRAMS_CTE},
-sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+hashed AS (SELECT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
-)
+)"""
+
+
+SQL_NEAR_DUP_JACCARD = f"""
+{_near_dup_sql_prefix()}
 SELECT i.doc_a, i.doc_b,
        round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
 FROM inter i
@@ -374,28 +404,38 @@ WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= {JACCARD_TH
 
 
 # ── MinHash-LSH band buckets → candidate pairs ────────────────────────────
-# 8 minhash seeds grouped into 4 bands of 2; docs sharing any band bucket are
-# candidates. This is the candidate generator that replaces the O(n²) shingle
-# join at 100 TB: cost is one groupBy per band on (band, signature).
+# 8 minhash seeds (affine families over ONE fast_hash64 per distinct gram)
+# grouped into 2 bands of 4; docs sharing any band bucket are candidates.
+# This is the candidate generator that replaces the O(n²) shingle join at
+# 100 TB: cost is one hash per gram + one groupBy per doc + a bucket join.
+# Band size 4 keeps collision probability ≈ j⁴ — on a corpus with high
+# baseline similarity (like this synthetic word-salad) 2-seed bands would
+# bucket nearly everything together and the pair join degenerates to n².
 
 N_SEEDS = 8
-BAND_SIZE = 2
+BAND_SIZE = 4
 
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.functions.hashing import fast_hash64, seeded_hash
+
     c = _near_corpus(spark, sf_dir)
-    grams = _gram_sets(c)
-    seeded = grams.select(
-        "doc_id",
-        "g",
-        F.explode(F.array(*[F.lit(s) for s in range(N_SEEDS)])).alias("seed"),
-    ).withColumn("h", rolling_hash32(F.concat_ws("#", F.col("g"), F.col("seed"))))
-    sigs = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
-    bands = (
-        sigs.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws(":", F.array_sort(F.collect_list("minhash"))).alias("sig"))
+    grams = _gram_sets(c).withColumn("h", fast_hash64(F.col("g")))
+    sigs = grams.groupBy("doc_id").agg(
+        *[F.min(seeded_hash(F.col("h"), s)).alias(f"m{s}") for s in range(N_SEEDS)]
     )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":", *[F.col(f"m{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+            ).alias("sig"),
+        )
+        for b in range(N_SEEDS // BAND_SIZE)
+    ]
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.sig")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -410,23 +450,38 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_LSH_CANDIDATES = f"""
+def _lsh_sql() -> str:
+    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb, seeded_hash_duckdb
+
+    mins = ",\n           ".join(
+        f"min({seeded_hash_duckdb('h', s)}) AS m{s}" for s in range(N_SEEDS)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, "
+        + " || ':' || ".join(
+            f"CAST(m{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+        )
+        + " AS sig FROM sigs"
+        for b in range(N_SEEDS // BAND_SIZE)
+    )
+    return f"""
 WITH {_NEAR_CORPUS_CTE}, {_GRAMS_CTE},
-seeded AS (
-    SELECT g.doc_id, g.g, CAST(s.s AS INT) AS seed,
-           {ROLLING_HASH_SQL.format(c="(g.g || '#' || CAST(s.s AS INT))")} AS h
-    FROM grams g, range(0, {N_SEEDS}) s(s)
+hashed AS (SELECT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams),
+sigs AS (
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
 ),
-sigs AS (SELECT doc_id, seed, min(h) AS minhash FROM seeded GROUP BY doc_id, seed),
 bands AS (
-    SELECT doc_id, seed // {BAND_SIZE} AS band,
-           string_agg(CAST(minhash AS VARCHAR), ':' ORDER BY minhash) AS sig
-    FROM sigs GROUP BY doc_id, seed // {BAND_SIZE}
+{band_rows}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """
+
+
+SQL_LSH_CANDIDATES = _lsh_sql()
 
 
 # ── embedding near-dup within coarse buckets (IVF-style) ──────────────────
@@ -455,6 +510,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
+    # norms are per-VECTOR, not per-pair: compute once before the pair join
+    # (at n vectors that is n norm evaluations instead of 2·pairs)
+    c = c.withColumn("norm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
     a = c.alias("a")
     b = c.alias("b")
     pairs = a.join(
@@ -467,10 +525,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(
                 dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (
-                    F.sqrt(dot(F.col("a.embedding"), F.col("a.embedding")))
-                    * F.sqrt(dot(F.col("b.embedding"), F.col("b.embedding")))
-                ),
+                / (F.col("a.norm") * F.col("b.norm")),
                 4,
             ).alias("cosine_sim"),
         )
