@@ -61,8 +61,10 @@ def extract_source_offset(df: DataFrame, out_col: str = "source_offset") -> Data
     """P10: recover the original offset from headers. First matching
     ``x-original-offset`` header: LE-i64 if 8 bytes, else UTF-8 integer
     string; fall back to the record's own offset."""
-    hv = F.element_at(
-        F.filter(F.col("headers"), lambda h: h["key"] == F.lit(H_ORIGINAL_OFFSET)), 1
+    # try_element_at: records without the header (empty filter result) must
+    # fall back, not raise under ANSI mode
+    hv = F.try_element_at(
+        F.filter(F.col("headers"), lambda h: h["key"] == F.lit(H_ORIGINAL_OFFSET)), F.lit(1)
     )["value"]
     return df.withColumn(out_col, F.coalesce(header_i64_or_string(hv), F.col("offset")))
 

@@ -339,7 +339,63 @@ FROM manifest
 """
 
 
+# ── F5/A4: evidence integrity digest ──────────────────────────────────────
+
+
+def q_evidence_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.evidence import integrity_digest
+
+    check = message_count_check(manifest_df(spark, sf_dir), _watermarks(spark, sf_dir))
+    return integrity_digest(check)
+
+
+SQL_EVIDENCE_DIGEST = f"""
+WITH {RECORDS_CTE}, {manifest_cte()}, {WATERMARKS_CTE},
+expected AS (
+    SELECT topic, "partition", CAST(sum(record_count) AS BIGINT) AS expected_count
+    FROM manifest GROUP BY topic, "partition"
+),
+checkrows AS (
+    SELECT coalesce(e.topic, w.topic) AS topic,
+           coalesce(e."partition", w."partition") AS "partition",
+           coalesce(e.expected_count, 0) AS expected_count,
+           coalesce(w.latest - w.earliest, 0) AS restored_count
+    FROM expected e FULL OUTER JOIN watermarks w
+      ON e.topic = w.topic AND e."partition" = w."partition"
+),
+lines AS (
+    SELECT topic || ':' || CAST("partition" AS VARCHAR) || ':'
+           || CAST(expected_count AS VARCHAR) || ':' || CAST(restored_count AS VARCHAR) AS line
+    FROM checkrows
+)
+SELECT sha256(string_agg(line, chr(10) ORDER BY line)) AS sha256_hex FROM lines
+"""
+
+
+# ── Phase-2 offset-mapping capture (header reconciliation join) ───────────
+
+
+def q_offset_mapping_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.three_phase import build_offset_mapping
+
+    r = records_df(spark, sf_dir)
+    injected = projections.inject_restore_headers(r)
+    # simulate broker-assigned offsets on the target (+999 per partition)
+    on_target = injected.withColumn("offset", F.col("offset") + 999)
+    return build_offset_mapping(on_target.drop("ts_ms"))
+
+
+SQL_OFFSET_MAPPING_CAPTURE = f"""
+WITH {RECORDS_CTE}
+SELECT topic, "partition", "offset" AS source_offset,
+       "offset" + 999 AS target_offset, ts_ms AS "timestamp"
+FROM records
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
+    "evidence_digest": (q_evidence_digest, SQL_EVIDENCE_DIGEST),
+    "offset_mapping_capture": (q_offset_mapping_capture, SQL_OFFSET_MAPPING_CAPTURE),
     "header_roundtrip": (q_header_roundtrip, SQL_HEADER_ROUNDTRIP),
     "snapshot_import": (q_snapshot_import, SQL_SNAPSHOT_IMPORT),
     "reset_plan_summary": (q_reset_plan_summary, SQL_RESET_PLAN_SUMMARY),

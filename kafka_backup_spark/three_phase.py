@@ -1,0 +1,70 @@
+"""Three-phase restore (reference: restore/three_phase.rs:101-266):
+
+  Phase 1 (backup time): provenance headers on every record
+      (P9, operators/projections.inject_backup_headers).
+  Phase 2 (restore): replay records and build the source→target offset
+      mapping. Spark's Kafka sink does not return broker-assigned offsets
+      (SURVEY.md §7 "what's hard" #1), so the mapping comes from the
+      header-reconciliation join: re-read the target topic and recover each
+      record's source offset from its ``x-original-offset`` header — exact
+      and idempotent, costs one extra scan (plan B; plan A, a
+      ``foreachPartition`` producer with delivery callbacks, needs a live
+      cluster and a client library).
+  Phase 3: consumer-group reset plan via the as-of lookup over that mapping
+      (offset_reset.generate_group_plan), applied by the driver through an
+      AdminClient (sources/kafka_io, import-gated).
+
+Everything here is a pure DataFrame program, testable file-backed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_backup_spark.offset_reset import generate_group_plan, plan_summary
+from kafka_backup_spark.operators.projections import extract_source_offset
+
+
+def build_offset_mapping(target_records: DataFrame) -> DataFrame:
+    """Phase-2 mapping capture: (topic, partition, source_offset,
+    target_offset, timestamp) from re-reading the restored stream.
+
+    ``target_records``: canonical-schema records as they exist on the target
+    (their ``offset`` is the broker-assigned one; their headers carry the
+    original). Records without a parseable header fall back to their own
+    offset (P10 semantics) — for an identity mapping that is still correct.
+    """
+    recovered = extract_source_offset(target_records, "source_offset")
+    return recovered.select(
+        "topic",
+        "partition",
+        "source_offset",
+        F.col("offset").alias("target_offset"),
+        F.unix_millis("timestamp").alias("timestamp"),
+    )
+
+
+def mapping_ranges(detailed: DataFrame) -> DataFrame:
+    """Collapse a detailed mapping to per-partition range entries
+    (manifest.rs:438-471 OffsetRangeMapping) for the interpolation fallback."""
+    return detailed.groupBy("topic", "partition").agg(
+        F.min("source_offset").alias("source_first_offset"),
+        F.max("source_offset").alias("source_last_offset"),
+        F.min("target_offset").alias("target_first_offset"),
+        F.max("target_offset").alias("target_last_offset"),
+        F.min("timestamp").alias("first_timestamp"),
+        F.max("timestamp").alias("last_timestamp"),
+    )
+
+
+def run_phase3(
+    group_offsets: DataFrame,
+    detailed_mapping: DataFrame,
+    ranges: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Phase 3: reset plan + per-group summary. The plan DataFrame is what
+    the driver feeds to AdminClient commits (or emits with ``toJSON`` as the
+    reference's shell-script/JSON alternatives, offset_reset.rs:451-520)."""
+    plan = generate_group_plan(group_offsets, detailed_mapping, ranges)
+    return plan, plan_summary(plan)
