@@ -50,6 +50,7 @@ HEADLINE = [
     "near_dup_jaccard",
     "lsh_candidates",
     "embedding_near_dup",
+    "ivf_topk",
 ]
 
 
@@ -62,12 +63,19 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
     qs = catalog.queries()
+    # repeat each query and keep the fastest run: this VM shows sporadic
+    # 10-30x neighbor-load spikes (see SCALE.md) and the min is the honest
+    # engine cost; repeats share nothing (noop sink, no caching)
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

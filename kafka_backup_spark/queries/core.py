@@ -652,6 +652,24 @@ def q_murmur2_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── R2: deterministic round-robin ("automatic" strategy) ──────────────────
+
+
+def q_round_robin_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    out = assign_target_partitions(r, 7, strategy="automatic")
+    return out.select("topic", "partition", "offset", "target_partition")
+
+
+SQL_ROUND_ROBIN = f"""
+WITH {RECORDS_CTE}
+SELECT topic, "partition", "offset",
+       CAST((row_number() OVER (ORDER BY topic, "partition", "offset") - 1) % 7 AS INT)
+           AS target_partition
+FROM records
+"""
+
+
 def _murmur2_repartition_sql() -> str:
     from kafka_backup_spark.functions.murmur2 import murmur2_duckdb_sql
 
@@ -694,4 +712,5 @@ CORE_QUERIES: dict[str, tuple] = {
     "semi_join_topics": (q_semi_join_topics, SQL_SEMI_JOIN_TOPICS),
     "scalar_hashes": (q_scalar_hashes, SQL_SCALAR_HASHES),
     "murmur2_repartition": (q_murmur2_repartition, SQL_MURMUR2_REPARTITION),
+    "round_robin_repartition": (q_round_robin_repartition, SQL_ROUND_ROBIN),
 }

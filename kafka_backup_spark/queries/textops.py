@@ -556,7 +556,137 @@ SELECT vec_a, vec_b, cosine_sim FROM sims WHERE cosine_sim >= {COSINE_DUP_THRESH
 """
 
 
+# ── IVF-style ANN top-k ───────────────────────────────────────────────────
+# Coarse quantizer: per-label centroid (the labels stand in for k-means cell
+# assignments). Probe → nearest centroid (nprobe=1) → exact cosine only
+# within that cell → top-k. Pair count drops from n·probes to (n/cells)·
+# probes — the structure that survives 100 TB; brute-force cosine_topk is
+# the recall baseline.
+
+IVF_PROBES = 5
+IVF_TOP_K = 3
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.queries.common import spread
+
+    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # centroid per label: element-wise mean via posexplode + avg (exact,
+    # order-independent per dimension)
+    flat = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    )
+    centroids = (
+        flat.groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform(F.col("pc"), lambda s: s["c"]).alias("centroid"))
+    )
+    probes = emb.filter(F.col("vec_id") < IVF_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    # nprobe=1: nearest centroid by cosine (deterministic tie-break on label)
+    pc = F.broadcast(probes).crossJoin(F.broadcast(centroids))
+    scored = pc.select(
+        "probe_id",
+        "pe",
+        "label",
+        F.round(
+            dot(F.col("pe"), F.col("centroid"))
+            / (F.sqrt(dot(F.col("pe"), F.col("pe"))) * F.sqrt(dot(F.col("centroid"), F.col("centroid")))),
+            6,
+        ).alias("csim"),
+    )
+    wc = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("label").asc())
+    assigned = scored.withColumn("rn", F.row_number().over(wc)).filter(F.col("rn") == 1).select(
+        "probe_id", "pe", F.col("label").alias("cell")
+    )
+    # exact search inside the assigned cell only
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"), "label")
+    cand = F.broadcast(assigned).join(corpus, assigned["cell"] == corpus["label"]).filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    sims = cand.select(
+        "probe_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("pe"), F.col("ne"))
+            / (F.sqrt(dot(F.col("pe"), F.col("pe"))) * F.sqrt(dot(F.col("ne"), F.col("ne")))),
+            4,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("probe_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+SQL_IVF_TOPK = f"""
+WITH cflat AS (
+    SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+),
+centroids AS (
+    SELECT label, list(avg ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, avg(x) AS avg FROM cflat GROUP BY label, pos
+    ) GROUP BY label
+),
+probes AS (
+    SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < {IVF_PROBES}
+),
+pcflat AS (
+    SELECT p.probe_id, c.label,
+           CAST(unnest(p.pe) AS DOUBLE) AS px, unnest(c.centroid) AS cx
+    FROM probes p CROSS JOIN centroids c
+),
+pcsims AS (
+    SELECT probe_id, label,
+           round(sum(px*cx) / (sqrt(sum(px*px)) * sqrt(sum(cx*cx))), 6) AS csim
+    FROM pcflat GROUP BY probe_id, label
+),
+assigned AS (
+    SELECT probe_id, label AS cell FROM (
+        SELECT probe_id, label, row_number() OVER (
+            PARTITION BY probe_id ORDER BY csim DESC, label ASC) AS rn
+        FROM pcsims
+    ) WHERE rn = 1
+),
+candflat AS (
+    SELECT a.probe_id, n.vec_id AS neighbor_id,
+           CAST(unnest(p.pe) AS DOUBLE) AS px, CAST(unnest(n.embedding) AS DOUBLE) AS nx
+    FROM assigned a
+    JOIN probes p ON p.probe_id = a.probe_id
+    JOIN embeddings n ON n.label = a.cell AND n.vec_id <> a.probe_id
+),
+sims AS (
+    SELECT probe_id, neighbor_id,
+           round(sum(px*nx) / (sqrt(sum(px*px)) * sqrt(sum(nx*nx))), 4) AS cosine_sim
+    FROM candflat GROUP BY probe_id, neighbor_id
+)
+SELECT probe_id, neighbor_id, cosine_sim,
+       CAST(rank AS INT) AS rank
+FROM (
+    SELECT probe_id, neighbor_id, cosine_sim, row_number() OVER (
+        PARTITION BY probe_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM sims
+) WHERE rank <= {IVF_TOP_K}
+"""
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
