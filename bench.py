@@ -47,7 +47,7 @@ HEADLINE = [
     "integrity_scan",
     "quality_score",
     "simhash",
-    "near_dup_jaccard",
+    "near_dup_pipeline",
     "lsh_candidates",
     "embedding_near_dup",
     "ivf_topk",

@@ -417,37 +417,11 @@ BAND_SIZE = 4
 
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_backup_spark.functions.hashing import fast_hash64, seeded_hash
+    from kafka_backup_spark.functions.hashing import fast_hash64
 
     c = _near_corpus(spark, sf_dir)
-    grams = _gram_sets(c).withColumn("h", fast_hash64(F.col("g")))
-    sigs = grams.groupBy("doc_id").agg(
-        *[F.min(seeded_hash(F.col("h"), s)).alias(f"m{s}") for s in range(N_SEEDS)]
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ":", *[F.col(f"m{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
-            ).alias("sig"),
-        )
-        for b in range(N_SEEDS // BAND_SIZE)
-    ]
-    bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
-    ).select("doc_id", "bs.band", "bs.sig")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    grams = _gram_sets(c).select("doc_id", fast_hash64(F.col("g")).alias("h"))
+    return _band_candidates(grams)
 
 
 def _lsh_sql() -> str:
@@ -554,6 +528,126 @@ sims AS (
 )
 SELECT vec_a, vec_b, cosine_sim FROM sims WHERE cosine_sim >= {COSINE_DUP_THRESHOLD}
 """
+
+
+# ── Composed near-dup pipeline: LSH candidates → exact-Jaccard verify ─────
+# The production shape at 100 TB: candidate generation is the band-bucket
+# join (near-linear), exact Jaccard runs ONLY on candidates. The standalone
+# near_dup_jaccard query is the brute-force oracle baseline for recall.
+
+
+def _band_candidates(grams: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs from hashed grams (doc_id, h)."""
+    from kafka_backup_spark.functions.hashing import seeded_hash
+
+    sigs = grams.groupBy("doc_id").agg(
+        *[F.min(seeded_hash(F.col("h"), s)).alias(f"m{s}") for s in range(N_SEEDS)]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":", *[F.col(f"m{b * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+            ).alias("sig"),
+        )
+        for b in range(N_SEEDS // BAND_SIZE)
+    ]
+    bands = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bs")).select(
+        "doc_id", "bs.band", "bs.sig"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.functions.hashing import fast_hash64
+
+    c = _near_corpus(spark, sf_dir)
+    # hash grams once; candidates and verification share the same DataFrame
+    # (one scan + one explode feeding both sides of the plan)
+    grams = _gram_sets(c).select("doc_id", fast_hash64(F.col("g")).alias("h"))
+    cand = _band_candidates(grams)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "h")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _near_dup_pipeline_sql() -> str:
+    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb, seeded_hash_duckdb
+
+    mins = ",\n           ".join(
+        f"min({seeded_hash_duckdb('h', s)}) AS m{s}" for s in range(N_SEEDS)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, "
+        + " || ':' || ".join(
+            f"CAST(m{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+        )
+        + " AS sig FROM sigs"
+        for b in range(N_SEEDS // BAND_SIZE)
+    )
+    return f"""
+WITH {_NEAR_CORPUS_CTE}, {_GRAMS_CTE},
+hashed AS (SELECT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams),
+sigs AS (
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM cand c
+    JOIN hashed ga ON ga.doc_id = c.doc_a
+    JOIN hashed gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= {JACCARD_THRESHOLD}
+"""
+
+
+SQL_NEAR_DUP_PIPELINE = _near_dup_pipeline_sql()
 
 
 # ── IVF-style ANN top-k ───────────────────────────────────────────────────
@@ -693,6 +787,7 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "kgram_fingerprint": (q_kgram_fingerprint, SQL_KGRAM_FINGERPRINT),
     "near_dup_jaccard": (q_near_dup_jaccard, SQL_NEAR_DUP_JACCARD),
+    "near_dup_pipeline": (q_near_dup_pipeline, SQL_NEAR_DUP_PIPELINE),
     "lsh_candidates": (q_lsh_candidates, SQL_LSH_CANDIDATES),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
 }

@@ -1,0 +1,66 @@
+"""Physical-plan regression guards for the SCALE.md properties: pushdown
+reaches parquet on the segment store, dimension joins broadcast, and hot
+hashing paths contain no Python UDFs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_backup_spark import catalog
+from kafka_backup_spark.schema import events_as_records, load_table
+from kafka_backup_spark.sources.segments import SegmentStore
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_segment_store_pushes_pitr_predicates(spark, sf_dir, tmp_path):
+    store = SegmentStore(str(tmp_path / "store"))
+    store.write(events_as_records(load_table(spark, sf_dir, "events")))
+    df = store.read(spark).filter(
+        (F.col("timestamp") >= F.timestamp_millis(F.lit(1704500000000)))
+        & (F.col("offset") >= 1000)
+    ).select("topic", "partition", "offset")
+    plan = _plan(df)
+    # P4: the time window and offset range reach the parquet scan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "GreaterThanOrEqual(timestamp" in pushed
+    assert "GreaterThanOrEqual(offset,1000)" in pushed
+    # column pruning: value/key bytes are not read for a 3-column projection
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "value" not in read_schema and "headers" not in read_schema
+
+
+def test_tpch_q5_uses_broadcast_joins_only(spark):
+    df = catalog.queries()["tpch_q5_region_volume"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hashing_paths_have_no_python_udfs(spark):
+    qs = catalog.queries()
+    for name in ("minhash_signatures", "lsh_candidates", "simhash", "dedup_exact",
+                 "doc_fingerprint", "near_dup_jaccard"):
+        plan = _optimized(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_manifest_agg_is_single_exchange(spark, sf_dir):
+    df = catalog.queries()["describe_rollup"](spark, sf_dir)
+    plan = _plan(df)
+    # partial + final hash aggregate with exactly one shuffle for the rollup
+    assert plan.count("Exchange hashpartitioning") <= 2  # rollup expand + agg
+    assert "HashAggregate" in plan
