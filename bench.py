@@ -37,6 +37,9 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q3_priority",
     "tpch_q5_region_volume",
+    "tpch_q6_forecast",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
     "dedup_exact",
     "text_metrics",
     "doc_fingerprint",

@@ -1,0 +1,109 @@
+"""Config surface: the reference's "query language" is a YAML document +
+CLI flags (config.rs:7-41; validation config.rs:827-989). This module loads
+the same document shape into the engine dataclasses and enforces the same
+validation rules, so a user of the reference can bring their config across.
+
+Validation rules carried over (with reference cites):
+- mode ∈ {backup, restore} (config.rs:830-840)
+- ``stop_at_current_offsets`` (snapshot) is incompatible with continuous
+  mode (config.rs:868-876)
+- zstd level ∈ [1, 22] (config.rs:878-884)
+- offset range: start < end when both set (P6 semantics)
+- restore window: start ≤ end when both set (P4/P5)
+- partition mapping must be 1:1 (no two sources to one target)
+- repartition strategy ∈ {murmur2, automatic} (config.rs:580-589)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from kafka_backup_spark.engine import BackupConfig, RestoreConfig
+
+VALID_MODES = ("backup", "restore")
+VALID_STRATEGIES = ("murmur2", "automatic")
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def load_config(path_or_doc: str | dict[str, Any]) -> dict[str, Any]:
+    """Load + validate a config document (YAML path, YAML string, or dict)."""
+    if isinstance(path_or_doc, dict):
+        doc = path_or_doc
+    else:
+        import yaml
+
+        if "\n" in path_or_doc or ":" in path_or_doc.splitlines()[0]:
+            doc = yaml.safe_load(path_or_doc)
+        else:
+            with open(path_or_doc) as fh:
+                doc = yaml.safe_load(fh)
+    if not isinstance(doc, dict):
+        raise ConfigError("config must be a mapping")
+    validate(doc)
+    return doc
+
+
+def validate(doc: dict[str, Any]) -> None:
+    mode = doc.get("mode")
+    if mode not in VALID_MODES:
+        raise ConfigError(f"mode must be one of {VALID_MODES}, got {mode!r}")
+    if not doc.get("backup_id"):
+        raise ConfigError("backup_id is required")
+
+    b = doc.get("backup", {}) or {}
+    if b.get("continuous") and b.get("stop_at_current_offsets"):
+        # snapshot bound + continuous loop are contradictory (config.rs:868-876)
+        raise ConfigError("stop_at_current_offsets is incompatible with continuous mode")
+    level = (doc.get("storage", {}) or {}).get("zstd_level")
+    if level is not None and not (1 <= int(level) <= 22):
+        raise ConfigError(f"zstd level must be in [1, 22], got {level}")
+    so, eo = b.get("start_offset"), b.get("end_offset")
+    if so is not None and eo is not None and so >= eo:
+        raise ConfigError(f"offset range [{so}, {eo}) is empty")
+
+    r = doc.get("restore", {}) or {}
+    ws, we = r.get("window_start_ms"), r.get("window_end_ms")
+    if ws is not None and we is not None and ws > we:
+        raise ConfigError(f"restore window start {ws} > end {we}")
+    pm = r.get("partition_mapping") or {}
+    targets = list(pm.values())
+    if len(set(targets)) != len(targets):
+        raise ConfigError("partition_mapping must be 1:1 (duplicate targets)")
+    strat = r.get("repartition_strategy", "murmur2")
+    if strat not in VALID_STRATEGIES:
+        raise ConfigError(f"repartition_strategy must be one of {VALID_STRATEGIES}")
+    if r.get("repartition_to") is not None and int(r["repartition_to"]) < 1:
+        raise ConfigError("repartition_to must be >= 1")
+
+
+def backup_config(doc: dict[str, Any]) -> BackupConfig:
+    b = doc.get("backup", {}) or {}
+    return BackupConfig(
+        include_topics=list(b.get("include_topics", [])),
+        exclude_topics=list(b.get("exclude_topics", [])),
+        include_internal=bool(b.get("include_internal_topics", False)),
+        start_offset=b.get("start_offset"),
+        end_offset=b.get("end_offset"),
+        inject_headers=bool(b.get("inject_headers", True)),
+        source_cluster=(doc.get("source", {}) or {}).get("cluster_id"),
+        segment_span=int(b.get("segment_span", 1000)),
+    )
+
+
+def restore_config(doc: dict[str, Any]) -> RestoreConfig:
+    r = doc.get("restore", {}) or {}
+    return RestoreConfig(
+        include_topics=list(r.get("include_topics", [])),
+        exclude_topics=list(r.get("exclude_topics", [])),
+        window_start_ms=r.get("window_start_ms"),
+        window_end_ms=r.get("window_end_ms"),
+        partitions=r.get("partitions"),
+        topic_mapping=dict(r.get("topic_mapping", {})),
+        partition_mapping={int(k): int(v) for k, v in (r.get("partition_mapping") or {}).items()},
+        repartition_to=r.get("repartition_to"),
+        repartition_strategy=r.get("repartition_strategy", "murmur2"),
+        inject_headers=bool(r.get("inject_headers", False)),
+    )

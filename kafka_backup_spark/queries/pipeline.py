@@ -100,6 +100,77 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q5 = _Q5_BODY
 
 
+# ── TPC-H Q6-shaped: forecasting revenue (pure filter + agg; the pushdown
+#     showcase — every predicate reaches the parquet scan) ─────────────────
+
+_Q6_BODY = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_BODY)
+
+
+SQL_TPCH_Q6 = _Q6_BODY
+
+
+# ── TPC-H Q10-shaped: returned-item reporting (top customers by lost
+#     revenue; broadcast dims + top-k) ─────────────────────────────────────
+
+_Q10_BODY = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q10_BODY)
+
+
+SQL_TPCH_Q10 = _Q10_BODY
+
+
+# ── TPC-H Q18-shaped: large-volume customers (agg → having → join → topk) ──
+
+_Q18_BODY = """
+WITH big AS (
+    SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, total_qty
+FROM big, orders, customer
+WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q18_BODY)
+
+
+SQL_TPCH_Q18 = _Q18_BODY
+
+
 # ── M7: exact dedup over a corpus with planted duplicates ─────────────────
 # (sf documents have no exact dups; plant them deterministically so the
 # dedup path is actually exercised)
@@ -346,6 +417,9 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_priority": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5_region_volume": (q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q6_forecast": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q10_returns": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q18_large_orders": (q_tpch_q18, SQL_TPCH_Q18),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "text_metrics": (q_text_metrics, SQL_TEXT_METRICS),
     "lang_stats": (q_lang_stats, SQL_LANG_STATS),

@@ -1,0 +1,97 @@
+"""Config loading/validation and manifest JSON persistence round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_backup_spark import config as cfg
+from kafka_backup_spark import manifest as mani
+from kafka_backup_spark.manifest_store import ManifestStore, doc_to_manifest, manifest_to_doc
+from kafka_backup_spark.schema import events_as_records, load_table
+
+YAML_DOC = """
+mode: restore
+backup_id: bk-7
+source:
+  cluster_id: src-cluster
+storage:
+  zstd_level: 3
+backup:
+  include_topics: ["click", "purch*"]
+  inject_headers: true
+restore:
+  window_start_ms: 1704500000000
+  window_end_ms: 1705500000000
+  topic_mapping: {click: click_v2}
+  partition_mapping: {0: 4, 1: 5}
+  repartition_strategy: murmur2
+"""
+
+
+def test_yaml_roundtrip_to_engine_configs():
+    doc = cfg.load_config(YAML_DOC)
+    b = cfg.backup_config(doc)
+    assert b.include_topics == ["click", "purch*"]
+    assert b.source_cluster == "src-cluster"
+    r = cfg.restore_config(doc)
+    assert r.window_start_ms == 1704500000000
+    assert r.topic_mapping == {"click": "click_v2"}
+    assert r.partition_mapping == {0: 4, 1: 5}
+
+
+@pytest.mark.parametrize(
+    "mutation, msg",
+    [
+        ({"mode": "verify"}, "mode"),
+        ({"backup_id": ""}, "backup_id"),
+        ({"backup": {"continuous": True, "stop_at_current_offsets": True}}, "incompatible"),
+        ({"storage": {"zstd_level": 23}}, "zstd"),
+        ({"backup": {"start_offset": 10, "end_offset": 10}}, "empty"),
+        ({"restore": {"window_start_ms": 2, "window_end_ms": 1}}, "window"),
+        ({"restore": {"partition_mapping": {0: 1, 2: 1}}}, "1:1"),
+        ({"restore": {"repartition_strategy": "range"}}, "strategy"),
+        ({"restore": {"repartition_to": 0}}, "repartition_to"),
+    ],
+)
+def test_validation_rules(mutation, msg):
+    doc = {"mode": "backup", "backup_id": "bk"}
+    doc.update(mutation)
+    with pytest.raises(cfg.ConfigError, match=msg):
+        cfg.validate(doc)
+
+
+def test_manifest_doc_roundtrip(spark, sf_dir):
+    records = events_as_records(load_table(spark, sf_dir, "events"))
+    m = mani.build_manifest(records, 1000)
+    doc = manifest_to_doc(m, "bk-1", "src", created_at_ms=1700000000000)
+    assert doc["backup_id"] == "bk-1"
+    assert doc["created_at"] == 1700000000000
+    back = doc_to_manifest(spark, doc)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, m.collect()))
+    # last_offset = max end_offset per partition (manifest.rs:126-130)
+    t0 = doc["topics"][0]
+    p0 = t0["partitions"][0]
+    assert p0["last_offset"] == max(s["end_offset"] for s in p0["segments"])
+    assert t0["original_partition_count"] == max(p["partition"] for p in t0["partitions"]) + 1
+
+
+def test_manifest_store_merge_on_write(spark, sf_dir, tmp_path):
+    records = events_as_records(load_table(spark, sf_dir, "events"))
+    store = ManifestStore(str(tmp_path), "bk-2")
+    first = mani.build_manifest(records.filter(F.col("offset") < 5000), 1000)
+    store.save(first, created_at_ms=1)
+    # second save overlaps: stored rows must win on key collisions
+    second = mani.build_manifest(records, 1000).withColumn(
+        "record_count", F.col("record_count") + 7
+    )
+    doc = store.save(second, created_at_ms=2)
+    merged = doc_to_manifest(spark, doc)
+    assert merged.count() == mani.build_manifest(records, 1000).count()
+    # overlapping segments kept the FIRST save's counts (existing wins)
+    fk = {r["key"]: r["record_count"] for r in first.collect()}
+    for r in merged.collect():
+        if r["key"] in fk:
+            assert r["record_count"] == fk[r["key"]]
+        else:
+            assert r["record_count"] > 7 or r["record_count"] >= 1
