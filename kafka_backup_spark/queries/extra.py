@@ -393,9 +393,96 @@ FROM records
 """
 
 
+# ── T5 batch twin: event-time windowed throughput ─────────────────────────
+# The same windowed_throughput plan Structured Streaming runs (streaming/
+# backup_stream.py), executed in batch so the oracle gate can hash it.
+
+
+def q_windowed_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.streaming.backup_stream import windowed_throughput
+
+    r = records_df(spark, sf_dir).drop("ts_ms")
+    out = windowed_throughput(r, "1 hour")
+    return out.select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        "topic",
+        "n_records",
+        "n_bytes",
+    )
+
+
+SQL_WINDOWED_THROUGHPUT = f"""
+WITH {RECORDS_CTE}
+SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, make_timestamp(ts_ms * 1000))) AS window_start_ms,
+       topic, count(*) AS n_records,
+       CAST(sum(octet_length(key) + octet_length(value)) AS BIGINT) AS n_bytes
+FROM records
+GROUP BY 1, topic
+"""
+
+
+# ── T8 batch twin: at-least-once dedup by record identity ─────────────────
+
+
+def q_dedup_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = records_df(spark, sf_dir)
+    overlap = r.filter(F.col("offset") % 4 == 0)  # simulated re-fetch
+    doubled = r.unionByName(overlap)
+    return (
+        doubled.dropDuplicates(["topic", "partition", "offset"])
+        .groupBy("topic")
+        .agg(F.count(F.lit(1)).alias("n_records"), F.max("offset").alias("max_offset"))
+    )
+
+
+SQL_DEDUP_RECORDS = f"""
+WITH {RECORDS_CTE},
+doubled AS (
+    SELECT * FROM records
+    UNION ALL
+    SELECT * FROM records WHERE "offset" % 4 = 0
+),
+dedup AS (
+    SELECT DISTINCT topic, "partition", "offset" FROM doubled
+)
+SELECT topic, count(*) AS n_records, max("offset") AS max_offset
+FROM dedup GROUP BY topic
+"""
+
+
+# ── Skew-safe salted aggregation (must equal the plain plan) ──────────────
+
+
+def q_salted_topic_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.operators.skew import salted_aggregate
+
+    r = records_df(spark, sf_dir)
+    return salted_aggregate(
+        r,
+        ["topic"],
+        {
+            "n_records": "count(*)",
+            "min_offset": "min(offset)",
+            "max_offset": "max(offset)",
+            "sum_offset": "sum(offset)",
+        },
+    )
+
+
+SQL_SALTED_TOPIC_AGG = f"""
+WITH {RECORDS_CTE}
+SELECT topic, count(*) AS n_records, min("offset") AS min_offset,
+       max("offset") AS max_offset, CAST(sum("offset") AS BIGINT) AS sum_offset
+FROM records GROUP BY topic
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
     "evidence_digest": (q_evidence_digest, SQL_EVIDENCE_DIGEST),
     "offset_mapping_capture": (q_offset_mapping_capture, SQL_OFFSET_MAPPING_CAPTURE),
+    "windowed_throughput": (q_windowed_throughput, SQL_WINDOWED_THROUGHPUT),
+    "dedup_records": (q_dedup_records, SQL_DEDUP_RECORDS),
+    "salted_topic_agg": (q_salted_topic_agg, SQL_SALTED_TOPIC_AGG),
     "header_roundtrip": (q_header_roundtrip, SQL_HEADER_ROUNDTRIP),
     "snapshot_import": (q_snapshot_import, SQL_SNAPSHOT_IMPORT),
     "reset_plan_summary": (q_reset_plan_summary, SQL_RESET_PLAN_SUMMARY),
