@@ -336,6 +336,31 @@ def _gram_sets(c: DataFrame) -> DataFrame:
     )
 
 
+def _hashed_gram_sets(c: DataFrame) -> DataFrame:
+    """Distinct (doc_id, gram-hash) pairs: hashing BEFORE the distinct means
+    the dedup exchange shuffles 8-byte longs, not gram strings (~3× less
+    shuffle I/O). Hash collisions merge shingles identically in the DuckDB
+    oracle (same hash), so parity is structural."""
+    from kafka_backup_spark.functions.hashing import fast_hash64
+
+    toks = F.split(F.col("text"), " ")
+    grams = c.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    return grams.select("doc_id", fast_hash64(F.col("g")).alias("h")).distinct()
+
+
 _GRAMS_CTE = """
 grams AS (
     SELECT DISTINCT doc_id, g FROM (
@@ -347,6 +372,15 @@ grams AS (
 )
 """
 
+_RAW_GRAMS_CTE = """
+grams_raw AS (
+    SELECT doc_id,
+           unnest([toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2]
+                   for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus) t
+)
+"""
+
 
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_backup_spark.functions.hashing import fast_hash64
@@ -355,7 +389,7 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join on the 64-bit gram hash, not the gram string: ~3× smaller shuffle
     # and a long-typed join key; both engines hash identically so any
     # (negligible-probability) collision is mirrored in the oracle
-    grams = _gram_sets(c).select("doc_id", fast_hash64(F.col("g")).alias("h"))
+    grams = _hashed_gram_sets(c)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -382,8 +416,8 @@ def _near_dup_sql_prefix() -> str:
     from kafka_backup_spark.functions.hashing import fast_hash64_duckdb
 
     return f"""
-WITH {_NEAR_CORPUS_CTE}, {_GRAMS_CTE},
-hashed AS (SELECT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams),
+WITH {_NEAR_CORPUS_CTE}, {_RAW_GRAMS_CTE},
+hashed AS (SELECT DISTINCT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams_raw),
 sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -420,8 +454,7 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_backup_spark.functions.hashing import fast_hash64
 
     c = _near_corpus(spark, sf_dir)
-    grams = _gram_sets(c).select("doc_id", fast_hash64(F.col("g")).alias("h"))
-    return _band_candidates(grams)
+    return _band_candidates(_hashed_gram_sets(c))
 
 
 def _lsh_sql() -> str:
@@ -439,8 +472,8 @@ def _lsh_sql() -> str:
         for b in range(N_SEEDS // BAND_SIZE)
     )
     return f"""
-WITH {_NEAR_CORPUS_CTE}, {_GRAMS_CTE},
-hashed AS (SELECT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams),
+WITH {_NEAR_CORPUS_CTE}, {_RAW_GRAMS_CTE},
+hashed AS (SELECT DISTINCT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams_raw),
 sigs AS (
     SELECT doc_id,
            {mins}
@@ -575,7 +608,7 @@ def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _near_corpus(spark, sf_dir)
     # hash grams once; candidates and verification share the same DataFrame
     # (one scan + one explode feeding both sides of the plan)
-    grams = _gram_sets(c).select("doc_id", fast_hash64(F.col("g")).alias("h"))
+    grams = _hashed_gram_sets(c)
     cand = _band_candidates(grams)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), "h")
@@ -615,8 +648,8 @@ def _near_dup_pipeline_sql() -> str:
         for b in range(N_SEEDS // BAND_SIZE)
     )
     return f"""
-WITH {_NEAR_CORPUS_CTE}, {_GRAMS_CTE},
-hashed AS (SELECT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams),
+WITH {_NEAR_CORPUS_CTE}, {_RAW_GRAMS_CTE},
+hashed AS (SELECT DISTINCT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams_raw),
 sigs AS (
     SELECT doc_id,
            {mins}
