@@ -56,3 +56,32 @@ class SegmentStore:
         automatic; offset/timestamp predicates push down to row-group stats."""
         df = spark.read.parquet(self.topics_path())
         return df.withColumn("partition", df["partition"].cast("int"))
+
+    def compact(
+        self,
+        spark: SparkSession,
+        max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    ) -> None:
+        """Operational compaction: incremental/streaming backups accumulate a
+        file per micro-batch per (topic, partition); rewrite the store so
+        each partition holds offset-sorted files of target size again (the
+        reference's 128 MB segment discipline, writer.rs:237-251). Atomic
+        via write-new → swap directories; at scale run per-topic to bound
+        the rewrite working set."""
+        import os
+        import shutil
+
+        current = self.read(spark)
+        tmp_root = f"{self.root}/.compact-tmp"
+        (
+            current.repartition("topic", "partition")
+            .sortWithinPartitions("offset")
+            .write.option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy("topic", "partition")
+            .mode("overwrite")
+            .parquet(tmp_root)
+        )
+        old = f"{self.root}/.compact-old"
+        os.rename(self.topics_path(), old)
+        os.rename(tmp_root, self.topics_path())
+        shutil.rmtree(old)
