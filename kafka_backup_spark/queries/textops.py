@@ -606,9 +606,10 @@ def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_backup_spark.functions.hashing import fast_hash64
 
     c = _near_corpus(spark, sf_dir)
-    # hash grams once; candidates and verification share the same DataFrame
-    # (one scan + one explode feeding both sides of the plan)
-    grams = _hashed_gram_sets(c)
+    # hash grams once and CACHE: candidates and verification both consume
+    # this DataFrame, and without materialization Spark would re-run the
+    # whole explode+hash lineage for each side of the plan
+    grams = _hashed_gram_sets(c).cache()
     cand = _band_candidates(grams)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), "h")

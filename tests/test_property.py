@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis): murmur2 JVM/pandas/Python agreement on
+arbitrary byte keys, LE codec round-trips on arbitrary longs, glob
+translation vs fnmatch. Examples are batched into one DataFrame per run so
+each property costs O(examples) rows, not O(examples) Spark jobs."""
+
+from __future__ import annotations
+
+import fnmatch
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_backup_spark.functions import codecs
+from kafka_backup_spark.functions.globs import glob_to_regex
+from kafka_backup_spark.functions.murmur2 import murmur2, murmur2_expr, murmur2_pandas_expr
+
+SET = settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(keys=st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=50))
+@SET
+def test_murmur2_both_exprs_match_python(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "key binary")
+    rows = df.select(
+        "key",
+        murmur2_expr(F.col("key")).alias("jvm"),
+        murmur2_pandas_expr(F.col("key")).alias("pd"),
+    ).collect()
+    for r in rows:
+        exp = murmur2(bytes(r["key"]))
+        assert r["jvm"] == exp and r["pd"] == exp, bytes(r["key"])
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=100
+    )
+)
+@SET
+def test_le_i64_roundtrip(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = df.select(
+        "v", codecs.le_i64_decode(codecs.le_i64_encode(F.col("v"))).alias("rt"),
+        codecs.le_i64_encode(F.col("v")).alias("enc"),
+    ).collect()
+    for r in rows:
+        assert r["rt"] == r["v"]
+        # byte layout matches python's to_bytes little-endian
+        assert bytes(r["enc"]) == (r["v"] & (2**64 - 1)).to_bytes(8, "little")
+
+
+@given(
+    pattern=st.text(
+        alphabet=st.sampled_from("abc*?.-_"), min_size=0, max_size=12
+    ),
+    names=st.lists(
+        st.text(alphabet=st.sampled_from("abc.-_"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@SET
+def test_glob_matches_fnmatch(pattern, names):
+    import re
+
+    rx = re.compile(glob_to_regex(pattern))
+    for n in names:
+        # fnmatchcase: same *, ? semantics, no env-dependent case folding
+        assert bool(rx.fullmatch(n)) == fnmatch.fnmatchcase(n, pattern), (pattern, n)
