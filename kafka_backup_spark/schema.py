@@ -53,6 +53,25 @@ EVENTS_NUM_PARTITIONS = 4
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata parquet table, robust to any caller-built session.
+
+    The testdata ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which vanilla Spark rejects (PARQUET_TYPE_ILLEGAL) unless
+    ``spark.sql.legacy.parquet.nanosAsLong`` is on.  The driver harness builds
+    its own SparkSession and calls ``queries()`` directly, so we must not rely
+    on session.py (or ``entry()``) having configured it — set the conf here,
+    at the only choke point every table read goes through.  The conf is
+    runtime-settable (verified on Spark 4.x); if a future Spark rejects it we
+    still attempt the plain read so non-events tables keep working.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # DuckDB renders naive timestamps; Spark renders TimestampType in the
+        # session TZ.  Pin UTC so oracle comparisons are TZ-independent even on
+        # sessions we did not build.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - conf refused; plain read may still work
+        pass
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

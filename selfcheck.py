@@ -50,10 +50,19 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
 
 def main() -> int:
     import __spark_entry__ as entrymod
-    from kafka_backup_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
     only = set(sys.argv[1:])
-    spark = get_spark("selfcheck")
+    # Mimic the driver harness EXACTLY: a vanilla session with none of our
+    # session.py config (no nanos conf, no UTC TZ, no PYTHONPATH export).
+    # Round 1 failed precisely because selfcheck used get_spark() while the
+    # driver did not — queries must be robust to a bare session.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("selfcheck")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")

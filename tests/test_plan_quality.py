@@ -64,3 +64,16 @@ def test_manifest_agg_is_single_exchange(spark, sf_dir):
     # partial + final hash aggregate with exactly one shuffle for the rollup
     assert plan.count("Exchange hashpartitioning") <= 2  # rollup expand + agg
     assert "HashAggregate" in plan
+
+
+def test_load_table_survives_vanilla_session(spark, sf_dir):
+    """Regression for round-1 gate failure: the driver harness builds its own
+    SparkSession without spark.sql.legacy.parquet.nanosAsLong, and testdata
+    events.parquet carries TIMESTAMP(NANOS).  load_table must self-heal."""
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = load_table(spark, sf_dir, "events")
+        assert df.count() > 0
+        assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
