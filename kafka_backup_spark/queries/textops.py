@@ -813,8 +813,143 @@ FROM (
 """
 
 
+# ── consolidated per-doc text analysis ────────────────────────────────────
+# One pass over `documents` carrying the full text-quality surface (token
+# counts, quality ratios, language ID) that q_token_counts / q_quality_score
+# / q_lang_id expose individually.  Unlike q_lang_id's explode+window, the
+# argmax here is an `array_min` over (−score, lang) structs — a pure
+# projection, zero shuffles, which is the plan you want at 100 TB for an
+# embarrassingly-parallel per-document scorer.
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    toks = F.split(lower, " ")
+    n = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    uniq = F.size(F.array_distinct(toks))
+    mean_len = (F.length("text") - n + 1).cast("double") / n
+    # struct ordering: smallest (−score, lang) = highest score, ties → the
+    # lexicographically smallest lang, matching q_lang_id's window semantics
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-F.size(F.filter(toks, lambda t: t.isin(*words))))
+                    .cast("long")
+                    .alias("neg_score"),
+                    F.lit(lang).alias("cand_lang"),
+                )
+                for lang, words in sorted(LANG_PROFILES.items())
+            ]
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n.cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(lower, F.lit(TOKEN_RE), 0)).cast("long").alias("bpe_tokens"),
+        uniq.cast("long").alias("distinct_tokens"),
+        F.round(stop.cast("double") / n, 6).alias("stopword_ratio"),
+        F.round(uniq.cast("double") / n, 6).alias("uniq_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        (
+            (F.length("text") >= 64)
+            & (stop.cast("double") / n < 0.5)
+            & (uniq.cast("double") / n > 0.05)
+        ).alias("keep"),
+        best["cand_lang"].alias("pred_lang"),
+        (-best["neg_score"]).alias("lang_score"),
+    )
+
+
+SQL_TEXT_ANALYSIS = f"""
+WITH t AS (
+    SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents
+),
+profiles(cand_lang, words) AS (VALUES {_PROFILE_ROWS}),
+ranked AS (
+    SELECT doc_id, cand_lang, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
+    FROM (
+        SELECT d.doc_id, p.cand_lang,
+               CAST(len(list_filter(string_split(lower(d.text), ' '),
+                                    x -> list_contains(p.words, x))) AS BIGINT) AS score
+        FROM documents d CROSS JOIN profiles p
+    )
+)
+SELECT t.doc_id,
+       CAST(length(t.text) AS BIGINT) AS n_chars,
+       CAST(len(t.toks) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(t.text), '{TOKEN_RE}')) AS BIGINT) AS bpe_tokens,
+       CAST(len(list_distinct(t.toks)) AS BIGINT) AS distinct_tokens,
+       round(CAST(len(list_filter(t.toks, x -> x IN ({_STOP_IN}))) AS DOUBLE) / len(t.toks), 6) AS stopword_ratio,
+       round(CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks), 6) AS uniq_ratio,
+       round(CAST(length(t.text) - len(t.toks) + 1 AS DOUBLE) / len(t.toks), 6) AS mean_token_len,
+       (length(t.text) >= 64
+        AND CAST(len(list_filter(t.toks, x -> x IN ({_STOP_IN}))) AS DOUBLE) / len(t.toks) < 0.5
+        AND CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks) > 0.05) AS keep,
+       r.cand_lang AS pred_lang,
+       r.score AS lang_score
+FROM t JOIN ranked r ON t.doc_id = r.doc_id AND r.rn = 1
+"""
+
+
+# ── consolidated document fingerprints ────────────────────────────────────
+# Normalized-content MD5 (q_doc_fingerprint) plus the word-3-gram rolling-
+# hash fingerprint (q_kgram_fingerprint) in ONE shuffle-free projection: the
+# gram hashes are computed inside a `transform` over the per-doc gram array
+# (array_min / array_distinct replace the explode→groupBy of the original).
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = F.lower(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    hashes = F.transform(grams, rolling_hash32)
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("fingerprint"),
+        F.array_min(hashes).alias("min_fp"),
+        F.size(F.array_distinct(hashes)).cast("long").alias("n_grams"),
+    )
+
+
+SQL_FINGERPRINTS = f"""
+WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+g AS (
+    SELECT doc_id, text,
+           [toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1] || ' ' || toks[CAST(i AS INT)+2]
+            for i in range(1, greatest(len(toks) - 2, 0) + 1)] AS grams
+    FROM t
+),
+h AS (
+    SELECT doc_id, text,
+           list_transform(g.grams, gg -> {ROLLING_HASH_SQL.format(c='gg')}) AS hs
+    FROM g
+)
+SELECT doc_id,
+       md5(lower(replace(text, ' ', ''))) AS fingerprint,
+       list_min(hs) AS min_fp,
+       CAST(len(list_distinct(hs)) AS BIGINT) AS n_grams
+FROM h
+"""
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
+    "fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
