@@ -154,17 +154,19 @@ def murmur2_expr(col: Column | str) -> Column:
 
 
 def kafka_partition_expr(
-    col: Column | str, num_partitions: int, impl: str = "pandas"
+    col: Column | str, num_partitions: int, impl: str = "jvm"
 ) -> Column:
     """Kafka default-partitioner target partition for a binary key column.
 
     Null keys yield null (callers overlay round-robin for those — see
     operators/repartition.py).
 
-    ``impl``: "pandas" (default — Arrow-batched, ~10× faster than the
-    interpreted higher-order-function fold for short keys) or "jvm" (no
-    Python workers; used for oracle-parity checks). Both are bit-identical
-    to the Kafka vectors (tests/test_murmur2.py).
+    ``impl``: "jvm" (default — pure built-in expression fold, stays inside
+    whole-stage codegen, zero Python workers; the only shape that holds on a
+    1000-executor repartition) or "pandas" (Arrow-batched fallback for hosts
+    where the codegen'd fold misbehaves; needs the package importable on
+    executors). Both are bit-identical to the Kafka vectors
+    (tests/test_murmur2.py).
     """
     h = murmur2_pandas_expr(col) if impl == "pandas" else murmur2_expr(col)
     return F.when(

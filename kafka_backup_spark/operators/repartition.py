@@ -9,18 +9,25 @@ column assignment plus the built-in shuffle:
   (repartition.rs:36-75; empty-key test repartition.rs:499-506).
 - automatic strategy: round-robin everything.
 
-Round-robin here is deterministic (ordered by source (partition, offset)
-cycling through N) — a stronger guarantee than the reference's atomic
-counter, and reproducible for tests. At scale the row_number window costs one
-shuffle over only the null-key subset, which is typically tiny.
+Round-robin is ``(source_partition + source_offset) mod N`` — offsets are
+sequential within a source partition, so each source reader cycles through
+the N targets exactly like the reference's per-reader atomic counter, but
+deterministically (reproducible across runs and engines).  It is a pure
+projection: no window, no extra shuffle, no single-task bottleneck — the
+row_number() formulation used previously funneled the whole stream through
+one reducer, which dies at cluster scale.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_backup_spark.functions.murmur2 import kafka_partition_expr
+
+
+def _round_robin_expr(num_partitions: int) -> Column:
+    return F.pmod(F.col("partition") + F.col("offset"), F.lit(num_partitions)).cast("int")
 
 
 def assign_target_partitions(
@@ -31,17 +38,12 @@ def assign_target_partitions(
     out_col: str = "target_partition",
 ) -> DataFrame:
     if strategy == "automatic":
-        w = Window.orderBy(F.col("topic"), F.col("partition"), F.col("offset"))
-        rr = ((F.row_number().over(w) - 1) % num_partitions).cast("int")
-        return df.withColumn(out_col, rr)
+        return df.withColumn(out_col, _round_robin_expr(num_partitions))
     if strategy != "murmur2":
         raise ValueError(f"unknown repartitioning strategy: {strategy}")
     hashed = kafka_partition_expr(F.col(key_col), num_partitions)
-    w = Window.partitionBy(F.col(key_col).isNull()).orderBy(
-        F.col("topic"), F.col("partition"), F.col("offset")
-    )
-    rr = ((F.row_number().over(w) - 1) % num_partitions).cast("int")
-    return df.withColumn(out_col, F.coalesce(hashed, rr))
+    # null-key fallback costs nothing: coalesce of two narrow expressions
+    return df.withColumn(out_col, F.coalesce(hashed, _round_robin_expr(num_partitions)))
 
 
 def repartition_records(

@@ -664,8 +664,7 @@ def q_round_robin_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ROUND_ROBIN = f"""
 WITH {RECORDS_CTE}
 SELECT topic, "partition", "offset",
-       CAST((row_number() OVER (ORDER BY topic, "partition", "offset") - 1) % 7 AS INT)
-           AS target_partition
+       CAST(("partition" + "offset") % 7 AS INT) AS target_partition
 FROM records
 """
 

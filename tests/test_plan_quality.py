@@ -77,3 +77,16 @@ def test_load_table_survives_vanilla_session(spark, sf_dir):
         assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_repartition_plans_scale(spark, sf_dir):
+    """R1/R2 must be pure projections + one hash shuffle: no Python workers
+    (murmur2 runs as a codegen'd JVM fold) and no Exchange SinglePartition
+    (the old row_number() window funneled every row through one task)."""
+    qs = catalog.queries()
+    for name in ("murmur2_repartition", "round_robin_repartition"):
+        df = qs[name](spark, sf_dir)
+        plan = _plan(df)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+        assert "Window" not in plan, name
