@@ -22,12 +22,11 @@ SEGMENT_SPAN = 1000
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition a narrow input up to the session's default
     parallelism. Small-SF testdata arrives as one parquet file → one task;
-    at 100 TB the scan itself yields thousands of splits and this becomes a
-    no-op (cheap guard: skip when already parallel enough)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    at 100 TB the scan itself yields thousands of splits and AQE coalesces
+    the extra shuffle away. (No ``df.rdd`` probe here: materializing the RDD
+    lineage per query just to read a partition count costs more than the
+    unconditional narrow repartition it tried to avoid.)"""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 # ── Spark side ────────────────────────────────────────────────────────────
 

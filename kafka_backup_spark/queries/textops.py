@@ -13,6 +13,8 @@ rounded to 6dp; similarity rounded to 4dp before thresholding/ranking.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -491,76 +493,254 @@ FROM bands a JOIN bands b
 SQL_LSH_CANDIDATES = _lsh_sql()
 
 
-# ── embedding near-dup within coarse buckets (IVF-style) ──────────────────
-# Plant perturbed copies (vec_id%50==0 → +1000000, scaled ×1.001 — cosine
-# exactly 1.0); search only within `label` buckets, the coarse-quantizer
-# pattern that bounds pair count at scale.
+# ── k-means-lite coarse quantizer (shared by embedding_near_dup / ivf_topk) ─
+# A REAL coarse quantizer, not label piggybacking: k = ceil(sqrt(n)) seed
+# centroids chosen by md5(vec_id) order (deterministic, engine-agnostic),
+# one Lloyd refinement (assign → integer-sum centroids → re-assign).  All
+# vector math runs over integer-quantized components (×1000, round-half-up
+# via floor(x·1000+0.5)) so every dot product is EXACT int64 arithmetic —
+# bit-identical between Spark and the DuckDB oracle, which makes the
+# iterative pipeline safely replayable for hash comparison.  Centroids are
+# unnormalized integer SUMS, not means: cosine is scale-invariant, so the
+# sum ranks identically to the mean while staying integer-exact.
+#
+# Scale notes (100 TB): assignment is the standard IVF n×k score —
+# broadcast centroids (k=√n stays tiny relative to n), map-side-combinable
+# min(struct) per vector, no windows on the n-row stream; centroid
+# recomputation is 64 integer-sum aggregates (one shuffle of k×dim cells);
+# pair generation is bounded per-cell, ~n^1.5 total instead of n².
 
 COSINE_DUP_THRESHOLD = 0.9999
+QUANT_SCALE = 1000
+
+
+def _quantize(col: Column) -> Column:
+    """array<float> → array<bigint>: round-half-up(x·1000), IEEE-deterministic."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * QUANT_SCALE + F.lit(0.5)).cast("long")
+    )
+
+
+EMB_DIM = 64
+
+
+def _idot(x: Column, y: Column, dim: int = EMB_DIM) -> Column:
+    """Exact integer dot product of two array<bigint> columns.
+
+    Unrolled over the (fixed, schema-known) dimension instead of
+    zip_with+aggregate: higher-order functions evaluate an interpreted
+    closure per element, while this flat 64-term expression compiles into
+    whole-stage codegen — ~10× faster on the n×k assignment cross join.
+    Integer adds are order-insensitive, so the value is bit-identical to the
+    oracle's list_reduce fold."""
+    terms = [x[i] * y[i] for i in range(dim)]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total
+
+
+def _norm(x: Column) -> Column:
+    return F.sqrt(_idot(x, x))
+
+
+def _icsim(x: Column, y: Column, prec: int) -> Column:
+    """Cosine over quantized vectors: int64 sums, one final fdiv — the same
+    bits on any engine."""
+    return F.round(_idot(x, y) / (_norm(x) * _norm(y)), prec)
+
+
+def _kmeans_cells(corpus: DataFrame, dim: int, k: int):
+    """One-refinement k-means over ``corpus`` (vec_id, qe: array<bigint>).
+
+    Returns (assign, centroids): ``assign`` maps vec_id → final cell id,
+    ``centroids`` is (cell, qc) after the Lloyd step.
+
+    The refined centroids are materialized at the driver and re-broadcast —
+    the standard Lloyd-iteration synchronization point (MLlib's KMeans does
+    the same): k = √n rows of dim int64s stays driver-small at any corpus
+    size, and without it the seed→assign→sum subtree would re-execute for
+    every downstream consumer of the centroids."""
+    seed_w = Window.orderBy("h")  # k rows only (post-limit) — not a data-scale window
+    seeds = (
+        corpus.select("vec_id", "qe", F.md5(F.col("vec_id").cast("string").cast("binary")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .select(F.row_number().over(seed_w).alias("cell"), F.col("qe").alias("qc"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        # norms once per vector/centroid (n+k sqrts), not twice per pair
+        left = corpus.withColumn("nrm", _norm(F.col("qe")))
+        right = F.broadcast(cents.withColumn("cnrm", _norm(F.col("qc"))))
+        scored = left.crossJoin(right).select(
+            "vec_id",
+            "qe",
+            F.struct(
+                (
+                    -F.round(
+                        _idot(F.col("qe"), F.col("qc")) / (F.col("nrm") * F.col("cnrm")), 6
+                    )
+                ).alias("neg_csim"),
+                F.col("cell"),
+            ).alias("s"),
+        )
+        # min(struct) = (max csim, ties → smallest cell); map-side combinable
+        return (
+            scored.groupBy("vec_id", "qe")
+            .agg(F.min("s").alias("s"))
+            .select("vec_id", "qe", F.col("s.cell").alias("cell"))
+        )
+
+    a0 = assign(seeds)
+    sums = a0.groupBy("cell").agg(
+        *[F.sum(F.element_at("qe", i + 1)).alias(f"s{i}") for i in range(dim)]
+    )
+    cents1 = sums.select(
+        "cell", F.array(*[F.col(f"s{i}") for i in range(dim)]).alias("qc")
+    )
+    cents1 = corpus.sparkSession.createDataFrame(
+        cents1.collect(), schema="cell int, qc array<bigint>"
+    )
+    return assign(cents1), cents1
+
+
+def _multi_assign(corpus: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """Top-``nprobe`` cells per vector (multi-probe membership).  Output
+    carries the precomputed vector norm (`nrm`) for downstream pair math."""
+    left = corpus.withColumn("nrm", _norm(F.col("qe")))
+    right = F.broadcast(cents.withColumn("cnrm", _norm(F.col("qc"))))
+    scored = left.crossJoin(right).select(
+        "vec_id",
+        "qe",
+        "nrm",
+        "cell",
+        F.round(_idot(F.col("qe"), F.col("qc")) / (F.col("nrm") * F.col("cnrm")), 6).alias(
+            "csim"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "qe", "nrm", "cell")
+    )
+
+
+# DuckDB fragments mirroring the Spark quantizer bit-for-bit.
+_Q_SQL = "[CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT) for x in {c}]"
+
+
+def _idot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce([{a}[CAST(i AS INT)]*{b}[CAST(i AS INT)]"
+        f" for i in range(1, len({a})+1)], (x, y) -> x + y)"
+    )
+
+
+def _icsim_sql(a: str, b: str, prec: int) -> str:
+    return (
+        f"round({_idot_sql(a, b)} / (sqrt({_idot_sql(a, a)}) * sqrt({_idot_sql(b, b)})), {prec})"
+    )
+
+
+def _kmeans_cte(corpus_sql: str) -> str:
+    """CTE chain computing corpus → seeds → a0 → cents1 (shared SQL text)."""
+    return f"""corpus AS ({corpus_sql}),
+params AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS k FROM corpus),
+seeds AS (
+    SELECT cell, qc FROM (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
+               qe AS qc
+        FROM corpus
+    ) WHERE cell <= (SELECT k FROM params)
+),
+a0 AS (
+    SELECT vec_id, qe, cell FROM (
+        SELECT c.vec_id, c.qe, s.cell,
+               row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_icsim_sql('c.qe', 's.qc', 6)} DESC, s.cell ASC) AS rn
+        FROM corpus c CROSS JOIN seeds s
+    ) WHERE rn = 1
+),
+cflat AS (
+    SELECT cell, generate_subscripts(qe, 1) AS pos, unnest(qe) AS x FROM a0
+),
+cents1 AS (
+    SELECT cell, list(s ORDER BY pos) AS qc
+    FROM (SELECT cell, pos, sum(x) AS s FROM cflat GROUP BY cell, pos)
+    GROUP BY cell
+)"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup through the k-means coarse quantizer: plant
+    perturbed copies (vec_id%50==0 → +1000000, ×1.001 — cosine 1.0), assign
+    every vector to its top-2 cells (multi-probe), emit same-cell pairs with
+    exact quantized cosine ≥ threshold.  Bucket count grows as √n, so pair
+    work is ~n^1.5, not n² (reference had no ANN surface; this is the
+    pipeline-side extension SURVEY.md M7 calls for)."""
     from kafka_backup_spark.queries.common import spread
 
     emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     planted = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.transform(F.col("embedding"), lambda x: x * F.lit(1.001)).alias("embedding"),
-        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * F.lit(1.001)).alias("embedding"),
     )
-    c = emb.select("vec_id", "embedding", "label").unionByName(planted)
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    corpus = base.unionByName(planted).select("vec_id", _quantize(F.col("embedding")).alias("qe"))
+    n = corpus.count()
+    dim = 64
+    k = math.ceil(math.sqrt(n))
+    _, cents = _kmeans_cells(corpus, dim, k)
+    member = _multi_assign(corpus, cents, nprobe=2)
+    a, b = member.alias("a"), member.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-
-    # norms are per-VECTOR, not per-pair: compute once before the pair join
-    # (at n vectors that is n norm evaluations instead of 2·pairs)
-    c = c.withColumn("norm", F.sqrt(dot(F.col("embedding"), F.col("embedding"))))
-    a = c.alias("a")
-    b = c.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    return (
-        pairs.select(
+        .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(
-                dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.norm") * F.col("b.norm")),
-                4,
+                _idot(F.col("a.qe"), F.col("b.qe")) / (F.col("a.nrm") * F.col("b.nrm")), 4
             ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= COSINE_DUP_THRESHOLD)
+        .distinct()  # a pair can share both probe cells
     )
+    return pairs
 
 
-SQL_EMBEDDING_NEAR_DUP = f"""
-WITH corpus AS (
-    SELECT vec_id, embedding, label FROM embeddings
+_NEAR_DUP_CORPUS_SQL = f"""SELECT vec_id, {_Q_SQL.format(c='embedding')} AS qe FROM (
+    SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS embedding FROM embeddings
     UNION ALL
     SELECT vec_id + 1000000 AS vec_id,
-           [x * 1.001 for x in embedding] AS embedding, label
+           [CAST(x AS DOUBLE) * 1.001 for x in embedding] AS embedding
     FROM embeddings WHERE vec_id % 50 = 0
+)"""
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH {_kmeans_cte(_NEAR_DUP_CORPUS_SQL)},
+member AS (
+    SELECT vec_id, qe, cell FROM (
+        SELECT c.vec_id, c.qe, t.cell,
+               row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_icsim_sql('c.qe', 't.qc', 6)} DESC, t.cell ASC) AS rn
+        FROM corpus c CROSS JOIN cents1 t
+    ) WHERE rn <= 2
 ),
-flat AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(unnest(a.embedding) AS DOUBLE) AS ax,
-           CAST(unnest(b.embedding) AS DOUBLE) AS bx
-    FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
-),
-sims AS (
-    SELECT vec_a, vec_b,
-           round(sum(ax*bx) / (sqrt(sum(ax*ax)) * sqrt(sum(bx*bx))), 4) AS cosine_sim
-    FROM flat GROUP BY vec_a, vec_b
+pairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_icsim_sql('a.qe', 'b.qe', 4)} AS cosine_sim
+    FROM member a JOIN member b ON a.cell = b.cell AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, cosine_sim FROM sims WHERE cosine_sim >= {COSINE_DUP_THRESHOLD}
+SELECT vec_a, vec_b, cosine_sim FROM pairs WHERE cosine_sim >= {COSINE_DUP_THRESHOLD}
 """
+
 
 
 # ── Composed near-dup pipeline: LSH candidates → exact-Jaccard verify ─────
@@ -685,74 +865,55 @@ SQL_NEAR_DUP_PIPELINE = _near_dup_pipeline_sql()
 
 
 # ── IVF-style ANN top-k ───────────────────────────────────────────────────
-# Coarse quantizer: per-label centroid (the labels stand in for k-means cell
-# assignments). Probe → nearest centroid (nprobe=1) → exact cosine only
-# within that cell → top-k. Pair count drops from n·probes to (n/cells)·
-# probes — the structure that survives 100 TB; brute-force cosine_topk is
-# the recall baseline.
+# Approximate nearest neighbors over the k-means coarse quantizer: probes
+# score the k=√n refined centroids (broadcast-small), descend into their
+# nprobe nearest cells, exact integer-cosine search inside those cells
+# only, top-k per probe.  Candidate count is nprobe·n/k ≈ 2√n per probe
+# instead of n — the structure that survives 100 TB.  Brute-force
+# cosine_topk is the recall baseline (tests/test_textops_recall.py).
 
 IVF_PROBES = 5
 IVF_TOP_K = 3
+# The synthetic embeddings are near-uniform random — the worst case for any
+# coarse quantizer (true neighbors barely cluster).  nprobe=4 of k=√n cells
+# scans ~17% of the corpus for >50% exact-top-3 recall on the fixture;
+# clustered real-world embeddings do far better at nprobe=2.
+IVF_NPROBE = 4
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_backup_spark.queries.common import spread
 
     emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    # centroid per label: element-wise mean via posexplode + avg (exact,
-    # order-independent per dimension)
-    flat = emb.select(
-        "label", F.posexplode(F.col("embedding")).alias("pos", "x")
+    corpus = emb.select("vec_id", _quantize(F.col("embedding")).alias("qe"))
+    n = corpus.count()
+    k = math.ceil(math.sqrt(n))
+    assign, cents = _kmeans_cells(corpus, 64, k)
+    probes = corpus.filter(F.col("vec_id") < IVF_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pq")
     )
-    centroids = (
-        flat.groupBy("label", "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("c"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select("label", F.transform(F.col("pc"), lambda s: s["c"]).alias("centroid"))
+    pcells = _multi_assign(
+        probes.select(F.col("probe_id").alias("vec_id"), F.col("pq").alias("qe")),
+        cents,
+        nprobe=IVF_NPROBE,
+    ).select(
+        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pq"), F.col("nrm").alias("pnrm"), "cell"
     )
-    probes = emb.filter(F.col("vec_id") < IVF_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
-    )
-    # nprobe=1: nearest centroid by cosine (deterministic tie-break on label)
-    pc = F.broadcast(probes).crossJoin(F.broadcast(centroids))
-    scored = pc.select(
-        "probe_id",
-        "pe",
-        "label",
-        F.round(
-            dot(F.col("pe"), F.col("centroid"))
-            / (F.sqrt(dot(F.col("pe"), F.col("pe"))) * F.sqrt(dot(F.col("centroid"), F.col("centroid")))),
-            6,
-        ).alias("csim"),
-    )
-    wc = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("label").asc())
-    assigned = scored.withColumn("rn", F.row_number().over(wc)).filter(F.col("rn") == 1).select(
-        "probe_id", "pe", F.col("label").alias("cell")
-    )
-    # exact search inside the assigned cell only
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"), "label")
-    cand = F.broadcast(assigned).join(corpus, assigned["cell"] == corpus["label"]).filter(
-        F.col("probe_id") != F.col("neighbor_id")
+    # probes is tiny → broadcast; each neighbor lives in exactly one cell, so
+    # no pair dedup is needed after the cell equi-join
+    cand = F.broadcast(pcells).join(assign, on="cell").filter(
+        F.col("probe_id") != F.col("vec_id")
     )
     sims = cand.select(
         "probe_id",
-        "neighbor_id",
+        F.col("vec_id").alias("neighbor_id"),
         F.round(
-            dot(F.col("pe"), F.col("ne"))
-            / (F.sqrt(dot(F.col("pe"), F.col("pe"))) * F.sqrt(dot(F.col("ne"), F.col("ne")))),
-            4,
+            _idot(F.col("pq"), F.col("qe")) / (F.col("pnrm") * _norm(F.col("qe"))), 4
         ).alias("cosine_sim"),
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= IVF_TOP_K)
@@ -760,57 +921,42 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CORPUS_SQL = f"SELECT vec_id, {_Q_SQL.format(c='embedding')} AS qe FROM embeddings"
+
 SQL_IVF_TOPK = f"""
-WITH cflat AS (
-    SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
-           generate_subscripts(embedding, 1) AS pos
-    FROM embeddings
-),
-centroids AS (
-    SELECT label, list(avg ORDER BY pos) AS centroid FROM (
-        SELECT label, pos, avg(x) AS avg FROM cflat GROUP BY label, pos
-    ) GROUP BY label
-),
-probes AS (
-    SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < {IVF_PROBES}
-),
-pcflat AS (
-    SELECT p.probe_id, c.label,
-           CAST(unnest(p.pe) AS DOUBLE) AS px, unnest(c.centroid) AS cx
-    FROM probes p CROSS JOIN centroids c
-),
-pcsims AS (
-    SELECT probe_id, label,
-           round(sum(px*cx) / (sqrt(sum(px*px)) * sqrt(sum(cx*cx))), 6) AS csim
-    FROM pcflat GROUP BY probe_id, label
-),
-assigned AS (
-    SELECT probe_id, label AS cell FROM (
-        SELECT probe_id, label, row_number() OVER (
-            PARTITION BY probe_id ORDER BY csim DESC, label ASC) AS rn
-        FROM pcsims
+WITH {_kmeans_cte(_IVF_CORPUS_SQL)},
+a1 AS (
+    SELECT vec_id, qe, cell FROM (
+        SELECT c.vec_id, c.qe, t.cell,
+               row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_icsim_sql('c.qe', 't.qc', 6)} DESC, t.cell ASC) AS rn
+        FROM corpus c CROSS JOIN cents1 t
     ) WHERE rn = 1
 ),
-candflat AS (
-    SELECT a.probe_id, n.vec_id AS neighbor_id,
-           CAST(unnest(p.pe) AS DOUBLE) AS px, CAST(unnest(n.embedding) AS DOUBLE) AS nx
-    FROM assigned a
-    JOIN probes p ON p.probe_id = a.probe_id
-    JOIN embeddings n ON n.label = a.cell AND n.vec_id <> a.probe_id
+probes AS (SELECT vec_id AS probe_id, qe AS pq FROM corpus WHERE vec_id < {IVF_PROBES}),
+pcells AS (
+    SELECT probe_id, pq, cell FROM (
+        SELECT p.probe_id, p.pq, t.cell,
+               row_number() OVER (
+                   PARTITION BY p.probe_id
+                   ORDER BY {_icsim_sql('p.pq', 't.qc', 6)} DESC, t.cell ASC) AS rn
+        FROM probes p CROSS JOIN cents1 t
+    ) WHERE rn <= {IVF_NPROBE}
 ),
 sims AS (
-    SELECT probe_id, neighbor_id,
-           round(sum(px*nx) / (sqrt(sum(px*px)) * sqrt(sum(nx*nx))), 4) AS cosine_sim
-    FROM candflat GROUP BY probe_id, neighbor_id
+    SELECT pc.probe_id, a.vec_id AS neighbor_id,
+           {_icsim_sql('pc.pq', 'a.qe', 4)} AS cosine_sim
+    FROM pcells pc JOIN a1 a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
 )
-SELECT probe_id, neighbor_id, cosine_sim,
-       CAST(rank AS INT) AS rank
+SELECT probe_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
 FROM (
     SELECT probe_id, neighbor_id, cosine_sim, row_number() OVER (
         PARTITION BY probe_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
     FROM sims
 ) WHERE rank <= {IVF_TOP_K}
 """
+
 
 
 # ── consolidated per-doc text analysis ────────────────────────────────────

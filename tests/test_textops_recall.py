@@ -1,0 +1,40 @@
+"""Recall checks for the approximate (quantized / bucketed) search paths
+against their brute-force baselines — the contract SCALE.md promises: the
+scale-friendly plan may trade exactness for bounded work, but not recall
+below these floors."""
+
+from __future__ import annotations
+
+from kafka_backup_spark import catalog
+
+
+def _rows(spark, sf_dir, name):
+    return catalog.queries()[name](spark, sf_dir).collect()
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """IVF with k=√n cells and nprobe=2 must recover most of the exact top-3
+    per probe on the fixture corpus."""
+    brute = {}
+    for r in _rows(spark, sf_dir, "cosine_topk"):
+        brute.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in _rows(spark, sf_dir, "ivf_topk"):
+        approx.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    assert set(approx) == set(brute)
+    hits = sum(len(brute[p] & approx.get(p, set())) for p in brute)
+    total = sum(len(v) for v in brute.values())
+    assert hits / total >= 0.5, f"IVF recall {hits}/{total} below floor"
+
+
+def test_embedding_near_dup_finds_planted_pairs(spark, sf_dir):
+    """Every planted perturbed copy (vec_id%50==0 → +1000000, ×1.001) should
+    surface as a near-dup pair despite the coarse quantizer bucketing."""
+    found = {(r.vec_a, r.vec_b) for r in _rows(spark, sf_dir, "embedding_near_dup")}
+    emb_ids = [
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id").collect()
+    ]
+    planted = {(i, i + 1_000_000) for i in emb_ids if i % 50 == 0}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"planted-pair recall {recall:.2f} below floor"
