@@ -84,14 +84,30 @@ def murmur2_pandas_expr(col: Column | str) -> Column:
 _M32 = 1 << 32
 
 
+def _let(value: Column, fn) -> Column:
+    """Bind ``value`` to a lambda variable so ``fn`` can reference it many
+    times while it is EVALUATED ONCE per row (Catalyst duplicates expression
+    trees textually; a higher-order-function lambda variable is a true
+    let-binding). One array wrap per binding — negligible next to the
+    string/conv work it deduplicates."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def murmur2_expr(col: Column | str) -> Column:
     """Signed-32 murmur2 of a binary column as a PURE-JVM expression.
 
-    The byte loop becomes ``aggregate`` folds over the hex encoding: all
-    arithmetic is BIGINT mod 2^32 (products ≤ 2^32·0x5BD1E995 < 2^63, no
-    overflow), so the whole hash stays inside whole-stage codegen — no
-    Python workers on the repartition hot path. Verified bit-for-bit against
-    the published Kafka vectors in tests/test_murmur2.py.
+    The byte loop is an ``aggregate`` fold over the hex encoding, decoded one
+    4-byte word per ``conv`` (byte-swapped to little-endian arithmetically);
+    tail + finalization live inside the fold's ``finish`` lambda and chain
+    through let-bindings (``_let``) so no subtree — in particular the fold
+    body — is ever re-evaluated. All arithmetic is BIGINT mod 2^32 (products
+    ≤ 2^32·0x5BD1E995 < 2^63, no overflow). No Python workers on the
+    repartition hot path. Verified bit-for-bit against the published Kafka
+    vectors in tests/test_murmur2.py.
+
+    (The first cut of this expression extracted every byte with its own
+    substring+conv and spliced the fold body into ``when`` chains that
+    duplicated it ~32× — thousands of string ops per row. Kept as a warning.)
     """
     c = F.col(col) if isinstance(col, str) else col
     hx = F.hex(c)  # 2 hex chars per byte, uppercase
@@ -104,15 +120,6 @@ def murmur2_expr(col: Column | str) -> Column:
         # i is 0-based byte index; conv returns its decimal value as string
         return F.conv(F.substring(hx, i * 2 + 1, F.lit(2)), 16, 10).cast("long")
 
-    def word_at(w: Column) -> Column:
-        i = w * 4
-        return (
-            byte_at(i)
-            + byte_at(i + 1) * 256
-            + byte_at(i + 2) * 65536
-            + byte_at(i + 3) * 16777216
-        )
-
     def mul_m(x: Column) -> Column:
         return (x * F.lit(_M)) % F.lit(_M32)
 
@@ -122,35 +129,50 @@ def murmur2_expr(col: Column | str) -> Column:
     def shr(x: Column, n: int) -> Column:
         return F.floor(x / F.lit(1 << n)).cast("long")
 
-    h0 = xor(F.lit(KAFKA_SEED).cast("long"), length.cast("long"))
+    # words[w]: little-endian 4-byte word, ONE conv each (big-endian decode,
+    # arithmetic byte swap), materialized once as an array before the fold
+    def le_word(w: Column) -> Column:  # w is 1-based
+        be = F.conv(F.substring(hx, (w - 1) * 8 + 1, F.lit(8)), 16, 10).cast("long")
+        return _let(
+            be,
+            lambda b: (
+                shr(b, 24)
+                + (shr(b, 16) % 256) * 256
+                + (shr(b, 8) % 256) * 65536
+                + (b % 256) * 16777216
+            ),
+        )
 
-    def step(h: Column, w: Column) -> Column:
-        k = word_at(w - 1)  # sequence is 1-based below
-        k = mul_m(k)
-        k = xor(k, shr(k, _R))
-        k = mul_m(k)
-        return xor(mul_m(h), k)
-
-    body = F.aggregate(
+    words = F.transform(
         F.when(n_words > 0, F.sequence(F.lit(1), n_words)).otherwise(
             F.array().cast("array<bigint>")
         ),
-        h0,
-        step,
+        le_word,
     )
 
-    # tail bytes (little-endian xor, then one multiply when rem >= 1)
-    t = body
-    t = F.when(rem == 3, xor(t, byte_at(n4 + 2) * 65536)).otherwise(t)
-    t = F.when(rem >= 2, xor(t, byte_at(n4 + 1) * 256)).otherwise(t)
-    t = F.when(rem >= 1, mul_m(xor(t, byte_at(n4)))).otherwise(t)
+    h0 = xor(F.lit(KAFKA_SEED).cast("long"), length.cast("long"))
 
-    # finalization
-    t = xor(t, shr(t, 13))
-    t = mul_m(t)
-    t = xor(t, shr(t, 15))
-    # unsigned 32 → signed 32 (Java parity)
-    return F.when(c.isNotNull(), F.when(t >= (1 << 31), t - _M32).otherwise(t))
+    def step(h: Column, k0: Column) -> Column:
+        k1 = _let(mul_m(k0), lambda k: mul_m(xor(k, shr(k, _R))))
+        return _let(k1, lambda k: xor(mul_m(h), k))
+
+    def tail(h: Column) -> Column:
+        # xor-ing 0 is the identity, so the rem<3 / rem<2 branches collapse
+        # into zero literals — h is referenced once, no tree duplication
+        hi = F.when(rem == 3, byte_at(n4 + 2) * 65536).otherwise(F.lit(0)) + F.when(
+            rem >= 2, byte_at(n4 + 1) * 256
+        ).otherwise(F.lit(0))
+        t = xor(h, hi)
+        return _let(t, lambda x: F.when(rem >= 1, mul_m(xor(x, byte_at(n4)))).otherwise(x))
+
+    def fmix(t: Column) -> Column:
+        u1 = _let(t, lambda x: mul_m(xor(x, shr(x, 13))))
+        u2 = _let(u1, lambda x: xor(x, shr(x, 15)))
+        # unsigned 32 → signed 32 (Java parity)
+        return _let(u2, lambda x: F.when(x >= (1 << 31), x - _M32).otherwise(x))
+
+    out = F.aggregate(words, h0, step, lambda h: fmix(tail(h)))
+    return F.when(c.isNotNull(), out)
 
 
 def kafka_partition_expr(
