@@ -550,81 +550,112 @@ def _icsim(x: Column, y: Column, prec: int) -> Column:
     return F.round(_idot(x, y) / (_norm(x) * _norm(y)), prec)
 
 
+def _prep_corpus(df: DataFrame) -> DataFrame:
+    """(vec_id, qe) → persisted corpus.
+
+    The quantizer pipeline takes several actions over the same corpus (seed
+    collect, Lloyd collect, final pair join); persisting the ~n×(dim·8B)
+    frame avoids re-reading + re-quantizing per action, and MEMORY_AND_DISK
+    spills gracefully when an executor can't hold its slice at scale."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _cells_udf(cells: list, cent_mat: list, nprobe: int):
+    """Arrow-batched top-``nprobe``-cells scorer: qe array<bigint> →
+    array<int> of cell ids, ordered by (round(csim,6) DESC, cell ASC).
+
+    The centroid matrix rides the UDF closure (the driver collected it at the
+    Lloyd sync point) — Spark broadcasts it to Python workers once per stage.
+    Assignment is then ONE narrow projection over the corpus: no n×k row
+    blowup, no groupBy/window shuffle, and the per-batch score is a numpy
+    matmul (k=√n keeps the matrix MBs even at 10⁹ vectors).
+
+    Exactness: components are ≤~10³·cell_population, so every product and
+    64-term partial sum is an integer far below 2^53 — float64 matmul is
+    bit-exact, sqrt/division are single IEEE ops identical to the JVM's, and
+    rounding is half-away-from-zero to match Spark's and DuckDB's round().
+    Verified against the pure-expression path in tests/test_textops_recall.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cell_ids = np.asarray(cells, dtype=np.int64)
+    C = np.asarray(cent_mat, dtype=np.float64)  # k × dim
+    cnrm = np.sqrt((C * C).sum(axis=1))
+
+    def top_cells(qe):
+        X = np.array(qe.tolist(), dtype=np.float64)  # batch × dim
+        nrm = np.sqrt((X * X).sum(axis=1))
+        S = (X @ C.T) / np.outer(nrm, cnrm)
+        S = np.copysign(np.floor(np.abs(S) * 1e6 + 0.5) / 1e6, S)  # round 6dp half-away
+        keys_cell = np.broadcast_to(cell_ids, S.shape)
+        order = np.lexsort((keys_cell, -S), axis=-1)[:, :nprobe]
+        picked = cell_ids[order].astype(np.int32)
+        return pd.Series(list(picked))
+
+    # module-level `from __future__ import annotations` stringifies hints, so
+    # hand pandas_udf real class objects instead of decorator type inference
+    top_cells.__annotations__ = {"qe": pd.Series, "return": pd.Series}
+    return F.pandas_udf(top_cells, ArrayType(IntegerType()))
+
+
+def _pair_cosine_udf(prec: int):
+    """Arrow-batched exact cosine for candidate pairs: (qa, qb) → rounded
+    double.  Row-wise integer dot in float64 (exact — see ``_cells_udf``),
+    one IEEE sqrt/div, half-away rounding identical to Spark's and DuckDB's
+    round()."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    scale = float(10**prec)
+
+    def pair_cos(qa, qb):
+        A = np.array(qa.tolist(), dtype=np.float64)
+        B = np.array(qb.tolist(), dtype=np.float64)
+        s = (A * B).sum(axis=1) / (
+            np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        )
+        return pd.Series(np.copysign(np.floor(np.abs(s) * scale + 0.5) / scale, s))
+
+    pair_cos.__annotations__ = {"qa": pd.Series, "qb": pd.Series, "return": pd.Series}
+    return F.pandas_udf(pair_cos, DoubleType())
+
+
 def _kmeans_cells(corpus: DataFrame, dim: int, k: int):
-    """One-refinement k-means over ``corpus`` (vec_id, qe: array<bigint>).
+    """One-refinement k-means over ``corpus`` (vec_id, qe, nrm — see
+    ``_prep_corpus``).
 
-    Returns (assign, centroids): ``assign`` maps vec_id → final cell id,
-    ``centroids`` is (cell, qc) after the Lloyd step.
-
-    The refined centroids are materialized at the driver and re-broadcast —
-    the standard Lloyd-iteration synchronization point (MLlib's KMeans does
-    the same): k = √n rows of dim int64s stays driver-small at any corpus
-    size, and without it the seed→assign→sum subtree would re-execute for
-    every downstream consumer of the centroids."""
-    seed_w = Window.orderBy("h")  # k rows only (post-limit) — not a data-scale window
-    seeds = (
+    Returns (cells, cent_mat): the final cell ids and integer centroid rows
+    (plain Python lists), ready for ``_cells_udf``.  Two driver sync points —
+    seed collect and the Lloyd-step centroid collect — mirror MLlib KMeans'
+    per-iteration broadcast: k=√n rows of dim int64s stays driver-small at
+    any corpus size."""
+    seed_rows = (
         corpus.select("vec_id", "qe", F.md5(F.col("vec_id").cast("string").cast("binary")).alias("h"))
-        .orderBy("h")
+        .orderBy("h")  # with limit() this is TakeOrdered: per-partition top-k, no global sort
         .limit(k)
-        .select(F.row_number().over(seed_w).alias("cell"), F.col("qe").alias("qc"))
+        .select("qe")
+        .collect()
     )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        # norms once per vector/centroid (n+k sqrts), not twice per pair
-        left = corpus.withColumn("nrm", _norm(F.col("qe")))
-        right = F.broadcast(cents.withColumn("cnrm", _norm(F.col("qc"))))
-        scored = left.crossJoin(right).select(
-            "vec_id",
-            "qe",
-            F.struct(
-                (
-                    -F.round(
-                        _idot(F.col("qe"), F.col("qc")) / (F.col("nrm") * F.col("cnrm")), 6
-                    )
-                ).alias("neg_csim"),
-                F.col("cell"),
-            ).alias("s"),
-        )
-        # min(struct) = (max csim, ties → smallest cell); map-side combinable
-        return (
-            scored.groupBy("vec_id", "qe")
-            .agg(F.min("s").alias("s"))
-            .select("vec_id", "qe", F.col("s.cell").alias("cell"))
-        )
-
-    a0 = assign(seeds)
+    seed_cells = list(range(1, len(seed_rows) + 1))
+    seed_mat = [r["qe"] for r in seed_rows]
+    a0 = corpus.withColumn(
+        "cell", _cells_udf(seed_cells, seed_mat, 1)(F.col("qe"))[0]
+    )
+    # Lloyd step: unnormalized integer SUM per cell (cosine is scale-invariant,
+    # so the sum ranks identically to the mean while staying integer-exact);
+    # map-side-combinable 64-way agg, one k×dim-cell shuffle
     sums = a0.groupBy("cell").agg(
         *[F.sum(F.element_at("qe", i + 1)).alias(f"s{i}") for i in range(dim)]
     )
-    cents1 = sums.select(
-        "cell", F.array(*[F.col(f"s{i}") for i in range(dim)]).alias("qc")
+    c1 = sorted(
+        (r["cell"], [r[f"s{i}"] for i in range(dim)]) for r in sums.collect()
     )
-    cents1 = corpus.sparkSession.createDataFrame(
-        cents1.collect(), schema="cell int, qc array<bigint>"
-    )
-    return assign(cents1), cents1
-
-
-def _multi_assign(corpus: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
-    """Top-``nprobe`` cells per vector (multi-probe membership).  Output
-    carries the precomputed vector norm (`nrm`) for downstream pair math."""
-    left = corpus.withColumn("nrm", _norm(F.col("qe")))
-    right = F.broadcast(cents.withColumn("cnrm", _norm(F.col("qc"))))
-    scored = left.crossJoin(right).select(
-        "vec_id",
-        "qe",
-        "nrm",
-        "cell",
-        F.round(_idot(F.col("qe"), F.col("qc")) / (F.col("nrm") * F.col("cnrm")), 6).alias(
-            "csim"
-        ),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select("vec_id", "qe", "nrm", "cell")
-    )
+    return [c for c, _ in c1], [m for _, m in c1]
 
 
 # DuckDB fragments mirroring the Spark quantizer bit-for-bit.
@@ -681,37 +712,54 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact quantized cosine ≥ threshold.  Bucket count grows as √n, so pair
     work is ~n^1.5, not n² (reference had no ANN surface; this is the
     pipeline-side extension SURVEY.md M7 calls for)."""
-    from kafka_backup_spark.queries.common import spread
-
-    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    # no spread() here: it would shuffle the full vector payload for nothing —
+    # at scale the parquet scan yields splits, and locally the corpus is tiny
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     planted = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(F.col("embedding"), lambda x: x.cast("double") * F.lit(1.001)).alias("embedding"),
     )
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    corpus = base.unionByName(planted).select("vec_id", _quantize(F.col("embedding")).alias("qe"))
-    n = corpus.count()
+    corpus = _prep_corpus(
+        base.unionByName(planted).select("vec_id", _quantize(F.col("embedding")).alias("qe"))
+    )
+    # corpus size arithmetically: vec_ids are contiguous 0..nb-1 (TESTDATA.md),
+    # so planted = ceil(nb/50) and the count comes from parquet footer
+    # metadata — no quantize+persist job just to size k
+    nb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    n = nb + (nb + 49) // 50
     dim = 64
     k = math.ceil(math.sqrt(n))
-    _, cents = _kmeans_cells(corpus, dim, k)
-    member = _multi_assign(corpus, cents, nprobe=2)
+    cells, cent_mat = _kmeans_cells(corpus, dim, k)
+    # candidate generation stays NARROW: same-cell (vec_a, vec_b) id pairs,
+    # deduped (a pair can share both probe cells) BEFORE the expensive exact
+    # cosine — the vectors join in only for surviving candidates.  member is
+    # persisted because the self-join would otherwise recompute the
+    # scoring UDF once per side.
+    member = corpus.select(
+        "vec_id", F.explode(_cells_udf(cells, cent_mat, 2)(F.col("qe"))).alias("cell")
+    ).persist()
     a, b = member.alias("a"), member.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    pa = corpus.select(F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa"))
+    pb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("qe").alias("qb"))
+    return (
+        cand.join(pa, "vec_a")
+        .join(pb, "vec_b")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(
-                _idot(F.col("a.qe"), F.col("b.qe")) / (F.col("a.nrm") * F.col("b.nrm")), 4
-            ).alias("cosine_sim"),
+            "vec_a",
+            "vec_b",
+            _pair_cosine_udf(4)(F.col("qa"), F.col("qb")).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= COSINE_DUP_THRESHOLD)
-        .distinct()  # a pair can share both probe cells
     )
-    return pairs
 
 
 _NEAR_DUP_CORPUS_SQL = f"""SELECT vec_id, {_Q_SQL.format(c='embedding')} AS qe FROM (
@@ -882,34 +930,30 @@ IVF_NPROBE = 4
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_backup_spark.queries.common import spread
-
-    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    corpus = emb.select("vec_id", _quantize(F.col("embedding")).alias("qe"))
-    n = corpus.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")  # no spread(): see near-dup
+    corpus = _prep_corpus(emb.select("vec_id", _quantize(F.col("embedding")).alias("qe")))
+    # parquet-footer count — no quantize+persist job just to size k
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     k = math.ceil(math.sqrt(n))
-    assign, cents = _kmeans_cells(corpus, 64, k)
-    probes = corpus.filter(F.col("vec_id") < IVF_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pq")
-    )
-    pcells = _multi_assign(
-        probes.select(F.col("probe_id").alias("vec_id"), F.col("pq").alias("qe")),
-        cents,
-        nprobe=IVF_NPROBE,
-    ).select(
-        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pq"), F.col("nrm").alias("pnrm"), "cell"
+    cells, cent_mat = _kmeans_cells(corpus, 64, k)
+    probes = corpus.filter(F.col("vec_id") < IVF_PROBES)
+    pcells = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("qe").alias("pq"),
+        F.explode(_cells_udf(cells, cent_mat, IVF_NPROBE)(F.col("qe"))).alias("cell"),
     )
     # probes is tiny → broadcast; each neighbor lives in exactly one cell, so
     # no pair dedup is needed after the cell equi-join
-    cand = F.broadcast(pcells).join(assign, on="cell").filter(
+    neighbors = corpus.withColumn(
+        "cell", _cells_udf(cells, cent_mat, 1)(F.col("qe"))[0]
+    )
+    cand = F.broadcast(pcells).join(neighbors, on="cell").filter(
         F.col("probe_id") != F.col("vec_id")
     )
     sims = cand.select(
         "probe_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            _idot(F.col("pq"), F.col("qe")) / (F.col("pnrm") * _norm(F.col("qe"))), 4
-        ).alias("cosine_sim"),
+        _pair_cosine_udf(4)(F.col("pq"), F.col("qe")).alias("cosine_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
