@@ -38,7 +38,7 @@ _CHECKED_LLM = [
     "embedding_near_dup",
     "ivf_topk",
 ]
-_FIRST = [*CORE_QUERIES, *EXTRA_QUERIES, "legacy_segment_read", *_CHECKED_LLM]
+_FIRST = [*CORE_QUERIES, *EXTRA_QUERIES, *_CHECKED_LLM]  # legacy_segment_read ships in EXTRA
 _FIRST = [n for n in _FIRST if n in _MERGED]
 assert len(_FIRST) <= 50, f"driver checks only 50 entries, got {len(_FIRST)} priority queries"
 

@@ -83,7 +83,9 @@ class RestoreEngine:
 
     def plan(self, spark: SparkSession, records: DataFrame | None = None) -> DataFrame:
         cfg = self.config
-        out = records if records is not None else self.store.read(spark)
+        # read_any: migration-era stores mixing legacy JSON and parquet
+        # segments restore without a conversion step (S5 dual format)
+        out = records if records is not None else self.store.read_any(spark)
         out = filters.topic_filter(out, cfg.include_topics, cfg.exclude_topics, include_internal=True)
         # P5 record filter; P4's segment prune is the same predicate reaching
         # parquet row-group stats via pushdown

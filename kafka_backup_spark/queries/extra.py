@@ -477,7 +477,67 @@ FROM records GROUP BY topic
 """
 
 
+def q_legacy_segment_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 dual-format reader round-trip: materialize a deterministic subset of
+    the record stream as legacy JSON segments (reference serde
+    manifest.rs:183-266 — base64 key/value, header structs, epoch-ms
+    timestamps; partition 0 gzipped to exercise extension-based
+    decompression, compression.rs:46-54), read them back through
+    SegmentStore.read_legacy, and emit the decoded records.  The oracle
+    reproduces the same subset straight from `events`, so any decode fault
+    (base64, null keys, header mapping, ms timestamps, path-derived
+    topic/partition) breaks the hash."""
+    import hashlib
+    import os
+
+    from kafka_backup_spark.sources.segments import SegmentStore, write_legacy_segments
+
+    r = records_df(spark, sf_dir).filter(F.col("offset") < 5000)
+    # null out every 10th key: exercises the optional-key decode branch
+    r = r.withColumn(
+        "key", F.when(F.col("offset") % 10 == 0, F.lit(None)).otherwise(F.col("key"))
+    )
+    rows = r.select("topic", "partition", "offset", "ts_ms", "key", "value").collect()
+    root = "/tmp/kbs-legacy-v1-" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    if not os.path.isdir(root):  # deterministic content → safe to reuse
+        write_legacy_segments(
+            root,
+            (
+                {
+                    "topic": row["topic"],
+                    "partition": row["partition"],
+                    "offset": row["offset"],
+                    "ts_ms": row["ts_ms"],
+                    "key": row["key"],
+                    "value": row["value"],
+                    "headers": [("x-source", row["topic"].encode())],
+                }
+                for row in rows
+            ),
+            gzip_partitions=frozenset({0}),
+        )
+    out = SegmentStore(root).read_legacy(spark)
+    return out.select(
+        "key",
+        "value",
+        "topic",
+        "partition",
+        "offset",
+        F.unix_millis("timestamp").alias("ts_ms"),
+        F.element_at("headers", 1)["value"].cast("string").alias("hdr_src"),
+    )
+
+
+SQL_LEGACY_SEGMENT_READ = f"""
+WITH {RECORDS_CTE}
+SELECT CASE WHEN "offset" % 10 = 0 THEN NULL ELSE key END AS key,
+       value, topic, "partition", "offset", ts_ms, topic AS hdr_src
+FROM records WHERE "offset" < 5000
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
+    "legacy_segment_read": (q_legacy_segment_read, SQL_LEGACY_SEGMENT_READ),
     "evidence_digest": (q_evidence_digest, SQL_EVIDENCE_DIGEST),
     "offset_mapping_capture": (q_offset_mapping_capture, SQL_OFFSET_MAPPING_CAPTURE),
     "windowed_throughput": (q_windowed_throughput, SQL_WINDOWED_THROUGHPUT),

@@ -19,10 +19,100 @@ filesystem URIs — zero custom code.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from kafka_backup_spark.schema import RECORD_COLUMNS
 
 DEFAULT_MAX_RECORDS_PER_FILE = 4_000_000  # ≈128 MB of typical ~32 B records
+
+# Legacy JSON segment record shape (reference manifest.rs:183-266): key/value
+# are optional base64 strings, header values base64, timestamp epoch-ms.
+# Declared explicitly so the reader never pays schema inference.
+LEGACY_JSON_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), True),
+        StructField("value", StringType(), True),
+        StructField(
+            "headers",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("key", StringType(), False),
+                        StructField("value", StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("timestamp", LongType(), False),
+        StructField("offset", LongType(), False),
+    ]
+)
+
+
+def write_legacy_segments(root: str, records, gzip_partitions: frozenset = frozenset()) -> int:
+    """Write records as legacy-format JSON segments (test/fixture scaffolding;
+    the engine WRITES parquet only — this exists so the dual-format reader has
+    real legacy bytes to migrate from, matching the reference serde
+    manifest.rs:183-266 field-for-field).
+
+    ``records``: iterable of dicts with topic, partition, offset, ts_ms,
+    key/value (bytes | None), headers (list of (str, bytes)).  One compact
+    single-line JSON array per (topic, partition), gzipped for partitions in
+    ``gzip_partitions`` (exercises extension-based decompression).  Returns
+    the number of segment files written."""
+    import base64
+    import gzip
+    import json
+    import os
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in records:
+        groups[(r["topic"], r["partition"])].append(r)
+
+    def b64(b):
+        return None if b is None else base64.b64encode(bytes(b)).decode("ascii")
+
+    n_files = 0
+    for (topic, part), rows in groups.items():
+        rows.sort(key=lambda r: r["offset"])
+        payload = [
+            {
+                "key": b64(r["key"]),
+                "value": b64(r["value"]),
+                "headers": [
+                    {"key": hk, "value": b64(hv) or ""} for hk, hv in r.get("headers", [])
+                ],
+                "timestamp": r["ts_ms"],
+                "offset": r["offset"],
+            }
+            for r in rows
+        ]
+        d = f"{root}/topics/{topic}/partition={part}"
+        os.makedirs(d, exist_ok=True)
+        name = f"segment-{rows[0]['offset']:020d}.json"
+        data = json.dumps(payload, separators=(",", ":")).encode()
+        if part in gzip_partitions:
+            path = f"{d}/{name}.gz"
+            tmp = path + ".tmp"
+            with gzip.open(tmp, "wb") as f:
+                f.write(data)
+        else:
+            path = f"{d}/{name}"
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+        os.replace(tmp, path)  # atomic: concurrent fixture builders converge
+        n_files += 1
+    return n_files
 
 
 class SegmentStore:
@@ -54,8 +144,74 @@ class SegmentStore:
     def read(self, spark: SparkSession) -> DataFrame:
         """S5: segment source. Partition-column recovery of topic/partition is
         automatic; offset/timestamp predicates push down to row-group stats."""
-        df = spark.read.parquet(self.topics_path())
+        # load only the hive-layout topic dirs (legacy JSON segments may share
+        # the store root); basePath keeps partition-column recovery rooted
+        df = (
+            spark.read.option("basePath", self.topics_path())
+            .parquet(f"{self.topics_path()}/topic=*")
+        )
         return df.withColumn("partition", df["partition"].cast("int"))
+
+    def read_any(self, spark: SparkSession) -> DataFrame:
+        """Dual-format read: union parquet segments with any legacy JSON
+        segments living in the same store (the reference decides per segment
+        by magic bytes, restore/helpers.rs:17-52; here format is carried by
+        the file extension, so each side is a normal pruned scan and a
+        migration-era store restores without any conversion step)."""
+        def _hits(pattern: str) -> bool:
+            # Hadoop glob, not python glob: works on any S6 backend URI
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(pattern)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            return bool(fs.globStatus(p))
+
+        has_legacy = _hits(f"{self.topics_path()}/*/partition=*/segment-*.json") or _hits(
+            f"{self.topics_path()}/*/partition=*/segment-*.json.gz"
+        )
+        has_parquet = _hits(f"{self.topics_path()}/topic=*/partition=*/*.parquet")
+        if has_legacy and has_parquet:
+            return self.read(spark).unionByName(self.read_legacy(spark))
+        if has_legacy:
+            return self.read_legacy(spark)
+        return self.read(spark)
+
+    def read_legacy(self, spark: SparkSession) -> DataFrame:
+        """S5 dual format: legacy JSON segments → canonical record stream.
+
+        The reference reads segments written before its binary format as a
+        JSON array of records with base64 key/value/header-value fields
+        (restore/helpers.rs:17-52; serde shape manifest.rs:183-266), with
+        compression detected from the file extension (compression.rs:46-54).
+        Spark-first equivalent: a schema'd line-mode JSON scan — Hadoop
+        codecs transparently decompress ``.gz`` by extension, a top-level
+        array on a line explodes into rows, and each file is an independent
+        split, so a migration store with thousands of legacy segments reads
+        embarrassingly parallel.  topic/partition come from the object-key
+        layout ``topics/{topic}/partition={p}/``, exactly where the reference
+        writer put them (backup/engine.rs:1156-1162).
+
+        Note: files must be the compact single-line arrays the reference's
+        serde_json emits (pretty-printed JSON would need multiLine=true,
+        which forces whole-file parsing and loses per-line splitting).
+        """
+        path = f"{self.topics_path()}/*/partition=*/segment-*.json*"
+        df = spark.read.schema(LEGACY_JSON_SCHEMA).json(path)
+        fn = F.input_file_name()
+        return df.select(
+            F.unbase64(F.col("key")).alias("key"),
+            F.unbase64(F.col("value")).alias("value"),
+            F.regexp_extract(fn, r"topics/([^/]+)/partition=", 1).alias("topic"),
+            F.regexp_extract(fn, r"partition=(\d+)/", 1).cast("int").alias("partition"),
+            F.col("offset"),
+            F.timestamp_millis(F.col("timestamp")).alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+            F.transform(
+                F.col("headers"),
+                lambda h: F.struct(
+                    h["key"].alias("key"), F.unbase64(h["value"]).alias("value")
+                ),
+            ).alias("headers"),
+        )
 
     def compact(
         self,
