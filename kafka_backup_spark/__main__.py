@@ -19,7 +19,7 @@ import sys
 
 from kafka_backup_spark import config as cfgmod
 from kafka_backup_spark import manifest as mani
-from kafka_backup_spark.engine import BackupEngine, RestoreEngine
+from kafka_backup_spark.engine import BackupEngine, RestoreConfig, RestoreEngine
 from kafka_backup_spark.manifest_store import ManifestStore
 from kafka_backup_spark.session import get_spark
 from kafka_backup_spark.sources.segments import SegmentStore
@@ -39,10 +39,13 @@ def cmd_backup(args, doc) -> int:
 
     records = events_as_records(spark.read.parquet(args.source_parquet))
     store = SegmentStore(args.store)
-    engine = BackupEngine(store, cfgmod.backup_config(doc))
+    bcfg = cfgmod.backup_config(doc)
+    engine = BackupEngine(store, bcfg)
     manifest = engine.run(records)
     mstore = ManifestStore(args.store, doc["backup_id"])
-    docjson = mstore.save(manifest, source_cluster_id=cfgmod.backup_config(doc).source_cluster)
+    docjson = mstore.save(
+        manifest, source_cluster_id=bcfg.source_cluster, segment_span=bcfg.segment_span
+    )
     _emit({"backup_id": doc["backup_id"], "segments": sum(
         len(p["segments"]) for t in docjson["topics"] for p in t["partitions"]
     )})
@@ -96,16 +99,23 @@ def cmd_list(args, _doc) -> int:
     return 0
 
 
-def cmd_validate(args, _doc) -> int:
+def cmd_validate(args, doc) -> int:
     """A11-style integrity scan: manifest vs a re-scan of the store."""
     spark = get_spark("cli-validate")
     from kafka_backup_spark.validation.checks import integrity_scan, validation_summary
 
-    m = ManifestStore(args.store, args.backup_id).load(spark)
+    mstore = ManifestStore(args.store, args.backup_id)
+    m = mstore.load(spark)
     if m is None:
         print("no manifest found", file=sys.stderr)
         return 1
-    rescan = mani.build_manifest(SegmentStore(args.store).read(spark))
+    # the rescan must derive segment keys with the SAME span the backup used:
+    # manifest doc first, then --config, else the default — a non-default span
+    # otherwise reports every segment missing
+    span = (mstore.load_doc() or {}).get("segment_span")
+    if span is None and doc is not None:
+        span = cfgmod.backup_config(doc).segment_span
+    rescan = mani.build_manifest(SegmentStore(args.store).read(spark), span or 1000)
     observed = rescan.select("key", "record_count", "start_offset", "end_offset")
     scan = integrity_scan(m, observed)
     summary = validation_summary(scan.withColumnRenamed("status", "status"))
@@ -126,27 +136,197 @@ def cmd_show_offset_mapping(args, _doc) -> int:
     return 0
 
 
+def cmd_status(args, _doc) -> int:
+    """Static status mode (commands/status.rs): totals + per-topic rollup of a
+    completed backup. (Live --watch mode needs a running cluster job; the
+    streaming metrics live in streaming/metrics.py.)"""
+    spark = get_spark("cli-status")
+    mstore = ManifestStore(args.store, args.backup_id)
+    docjson = mstore.load_doc()
+    if docjson is None:
+        print("no manifest found", file=sys.stderr)
+        return 1
+    m = mstore.load(spark)
+    totals = mani.manifest_totals(m).collect()[0].asDict()
+    _emit({
+        "backup_id": args.backup_id,
+        "created_at": docjson.get("created_at"),
+        "source_cluster_id": docjson.get("source_cluster_id"),
+        "segment_span": docjson.get("segment_span"),
+        **totals,
+        "topics": _rows(mani.describe(m).orderBy("topic", "partition")),
+    })
+    return 0
+
+
+def _load_groups(spark, path: str):
+    """Group offsets from a JSON file: [{group_id, topic, partition, offset}]."""
+    import json as jsonmod
+
+    with open(path) as fh:
+        rows = jsonmod.load(fh)
+    return spark.createDataFrame(
+        [(r["group_id"], r["topic"], int(r["partition"]), int(r["offset"])) for r in rows],
+        "group_id string, topic string, partition int, offset long",
+    )
+
+
+def _reset_plan(spark, args):
+    from kafka_backup_spark.three_phase import build_offset_mapping, mapping_ranges, run_phase3
+
+    groups = _load_groups(spark, args.groups_json)
+    target = spark.read.parquet(args.target_parquet)
+    detailed = build_offset_mapping(target)
+    return run_phase3(groups, detailed, mapping_ranges(detailed))
+
+
+def cmd_offset_reset(args, _doc) -> int:
+    """offset-reset plan|script|execute (main.rs:560-615).
+
+    plan:    J3 reset plan as JSON (offset_reset.rs generate_json_report)
+    script:  kafka-consumer-groups.sh script (offset_reset.rs:450-518)
+    execute: commit via AdminClient — cluster-gated; plan/script never need one
+    """
+    spark = get_spark("cli-offset-reset")
+    plan, summary = _reset_plan(spark, args)
+    if args.action == "plan":
+        _emit({
+            "plan": _rows(plan.orderBy("group_id", "topic", "partition")),
+            "summary": _rows(summary.orderBy("group_id")),
+        })
+        return 0
+    if args.action == "script":
+        lines = [
+            "#!/bin/bash",
+            "# Offset Reset Script",
+            f"# Backup ID: {args.backup_id or ''}",
+            "#",
+            "# WARNING: This script will reset consumer group offsets.",
+            "# Review the commands below before executing.",
+            "#",
+            "set -e",
+            "",
+        ]
+        bootstrap = args.bootstrap_servers or "localhost:9092"
+        for r in plan.orderBy("group_id", "topic", "partition").collect():
+            if r["target_offset"] is None:
+                lines.append(
+                    f"# UNRESOLVED: {r['group_id']} {r['topic']}:{r['partition']}"
+                    f" source_offset={r['source_offset']}"
+                )
+                continue
+            lines += [
+                f"# Partition {r['partition']}: source_offset={r['source_offset']}"
+                f" -> target_offset={r['target_offset']}",
+                f"kafka-consumer-groups.sh --bootstrap-server {bootstrap} \\",
+                f"  --group {r['group_id']} \\",
+                f"  --topic {r['topic']}:{r['partition']} \\",
+                f"  --reset-offsets --to-offset {r['target_offset']} --execute",
+                "",
+            ]
+        lines.append('echo "Offset reset complete!"')
+        script = "\n".join(lines) + "\n"
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(script)
+            _emit({"script": args.out, "commands": sum(1 for l in lines if l.startswith("kafka-consumer-groups"))})
+        else:
+            print(script)
+        return 0
+    # execute: needs a live cluster + client library
+    from kafka_backup_spark.sources.kafka_io import commit_group_offsets
+
+    results = commit_group_offsets(
+        args.bootstrap_servers,
+        [
+            (r["group_id"], r["topic"], r["partition"], r["target_offset"])
+            for r in plan.collect()
+            if r["target_offset"] is not None
+        ],
+    )
+    _emit({"committed": results})
+    return 0
+
+
+def cmd_three_phase_restore(args, doc) -> int:
+    """Three-phase restore driver (restore/three_phase.rs:101-266): restore
+    with provenance headers on → re-read target → offset mapping → reset
+    plan; file-backed end to end."""
+    spark = get_spark("cli-three-phase")
+    from kafka_backup_spark.three_phase import build_offset_mapping, mapping_ranges, run_phase3
+
+    rcfg = cfgmod.restore_config(doc) if doc is not None else RestoreConfig()
+    rcfg.inject_headers = True  # phase 1 provenance is the point
+    engine = RestoreEngine(SegmentStore(args.store), rcfg)
+    out = engine.plan(spark)
+    out.write.mode("overwrite").parquet(args.out)
+    target = spark.read.parquet(args.out)
+    detailed = build_offset_mapping(target)
+    ranges = mapping_ranges(detailed)
+    result = {
+        "restored_records": target.count(),
+        "out": args.out,
+        "mapping_ranges": _rows(ranges.orderBy("topic", "partition")),
+    }
+    if args.groups_json:
+        plan, summary = run_phase3(_load_groups(spark, args.groups_json), detailed, ranges)
+        result["plan"] = _rows(plan.orderBy("group_id", "topic", "partition"))
+        result["summary"] = _rows(summary.orderBy("group_id"))
+    _emit(result)
+    return 0
+
+
+def cmd_offset_rollback(args, _doc) -> int:
+    """offset-rollback snapshot|plan (main.rs:639+): capture an immutable
+    group-offset snapshot; later diff live offsets against it."""
+    spark = get_spark("cli-rollback")
+    from kafka_backup_spark.offset_rollback import OffsetSnapshotStore
+
+    store = OffsetSnapshotStore(args.store)
+    if args.action == "snapshot":
+        store.capture(_load_groups(spark, args.groups_json), args.snapshot_id)
+        _emit({"snapshot_id": args.snapshot_id})
+        return 0
+    live = _load_groups(spark, args.groups_json)
+    plan = store.rollback_plan(spark, args.snapshot_id, live)
+    _emit({"rollback": _rows(plan.orderBy("group_id", "topic", "partition"))})
+    return 0
+
+
 COMMANDS = {
     "backup": cmd_backup,
     "restore": cmd_restore,
     "dry-run": cmd_dry_run,
     "describe": cmd_describe,
     "list": cmd_list,
+    "status": cmd_status,
     "validate": cmd_validate,
     "show-offset-mapping": cmd_show_offset_mapping,
+    "offset-reset": cmd_offset_reset,
+    "three-phase-restore": cmd_three_phase_restore,
+    "offset-rollback": cmd_offset_rollback,
 }
 
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kafka_backup_spark")
     ap.add_argument("command", choices=sorted(COMMANDS))
+    ap.add_argument("action", nargs="?", help="subaction: offset-reset plan|script|execute; offset-rollback snapshot|plan")
     ap.add_argument("--config", help="YAML config (reference document shape)")
     ap.add_argument("--store", required=True, help="segment/manifest store root")
-    ap.add_argument("--backup-id", help="backup id (for describe/validate)")
+    ap.add_argument("--backup-id", help="backup id (for describe/status/validate)")
     ap.add_argument("--source-parquet", help="backup: source events parquet")
-    ap.add_argument("--target-parquet", help="show-offset-mapping: restored records parquet")
-    ap.add_argument("--out", help="restore: output parquet path")
+    ap.add_argument("--target-parquet", help="offset mapping: restored records parquet")
+    ap.add_argument("--out", help="restore/three-phase: output parquet; offset-reset script: file path")
+    ap.add_argument("--groups-json", help="consumer group offsets JSON [{group_id, topic, partition, offset}]")
+    ap.add_argument("--snapshot-id", help="offset-rollback: snapshot id")
+    ap.add_argument("--bootstrap-servers", help="offset-reset script/execute: target cluster")
     args = ap.parse_args(argv)
+
+    if args.command == "offset-reset" and args.action not in {"plan", "script", "execute"}:
+        ap.error("offset-reset requires an action: plan | script | execute")
+    if args.command == "offset-rollback" and args.action not in {"snapshot", "plan"}:
+        ap.error("offset-rollback requires an action: snapshot | plan")
 
     doc = None
     if args.config:

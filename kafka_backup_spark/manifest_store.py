@@ -43,6 +43,7 @@ def manifest_to_doc(
     source_cluster_id: str | None = None,
     compression: str = "zstd",
     created_at_ms: int | None = None,
+    segment_span: int | None = None,
 ) -> dict[str, Any]:
     """DataFrame → BackupManifest document (manifest.rs:6-28 field surface).
     One driver collect of segment-granularity rows (see module docstring)."""
@@ -69,13 +70,19 @@ def manifest_to_doc(
                 "partitions": parts,
             }
         )
-    return {
+    doc: dict[str, Any] = {
         "backup_id": backup_id,
         "created_at": created_at_ms if created_at_ms is not None else int(time.time() * 1000),
         "source_cluster_id": source_cluster_id,
         "compression": compression,
         "topics": topic_list,
     }
+    if segment_span is not None:
+        # persisted so a later rescan (validate) derives the SAME segment keys
+        # the backup wrote — without it a non-default span makes every segment
+        # look missing
+        doc["segment_span"] = segment_span
+    return doc
 
 
 def doc_to_manifest(spark: SparkSession, doc: dict[str, Any]) -> DataFrame:
@@ -117,6 +124,7 @@ class ManifestStore:
         current: DataFrame,
         source_cluster_id: str | None = None,
         created_at_ms: int | None = None,
+        segment_span: int | None = None,
     ) -> dict[str, Any]:
         """S8 merge-on-write: load stored manifest, union-merge with
         ``current`` (stored wins on key/start_offset collisions —
@@ -124,8 +132,15 @@ class ManifestStore:
         spark = current.sparkSession
         existing = self.load(spark)
         merged = mani.merge_manifests(existing, current) if existing is not None else current
+        if segment_span is None:
+            prior = self.load_doc()
+            segment_span = prior.get("segment_span") if prior else None
         doc = manifest_to_doc(
-            merged, self.backup_id, source_cluster_id, created_at_ms=created_at_ms
+            merged,
+            self.backup_id,
+            source_cluster_id,
+            created_at_ms=created_at_ms,
+            segment_span=segment_span,
         )
         os.makedirs(os.path.dirname(self.path()), exist_ok=True)
         tmp = self.path() + ".tmp"

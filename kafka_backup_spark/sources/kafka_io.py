@@ -114,42 +114,164 @@ def write_kafka(records: DataFrame, opts: dict[str, str]) -> None:
     )
 
 
-# ── driver-side admin (import-gated; no cluster in this environment) ──────
+# ── driver-side admin ─────────────────────────────────────────────────────
+# Orchestration logic is real and cluster-independent; only the client
+# construction is environment-gated.  ``set_admin_factory`` injects a test
+# double (or a differently-configured real client) — the factory must return
+# an object with the confluent-kafka AdminClient surface used below.
+
+_admin_factory = None
+
+
+def set_admin_factory(factory) -> None:
+    """Inject an AdminClient factory: ``factory(bootstrap_servers) -> client``.
+    Pass None to restore the default (confluent-kafka, import-gated)."""
+    global _admin_factory
+    _admin_factory = factory
 
 
 def _admin(bootstrap_servers: str):
+    if _admin_factory is not None:
+        return _admin_factory(bootstrap_servers)
     try:
         from confluent_kafka.admin import AdminClient  # type: ignore
     except ImportError as e:  # pragma: no cover - no client lib in container
         raise NotImplementedError(
             "Kafka admin operations require a Kafka client library "
-            "(confluent-kafka); not available in this environment"
+            "(confluent-kafka); not available in this environment "
+            "(inject one with set_admin_factory)"
         ) from e
     return AdminClient({"bootstrap.servers": bootstrap_servers})  # pragma: no cover
 
 
-def list_offsets(bootstrap_servers: str, partitions: list[tuple[str, int]]):
-    """S2: batched earliest/latest resolution. The client library groups
-    requests per leader broker internally (the reference's 2·B-not-2·N
-    batching, partition_router.rs:370-436, comes for free)."""
-    _admin(bootstrap_servers)  # pragma: no cover
-    raise NotImplementedError  # pragma: no cover
+class _PlainTP:
+    """Hashable TopicPartition stand-in for fake clients (SimpleNamespace
+    defines __eq__ without __hash__, so it can't key a futures dict)."""
+
+    __slots__ = ("topic", "partition", "offset")
+
+    def __init__(self, topic: str, partition: int, offset: int | None):
+        self.topic, self.partition, self.offset = topic, partition, offset
+
+    def __hash__(self):
+        return hash((self.topic, self.partition))
+
+    def __eq__(self, other):
+        return (self.topic, self.partition) == (other.topic, other.partition)
+
+
+def _tp(topic: str, partition: int, offset: int | None = None):
+    """TopicPartition from the client lib, or a plain stand-in under a fake."""
+    try:
+        from confluent_kafka import TopicPartition  # type: ignore
+
+        return TopicPartition(topic, partition) if offset is None else TopicPartition(
+            topic, partition, offset
+        )
+    except ImportError:
+        return _PlainTP(topic, partition, offset)
+
+
+def list_offsets(
+    bootstrap_servers: str,
+    partitions: list[tuple[str, int]],
+    spec: str = "latest",
+) -> dict[tuple[str, int], int]:
+    """S2: batched earliest/latest resolution → {(topic, partition): offset}.
+
+    One admin request for ALL partitions; the client library groups it per
+    leader broker internally, so the reference's 2·B-not-2·N ListOffsets
+    batching (partition_router.rs:370-436) comes for free."""
+    admin = _admin(bootstrap_servers)
+    try:
+        from confluent_kafka.admin import OffsetSpec  # type: ignore
+
+        off_spec = OffsetSpec.latest() if spec == "latest" else OffsetSpec.earliest()
+    except ImportError:
+        off_spec = spec  # fake clients take the plain string
+    futures = admin.list_offsets({_tp(t, p): off_spec for t, p in partitions})
+    return {(tp.topic, tp.partition): f.result().offset for tp, f in futures.items()}
 
 
 def ensure_topics_exist(
     bootstrap_servers: str, topics: dict[str, int], timeout_s: float = 30.0
-) -> None:
-    """S11: create topics with target partition counts and wait ready
-    (restore/engine.rs:1104-1255)."""
-    _admin(bootstrap_servers)  # pragma: no cover
-    raise NotImplementedError  # pragma: no cover
+) -> list[str]:
+    """S11: create missing topics with target partition counts and wait until
+    metadata shows them ready (restore/engine.rs:1104-1255).  Returns the
+    topics actually created (existing ones are left untouched, partition
+    counts NOT altered — matching the reference's create-only semantics)."""
+    import time as _time
+
+    admin = _admin(bootstrap_servers)
+    existing = set(admin.list_topics(timeout=timeout_s).topics)
+    missing = {t: n for t, n in topics.items() if t not in existing}
+    if not missing:
+        return []
+    try:
+        from confluent_kafka.admin import NewTopic  # type: ignore
+
+        reqs = [NewTopic(t, num_partitions=n) for t, n in missing.items()]
+    except ImportError:
+        reqs = [(t, n) for t, n in missing.items()]  # fake clients take tuples
+    for f in admin.create_topics(reqs).values():
+        f.result()  # raise on per-topic failure
+    # ready-wait: poll metadata until every created topic is visible
+    deadline = _time.monotonic() + timeout_s
+    pending = set(missing)
+    while pending:
+        pending -= set(admin.list_topics(timeout=timeout_s).topics)
+        if not pending:
+            break
+        if _time.monotonic() > deadline:
+            raise TimeoutError(f"topics not ready after {timeout_s}s: {sorted(pending)}")
+        _time.sleep(0.2)
+    return sorted(missing)
 
 
-def purge_topics(bootstrap_servers: str, partitions: list[tuple[str, int, int]]) -> None:
-    """S10: DeleteRecords to advance log-start-offset per partition
-    (restore/engine.rs:785-853) — empties a topic without deleting it."""
-    _admin(bootstrap_servers)  # pragma: no cover
-    raise NotImplementedError  # pragma: no cover
+def purge_topics(
+    bootstrap_servers: str, partitions: list[tuple[str, int, int]]
+) -> dict[tuple[str, int], int]:
+    """S10: DeleteRecords to advance each partition's log-start-offset
+    (restore/engine.rs:785-853) — empties data below ``before_offset``
+    without deleting the topic.  Returns the new low-watermarks."""
+    admin = _admin(bootstrap_servers)
+    futures = admin.delete_records([_tp(t, p, off) for t, p, off in partitions])
+    out = {}
+    for tp, f in futures.items():
+        res = f.result()
+        out[(tp.topic, tp.partition)] = getattr(res, "low_watermark", getattr(res, "offset", -1))
+    return out
+
+
+def commit_group_offsets(
+    bootstrap_servers: str, commits: list[tuple[str, str, int, int]]
+) -> dict[str, int]:
+    """Phase-3 apply: alter committed offsets per consumer group
+    (offset_reset.rs execute path).  ``commits``: (group_id, topic,
+    partition, target_offset).  Returns {group_id: partitions_committed}."""
+    from collections import defaultdict
+
+    admin = _admin(bootstrap_servers)
+    by_group: dict[str, list] = defaultdict(list)
+    for group, topic, part, offset in commits:
+        by_group[group].append(_tp(topic, part, offset))
+    try:
+        from confluent_kafka import ConsumerGroupTopicPartitions  # type: ignore
+
+        reqs = [ConsumerGroupTopicPartitions(g, tps) for g, tps in by_group.items()]
+    except ImportError:
+        from types import SimpleNamespace
+
+        reqs = [
+            SimpleNamespace(group_id=g, topic_partitions=tps) for g, tps in by_group.items()
+        ]
+    results: dict[str, int] = {}
+    for req in reqs:
+        futures = admin.alter_consumer_group_offsets([req])
+        for gid, f in futures.items():
+            res = f.result()
+            results[gid] = len(getattr(res, "topic_partitions", by_group[gid]))
+    return results
 
 
 def target_partition_counts(

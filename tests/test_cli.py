@@ -76,3 +76,113 @@ def test_cli_restore_and_validate(spark, capsys, cfg_path, store_dir, tmp_path):
         "show-offset-mapping", "--store", store_dir, "--target-parquet", out_dir,
     ])
     assert len(mapping["ranges"]) > 0
+
+
+def test_cli_status(spark, capsys, store_dir):
+    st = run(capsys, ["status", "--store", store_dir, "--backup-id", "bk-cli"])
+    assert st["backup_id"] == "bk-cli"
+    assert st["segment_span"] == 1000  # persisted by backup, read back here
+    assert st["total_records"] > 0
+    assert len(st["topics"]) > 0
+
+
+def test_cli_three_phase_and_offset_reset(spark, capsys, cfg_path, store_dir, tmp_path):
+    out_dir = str(tmp_path / "tp-restored")
+    groups = tmp_path / "groups.json"
+    groups.write_text(json.dumps([
+        {"group_id": "g1", "topic": "click", "partition": 0, "offset": 100},
+        {"group_id": "g1", "topic": "click", "partition": 1, "offset": 5},
+        {"group_id": "g2", "topic": "view", "partition": 2, "offset": 50},
+    ]))
+    tp = run(capsys, [
+        "three-phase-restore", "--config", cfg_path, "--store", store_dir,
+        "--out", out_dir, "--groups-json", str(groups),
+    ])
+    assert tp["restored_records"] > 0
+    assert len(tp["mapping_ranges"]) > 0
+    assert {s["group_id"] for s in tp["summary"]} == {"g1", "g2"}
+
+    plan = run(capsys, [
+        "offset-reset", "plan", "--store", store_dir,
+        "--groups-json", str(groups), "--target-parquet", out_dir,
+    ])
+    assert len(plan["plan"]) == 3
+    mapped = [r for r in plan["plan"] if r["target_offset"] is not None]
+    assert len(mapped) > 0
+
+    script_path = tmp_path / "reset.sh"
+    sc = run(capsys, [
+        "offset-reset", "script", "--store", store_dir,
+        "--groups-json", str(groups), "--target-parquet", out_dir,
+        "--bootstrap-servers", "broker:9092", "--out", str(script_path),
+    ])
+    body = script_path.read_text()
+    assert sc["commands"] == len(mapped)
+    assert "kafka-consumer-groups.sh --bootstrap-server broker:9092" in body
+    assert "--reset-offsets --to-offset" in body
+
+
+def test_cli_offset_reset_execute_via_fake_admin(spark, capsys, store_dir, tmp_path):
+    from tests.test_kafka_admin_fake import FakeAdmin
+    from kafka_backup_spark.sources import kafka_io
+
+    out_dir = str(tmp_path / "tp2")
+    groups = tmp_path / "g.json"
+    groups.write_text(json.dumps([
+        {"group_id": "g1", "topic": "click", "partition": 0, "offset": 100},
+    ]))
+    run(capsys, [
+        "three-phase-restore", "--store", store_dir, "--out", out_dir,
+        "--groups-json", str(groups),
+    ])
+    fake = FakeAdmin()
+    kafka_io.set_admin_factory(lambda servers: fake)
+    try:
+        res = run(capsys, [
+            "offset-reset", "execute", "--store", store_dir,
+            "--groups-json", str(groups), "--target-parquet", out_dir,
+            "--bootstrap-servers", "broker:9092",
+        ])
+    finally:
+        kafka_io.set_admin_factory(None)
+    if res["committed"]:  # mapping resolved → commit reached the admin client
+        assert fake.committed[0][0] == "g1"
+
+
+def test_cli_offset_rollback(spark, capsys, tmp_path):
+    snaps = str(tmp_path / "snaps")
+    before = tmp_path / "before.json"
+    before.write_text(json.dumps([
+        {"group_id": "g1", "topic": "click", "partition": 0, "offset": 100},
+    ]))
+    after = tmp_path / "after.json"
+    after.write_text(json.dumps([
+        {"group_id": "g1", "topic": "click", "partition": 0, "offset": 170},
+    ]))
+    snap = run(capsys, [
+        "offset-rollback", "snapshot", "--store", snaps,
+        "--groups-json", str(before), "--snapshot-id", "s1",
+    ])
+    assert snap["snapshot_id"] == "s1"
+    plan = run(capsys, [
+        "offset-rollback", "plan", "--store", snaps,
+        "--groups-json", str(after), "--snapshot-id", "s1",
+    ])
+    assert len(plan["rollback"]) == 1
+
+
+def test_cli_validate_nondefault_span(spark, capsys, tmp_path, sf_dir):
+    """ADVICE fix: validate must rescan with the span the backup wrote
+    (persisted in the manifest), or every segment looks missing."""
+    cfg = tmp_path / "span.yaml"
+    cfg.write_text(
+        "mode: backup\nbackup_id: bk-span\nbackup:\n  segment_span: 250\n"
+    )
+    store = str(tmp_path / "span-store")
+    run(capsys, [
+        "backup", "--config", str(cfg), "--store", store,
+        "--source-parquet", f"{sf_dir}/events.parquet",
+    ])
+    val = run(capsys, ["validate", "--store", store, "--backup-id", "bk-span"])
+    assert val["summary"]["overall"] == "passed"
+    assert all(s["status"] == "valid" for s in val["segments"])
