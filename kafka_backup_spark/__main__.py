@@ -293,6 +293,62 @@ def cmd_offset_rollback(args, _doc) -> int:
     return 0
 
 
+def cmd_evidence(args, doc) -> int:
+    """Evidence report (evidence/report.rs + signing.rs): validate the backup,
+    assemble the signed report document, optionally write report.json + .sig."""
+    import hashlib
+    import time
+
+    spark = get_spark("cli-evidence")
+    from pyspark.sql import functions as F
+
+    from kafka_backup_spark import evidence
+    from kafka_backup_spark.validation.checks import integrity_scan, validation_summary
+
+    mstore = ManifestStore(args.store, args.backup_id)
+    docjson = mstore.load_doc()
+    if docjson is None:
+        print("no manifest found", file=sys.stderr)
+        return 1
+    m = mstore.load(spark)
+    span = docjson.get("segment_span") or 1000
+    rescan = mani.build_manifest(SegmentStore(args.store).read(spark), span)
+    scan = integrity_scan(m, rescan.select("key", "record_count", "start_offset", "end_offset"))
+    summary = _rows(validation_summary(scan))[0]
+    check = m.select(
+        "topic", "partition",
+        F.col("record_count").alias("expected_count"),
+        F.col("record_count").alias("restored_count"),
+    )
+    digest = evidence.integrity_digest(check).collect()[0]["sha256_hex"]
+    totals = mani.manifest_totals(m).collect()[0].asDict()
+    manifest_sha = hashlib.sha256(
+        json.dumps(docjson, sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()
+    report = evidence.build_report(
+        args.backup_id,
+        summary,
+        digest,
+        backup_info={"source_cluster_id": docjson.get("source_cluster_id"), **totals},
+        generated_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        manifest_sha256=manifest_sha,
+    )
+    out: dict = {"report": report}
+    if args.sign_key:
+        with open(args.sign_key, "rb") as fh:
+            priv = fh.read()
+        bundle = evidence.sign_report(report, priv)
+        out["signature"] = bundle
+        if args.out:
+            with open(args.out, "w") as fh:
+                json.dump(report, fh, sort_keys=True, separators=(",", ":"))
+            with open(args.out + ".sig", "w") as fh:
+                fh.write(evidence.to_sig_file(bundle))
+            out["files"] = [args.out, args.out + ".sig"]
+    _emit(out)
+    return 0
+
+
 COMMANDS = {
     "backup": cmd_backup,
     "restore": cmd_restore,
@@ -305,6 +361,7 @@ COMMANDS = {
     "offset-reset": cmd_offset_reset,
     "three-phase-restore": cmd_three_phase_restore,
     "offset-rollback": cmd_offset_rollback,
+    "evidence": cmd_evidence,
 }
 
 
@@ -320,6 +377,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--out", help="restore/three-phase: output parquet; offset-reset script: file path")
     ap.add_argument("--groups-json", help="consumer group offsets JSON [{group_id, topic, partition, offset}]")
     ap.add_argument("--snapshot-id", help="offset-rollback: snapshot id")
+    ap.add_argument("--sign-key", help="evidence: ECDSA P-256 private key PEM path")
     ap.add_argument("--bootstrap-servers", help="offset-reset script/execute: target cluster")
     args = ap.parse_args(argv)
 

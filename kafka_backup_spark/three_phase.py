@@ -3,13 +3,17 @@
   Phase 1 (backup time): provenance headers on every record
       (P9, operators/projections.inject_backup_headers).
   Phase 2 (restore): replay records and build the source→target offset
-      mapping. Spark's Kafka sink does not return broker-assigned offsets
-      (SURVEY.md §7 "what's hard" #1), so the mapping comes from the
-      header-reconciliation join: re-read the target topic and recover each
-      record's source offset from its ``x-original-offset`` header — exact
-      and idempotent, costs one extra scan (plan B; plan A, a
-      ``foreachPartition`` producer with delivery callbacks, needs a live
-      cluster and a client library).
+      mapping.  Two capture paths:
+      - Plan A (produce_capture.produce_with_offset_capture): this engine
+        owns the produce step via mapInPandas + delivery callbacks, so the
+        broker-assigned offsets come back directly — no headers needed
+        (reference ProduceResponse.base_offset semantics,
+        kafka/produce.rs:22-32); needs a client library on executors.
+      - Plan B (build_offset_mapping below): header-reconciliation join —
+        re-read the target topic and recover each record's source offset
+        from its ``x-original-offset`` header; exact and idempotent, costs
+        one extra scan, works when any producer (e.g. Spark's Kafka sink)
+        wrote the records with injection on.
   Phase 3: consumer-group reset plan via the as-of lookup over that mapping
       (offset_reset.generate_group_plan), applied by the driver through an
       AdminClient (sources/kafka_io, import-gated).

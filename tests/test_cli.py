@@ -186,3 +186,23 @@ def test_cli_validate_nondefault_span(spark, capsys, tmp_path, sf_dir):
     val = run(capsys, ["validate", "--store", store, "--backup-id", "bk-span"])
     assert val["summary"]["overall"] == "passed"
     assert all(s["status"] == "valid" for s in val["segments"])
+
+
+def test_cli_evidence_signed(spark, capsys, store_dir, tmp_path):
+    from kafka_backup_spark import evidence
+
+    priv, pub = evidence.generate_signing_key()
+    key_path = tmp_path / "key.pem"
+    key_path.write_bytes(priv)
+    out_path = str(tmp_path / "report.json")
+    res = run(capsys, [
+        "evidence", "--store", store_dir, "--backup-id", "bk-cli",
+        "--sign-key", str(key_path), "--out", out_path,
+    ])
+    assert res["report"]["report_id"] == "evidence-bk-cli"
+    assert res["report"]["backup"]["total_records"] > 0
+    assert res["signature"]["algorithm"] == "ECDSA-P256-SHA256"
+    # the written report + .sig verify against the public key
+    report = json.loads(open(out_path).read())
+    bundle = evidence.from_sig_file(open(out_path + ".sig").read())
+    assert evidence.verify_report(report, bundle, pub)

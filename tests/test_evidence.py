@@ -1,8 +1,10 @@
-"""Evidence report: digest determinism, report surface, signing stub."""
+"""Evidence report: digest determinism, report surface, ECDSA signing."""
 
 from __future__ import annotations
 
 import hashlib
+
+import pytest
 
 from kafka_backup_spark import evidence
 
@@ -21,13 +23,61 @@ def test_integrity_digest_matches_python(spark):
     assert got == exp
 
 
-def test_report_and_signing_stub(spark):
+@pytest.fixture()
+def report(spark):
     digest = evidence.integrity_digest(_check_df(spark)).collect()[0]["sha256_hex"]
-    report = evidence.build_report("bk-1", {"overall": "passed"}, digest, ["SOC2-CC6.1"])
-    assert report["integrity"]["digest"] == digest
+    return evidence.build_report(
+        "bk-1",
+        {"overall": "passed"},
+        digest,
+        ["SOC2-CC6.1"],
+        backup_info={"total_records": 22, "total_partitions": 3},
+        generated_at="2024-01-01T00:00:00Z",
+        triggered_by="test",
+        manifest_sha256="ab" * 32,
+    )
+
+
+def test_report_surface(spark, report):
     assert report["schema_version"] == evidence.SCHEMA_VERSION
-    signed = evidence.sign_report(report, b"secret")
-    assert signed["signature"]["algorithm"] == "hmac-sha256-stub"
-    # deterministic signature
-    assert evidence.sign_report(report, b"secret") == signed
-    assert evidence.sign_report(report, b"other") != signed
+    assert report["report_id"] == "evidence-bk-1"
+    assert report["backup"]["total_records"] == 22
+    assert report["integrity"]["backup_manifest_sha256"] == "ab" * 32
+    assert report["triggered_by"] == "test"
+
+
+def test_ecdsa_sign_verify_roundtrip(report):
+    priv, pub = evidence.generate_signing_key()
+    bundle = evidence.sign_report(report, priv)
+    assert bundle["algorithm"] == evidence.SIG_ALGORITHM
+    assert bundle["report_id"] == "evidence-bk-1"
+    assert evidence.verify_report(report, bundle, pub)
+
+
+def test_tampered_report_fails_verification(report):
+    priv, pub = evidence.generate_signing_key()
+    bundle = evidence.sign_report(report, priv)
+    tampered = {**report, "validation": {"overall": "passed", "sneaky": True}}
+    assert not evidence.verify_report(tampered, bundle, pub)
+
+
+def test_wrong_key_fails_verification(report):
+    priv, _ = evidence.generate_signing_key()
+    _, other_pub = evidence.generate_signing_key()
+    bundle = evidence.sign_report(report, priv)
+    assert not evidence.verify_report(report, bundle, other_pub)
+
+
+def test_sig_file_roundtrip(report):
+    priv, pub = evidence.generate_signing_key()
+    bundle = evidence.sign_report(report, priv)
+    text = evidence.to_sig_file(bundle)
+    assert text.startswith("-----BEGIN KAFKA BACKUP EVIDENCE SIGNATURE-----")
+    parsed = evidence.from_sig_file(text)
+    assert parsed == bundle
+    assert evidence.verify_report(report, parsed, pub)
+
+
+def test_sig_file_without_signature_rejected():
+    with pytest.raises(ValueError, match="no Signature"):
+        evidence.from_sig_file("-----BEGIN KAFKA BACKUP EVIDENCE SIGNATURE-----\n")
