@@ -34,7 +34,7 @@ _CHECKED_LLM = [
     "simhash",
     "fingerprints",
     "text_analysis",
-    "lang_stats",
+    "multimodal_meta",  # lang_stats yields its slot: text_analysis carries lang
     "embedding_near_dup",
     "ivf_topk",
 ]

@@ -130,6 +130,47 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+U32_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feature_u32", ArrayType(LongType()), False),
+    ]
+)
+
+
+def feature_u32_slots(media: DataFrame) -> DataFrame:
+    """byte_profile's integer core as exact u32 slots (no float division) —
+    the oracle-checkable face of the feature extractor: same mapInPandas
+    batch shape, payload bytes never leave the executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            slots = []
+            sizes = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                digest = hashlib.sha256(b).digest()
+                slots.append(
+                    [
+                        int.from_bytes(digest[4 * i : 4 * i + 4], "little")
+                        for i in range(FEATURE_DIM)
+                    ]
+                )
+                sizes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": sizes,
+                    "feature_u32": slots,
+                }
+            )
+
+    return media.mapInPandas(run, U32_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one row per sampled timestamp —
     pure column expressions (sequence/explode), no Python in the hot path.

@@ -66,11 +66,19 @@ def plan_summary(plan: DataFrame) -> DataFrame:
     )
 
 
-def reset_latency_percentiles(latencies: DataFrame, col: str = "latency_ms") -> DataFrame:
+def reset_latency_percentiles(
+    latencies: DataFrame, col: str = "latency_ms", exact: bool = False
+) -> DataFrame:
     """A10: p50/p99/avg over reset latencies (offset_automation.rs:202-245).
-    Exact ``percentile`` (not approx) so results are oracle-checkable."""
+
+    Default is ``percentile_approx`` (t-digest style sketch: map-side
+    combinable, bounded memory per group — the only shape that holds when the
+    latency stream is billions of rows).  ``exact=True`` buffers every value
+    in executor memory; it exists for the DuckDB oracle twin, whose exact
+    quantiles must hash-match, and for driver-sized fixtures only."""
+    p = "percentile" if exact else "percentile_approx"
     return latencies.agg(
-        F.expr(f"percentile({col}, 0.5)").alias("p50"),
-        F.expr(f"percentile({col}, 0.99)").alias("p99"),
+        F.expr(f"{p}({col}, 0.5)").alias("p50"),
+        F.expr(f"{p}({col}, 0.99)").alias("p99"),
         F.avg(col).alias("avg"),
     )

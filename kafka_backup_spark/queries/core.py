@@ -539,7 +539,7 @@ FROM expected e LEFT JOIN watermarks w
 def q_reset_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = records_df(spark, sf_dir).sparkSession.read.parquet(f"{sf_dir}/events.parquet")
     lat = ev.select(F.col("value").alias("latency_ms"))
-    out = reset_latency_percentiles(lat)
+    out = reset_latency_percentiles(lat, exact=True)  # oracle twin needs exact quantiles
     return out.select(
         F.round("p50", 6).alias("p50"), F.round("p99", 6).alias("p99"), F.round("avg", 6).alias("avg")
     )

@@ -413,7 +413,107 @@ SELECT probe_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ── M7 multimodal: opaque binary payloads through the Arrow plumbing ──────
+# The media corpus derives deterministically from `documents` (text bytes as
+# the opaque payload — the engine treats it exactly like image/audio bytes:
+# never parsed JVM-side, batched through mapInPandas).  Features are the
+# sha256 byte-profile u32 slots (multimodal.byte_profile's integer core) so
+# the oracle can replicate them exactly from hex; frame sampling and resize
+# targets are pure column arithmetic.  A real codec swaps into the same
+# mapInPandas stage without touching the plan shape (multimodal.py).
+
+
+def _u32_le_sql(hex_expr: str, slot: int) -> str:
+    """DuckDB: little-endian u32 from hex chars [8*slot .. 8*slot+8)."""
+    pairs = [f"{hex_expr}[{8 * slot + 2 * j + 1}:{8 * slot + 2 * j + 2}]" for j in range(4)]
+    terms = [
+        f"(strpos('0123456789abcdef', {p}[1:1])-1)*16 + strpos('0123456789abcdef', {p}[2:2])-1"
+        for p in pairs
+    ]
+    return " + ".join(f"({t}) * {256 ** j}" for j, t in enumerate(terms))
+
+
+MM_EVERY_MS = 1000
+MM_MAX_SIDE = 256
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.multimodal import feature_u32_slots, sample_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        (32 + (F.col("doc_id") % 7) * 64).cast("int").alias("width"),
+        (32 + (F.col("doc_id") % 5) * 50).cast("int").alias("height"),
+        F.lit(16000).alias("sample_rate"),
+        ((F.col("doc_id") % 7 + 1) * 1000).alias("duration_ms"),
+    )
+    feats = feature_u32_slots(media)  # Arrow-batched, payload never leaves executors
+    frames = sample_frames(media, MM_EVERY_MS).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(MM_MAX_SIDE) / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    resize = media.select(
+        "media_id",
+        F.round(F.col("width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+    )
+    return (
+        feats.join(frames, "media_id", "left")
+        .join(resize, "media_id")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.col("feature_u32")[0].alias("f0"),
+            F.col("feature_u32")[1].alias("f1"),
+            F.col("feature_u32")[7].alias("f7"),
+            F.coalesce(F.col("n_frames"), F.lit(0)).alias("n_frames"),
+            "target_width",
+            "target_height",
+        )
+    )
+
+
+SQL_MULTIMODAL_META = f"""
+WITH media AS (
+    -- this DuckDB's sha256 takes VARCHAR; the payload bytes ARE the utf-8
+    -- text bytes, so hashing the varchar hashes the same bytes as the BLOB
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+           text AS payload,
+           CAST(32 + (doc_id % 7) * 64 AS INT) AS width,
+           CAST(32 + (doc_id % 5) * 50 AS INT) AS height,
+           (doc_id % 7 + 1) * 1000 AS duration_ms
+    FROM documents
+),
+feats AS (
+    SELECT media_id, kind, CAST(strlen(payload) AS BIGINT) AS n_bytes,
+           {_u32_le_sql("sha256(payload)", 0)} AS f0,
+           {_u32_le_sql("sha256(payload)", 1)} AS f1,
+           {_u32_le_sql("sha256(payload)", 7)} AS f7
+    FROM media
+)
+SELECT f.media_id, f.kind, f.n_bytes,
+       CAST(f.f0 AS BIGINT) AS f0, CAST(f.f1 AS BIGINT) AS f1, CAST(f.f7 AS BIGINT) AS f7,
+       CASE WHEN m.kind = 'video'
+            THEN CAST((m.duration_ms - 1) // {MM_EVERY_MS} + 1 AS BIGINT) ELSE 0 END AS n_frames,
+       CAST(round(m.width * least(1.0, {MM_MAX_SIDE} / greatest(m.width, m.height))) AS INT) AS target_width,
+       CAST(round(m.height * least(1.0, {MM_MAX_SIDE} / greatest(m.width, m.height))) AS INT) AS target_height
+FROM feats f JOIN media m USING (media_id)
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_priority": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5_region_volume": (q_tpch_q5, SQL_TPCH_Q5),

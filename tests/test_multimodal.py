@@ -68,3 +68,22 @@ def test_resize_plan_preserves_aspect(media):
         assert abs(
             r["target_width"] / r["target_height"] - r["width"] / r["height"]
         ) < 0.1
+
+
+def test_feature_u32_slots_exact(spark):
+    """u32 slots are the integer core of byte_profile: exact sha256-derived,
+    reproducible across engines (the oracle face of the extractor)."""
+    import hashlib
+
+    from kafka_backup_spark.multimodal import FEATURE_DIM, feature_u32_slots, synthesize_media
+
+    media = synthesize_media(spark, n=9)
+    got = {r["media_id"]: r for r in feature_u32_slots(media).collect()}
+    assert len(got) == 9
+    for i in (0, 4, 8):
+        seed = hashlib.sha256(f"media-{i}".encode()).digest()
+        payload = (seed * ((64 + i) // len(seed) + 1))[: 64 + i]
+        digest = hashlib.sha256(payload).digest()
+        expect = [int.from_bytes(digest[4 * j : 4 * j + 4], "little") for j in range(FEATURE_DIM)]
+        assert list(got[i]["feature_u32"]) == expect
+        assert got[i]["n_bytes"] == 64 + i
