@@ -196,22 +196,24 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("h", fast_hash64(F.col("w")) % F.lit(1 << 32))
     )
-    bits = tok.select(
-        "doc_id", "h", "cnt", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("shiftright(h, b) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt")),
-    )
-    return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0)
-            ).alias("simhash")
-        )
-    )
+    # 32 per-bit sums as agg COLUMNS over the token stream — no ×32 row
+    # explode, one map-side-combinable shuffle of (doc_id + 32 longs) instead
+    # of two shuffles over 32× the rows; bit-identical to the exploded form
+    # (integer sums, order-free)
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    word = None
+    for b in range(32):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        word = term if word is None else word + term
+    return agg.select("doc_id", word.cast("long").alias("simhash"))
 
 
 def _simhash_sql() -> str:
