@@ -38,7 +38,13 @@ _CHECKED_LLM = [
     "embedding_near_dup",
     "ivf_topk",
 ]
-_FIRST = [*CORE_QUERIES, *EXTRA_QUERIES, *_CHECKED_LLM]  # legacy_segment_read ships in EXTRA
+# past-the-window by choice: redundant with a checked entry's semantics
+_BEYOND_WINDOW = {"offset_gap_scan"}  # lag-window twin; integrity_scan holds the A11 slot
+_FIRST = [
+    *CORE_QUERIES,
+    *(n for n in EXTRA_QUERIES if n not in _BEYOND_WINDOW),
+    *_CHECKED_LLM,
+]
 _FIRST = [n for n in _FIRST if n in _MERGED]
 assert len(_FIRST) <= 50, f"driver checks only 50 entries, got {len(_FIRST)} priority queries"
 

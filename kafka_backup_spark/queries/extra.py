@@ -536,8 +536,48 @@ FROM records WHERE "offset" < 5000
 """
 
 
+def q_offset_gap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.offset_gap_monitor (A11-adjacent): per
+    (topic, partition) offset-continuity scan via a lag window — each jump
+    bigger than +1 is a gap of lost records.  The streaming form keeps the
+    expected-next offset in applyInPandasWithState state instead of a lag
+    window, so it spans micro-batches."""
+    from pyspark.sql import Window
+
+    r = records_df(spark, sf_dir)
+    w = Window.partitionBy("topic", "partition").orderBy("offset")
+    prev = F.lag("offset").over(w)
+    return (
+        r.select("topic", "partition", "offset", prev.alias("prev_offset"))
+        .filter(F.col("prev_offset").isNotNull() & (F.col("offset") > F.col("prev_offset") + 1))
+        .select(
+            "topic",
+            "partition",
+            (F.col("prev_offset") + 1).alias("gap_start"),
+            (F.col("offset") - 1).alias("gap_end"),
+            (F.col("offset") - F.col("prev_offset") - 1).alias("n_missing"),
+        )
+    )
+
+
+SQL_OFFSET_GAP_SCAN = f"""
+WITH {RECORDS_CTE}
+SELECT topic, "partition",
+       prev_offset + 1 AS gap_start,
+       "offset" - 1 AS gap_end,
+       "offset" - prev_offset - 1 AS n_missing
+FROM (
+    SELECT topic, "partition", "offset",
+           lag("offset") OVER (PARTITION BY topic, "partition" ORDER BY "offset") AS prev_offset
+    FROM records
+)
+WHERE prev_offset IS NOT NULL AND "offset" > prev_offset + 1
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
     "legacy_segment_read": (q_legacy_segment_read, SQL_LEGACY_SEGMENT_READ),
+    "offset_gap_scan": (q_offset_gap_scan, SQL_OFFSET_GAP_SCAN),
     "evidence_digest": (q_evidence_digest, SQL_EVIDENCE_DIGEST),
     "offset_mapping_capture": (q_offset_mapping_capture, SQL_OFFSET_MAPPING_CAPTURE),
     "windowed_throughput": (q_windowed_throughput, SQL_WINDOWED_THROUGHPUT),

@@ -93,6 +93,63 @@ def windowed_throughput(records: DataFrame, window: str = "1 minute") -> DataFra
     )
 
 
+GAP_EVENT_SCHEMA = (
+    "topic string, partition int, kind string, from_offset long, to_offset long, n long"
+)
+_GAP_STATE_SCHEMA = "next_expected long"
+
+
+def offset_gap_monitor(records: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-partition
+    offset-continuity monitor across micro-batches.
+
+    Kafka offsets within a partition are contiguous; a backup stream that
+    skips ahead has LOST records (emit ``gap``), one that revisits offsets is
+    re-fetching under at-least-once (emit ``overlap`` — benign with T8 dedup
+    downstream, but worth metering).  The expected-next-offset lives in the
+    state store, so detection spans micro-batches and survives restarts via
+    the checkpoint — semantics no built-in operator (watermark dedup,
+    windowed agg) can express, hence the custom state.  The streaming twin of
+    the batch integrity scan (A11, validation/checks.integrity_scan).
+
+    State per (topic, partition): one long — bounded regardless of
+    throughput, so 10⁶ partitions cost MBs of state at any scale.
+    """
+    import pandas as pd
+
+    def monitor(key, pdfs, state):
+        topic, partition = key
+        next_expected = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            for off in sorted(int(o) for o in pdf["offset"]):
+                if next_expected is None:
+                    next_expected = off + 1
+                    continue
+                if off > next_expected:
+                    out.append(
+                        (topic, partition, "gap", next_expected, off - 1, off - next_expected)
+                    )
+                elif off < next_expected:
+                    out.append((topic, partition, "overlap", off, off, 1))
+                next_expected = max(next_expected, off + 1)
+        state.update((next_expected,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["topic", "partition", "kind", "from_offset", "to_offset", "n"]
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return records.groupBy("topic", "partition").applyInPandasWithState(
+        monitor,
+        GAP_EVENT_SCHEMA,
+        _GAP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_incremental_backup(
     spark: SparkSession,
     source_dir: str,

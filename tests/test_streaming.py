@@ -95,3 +95,57 @@ def test_windowed_throughput_matches_batch_rollup(spark, records, tmp_path):
         "n_records",
         "n_bytes",
     ]
+
+
+def test_offset_gap_monitor_across_microbatches(spark, tmp_path):
+    """Custom stateful op (applyInPandasWithState): expected-next-offset state
+    survives between availableNow runs via the checkpoint, so a gap that
+    spans micro-batches is still detected."""
+    import datetime
+
+    from kafka_backup_spark.schema import RECORD_SCHEMA
+    from kafka_backup_spark.streaming.backup_stream import (
+        offset_gap_monitor,
+        read_record_stream,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+
+    def rows(offsets, part=0):
+        return [(b"k", b"v", "click", part, o, ts, 0, []) for o in offsets]
+
+    source = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            offset_gap_monitor(read_record_stream(spark, source))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            return spark.read.parquet(sink).collect()
+        except Exception:
+            return []  # sink dir not created yet (no events emitted)
+
+    # batch 1: contiguous 0..4 on p0, 10..11 on p1 -> no events
+    spark.createDataFrame(rows([0, 1, 2, 3, 4]) + rows([10, 11], part=1), RECORD_SCHEMA)\
+        .write.mode("append").parquet(source)
+    assert drain() == []
+
+    # batch 2: p0 jumps to 7 (gap 5-6) and re-delivers 2 (overlap);
+    # p1 continues contiguously -> exactly two events, state carried over
+    spark.createDataFrame(rows([7, 8, 2]) + rows([12], part=1), RECORD_SCHEMA)\
+        .write.mode("append").parquet(source)
+    events = {(r["kind"], r["partition"]): r for r in drain()}
+    assert len(events) == 2
+    gap = events[("gap", 0)]
+    assert (gap["from_offset"], gap["to_offset"], gap["n"]) == (5, 6, 2)
+    ov = events[("overlap", 0)]
+    assert (ov["from_offset"], ov["to_offset"], ov["n"]) == (2, 2, 1)
