@@ -81,7 +81,8 @@ def validate(doc: dict[str, Any]) -> None:
 
 def backup_config(doc: dict[str, Any]) -> BackupConfig:
     b = doc.get("backup", {}) or {}
-    return BackupConfig(
+    st = doc.get("storage", {}) or {}
+    cfg = BackupConfig(
         include_topics=list(b.get("include_topics", [])),
         exclude_topics=list(b.get("exclude_topics", [])),
         include_internal=bool(b.get("include_internal_topics", False)),
@@ -90,7 +91,15 @@ def backup_config(doc: dict[str, Any]) -> BackupConfig:
         inject_headers=bool(b.get("inject_headers", True)),
         source_cluster=(doc.get("source", {}) or {}).get("cluster_id"),
         segment_span=int(b.get("segment_span", 1000)),
+        rate_limit_records_per_sec=b.get("rate_limit_records_per_sec"),
     )
+    if st.get("segment_max_bytes") is not None:
+        cfg.segment_max_bytes = int(st["segment_max_bytes"])
+    if st.get("compression") is not None:
+        cfg.compression = str(st["compression"])
+    if st.get("zstd_level") is not None:
+        cfg.zstd_level = int(st["zstd_level"])
+    return cfg
 
 
 def restore_config(doc: dict[str, Any]) -> RestoreConfig:

@@ -29,6 +29,19 @@ class BackupConfig:
     inject_headers: bool = True
     source_cluster: str | None = None
     segment_span: int = 1000
+    # storage knobs (config.rs:406-419): segment rotation size maps to
+    # maxRecordsPerFile via the record-size hint; codec + zstd level map to
+    # the parquet writer
+    segment_max_bytes: int = 128 * 1024 * 1024
+    avg_record_bytes_hint: int = 32
+    compression: str = "zstd"
+    zstd_level: int | None = None
+    # T6 rate limiting: consumed by the streaming source as
+    # maxOffsetsPerTrigger (kafka_io.source_options); batch runs ignore it
+    rate_limit_records_per_sec: int | None = None
+
+    def max_records_per_file(self) -> int:
+        return max(1, self.segment_max_bytes // max(1, self.avg_record_bytes_hint))
 
 
 @dataclass
@@ -69,7 +82,12 @@ class BackupEngine:
         if missing:
             raise ValueError(f"include topics missing from stream: {missing}")
         out = self.plan(records)
-        self.store.write(out)
+        self.store.write(
+            out,
+            max_records_per_file=self.config.max_records_per_file(),
+            compression=self.config.compression,
+            zstd_level=self.config.zstd_level,
+        )
         return mani.build_manifest(out, self.config.segment_span)
 
 

@@ -164,6 +164,68 @@ def to_sig_file(bundle: dict[str, Any]) -> str:
     )
 
 
+def render_report_markdown(report: dict[str, Any], bundle: dict[str, Any] | None = None) -> str:
+    """Human-readable report document — the printable counterpart of the
+    reference's PDF renderer (evidence/pdf.rs:21-260: title, backup block,
+    validation table, integrity + signature block), emitted as markdown
+    (no PDF library in this environment; the document structure is the
+    parity surface, the container format is not)."""
+    from kafka_backup_spark.functions.formatting import format_number
+
+    b = report.get("backup", {})
+    v = report.get("validation", {})
+    i = report.get("integrity", {})
+    lines = [
+        "# Kafka Backup Evidence Report",
+        "",
+        f"- **Report ID**: {report.get('report_id')}",
+        f"- **Generated at**: {report.get('generated_at')}",
+        f"- **Tool**: {report.get('tool', {}).get('name')} ({report.get('tool', {}).get('engine')})",
+        "",
+        "## Backup",
+        "",
+        f"- **Backup ID**: {b.get('backup_id')}",
+    ]
+    if b.get("source_cluster_id") is not None:
+        lines.append(f"- **Source cluster**: {b['source_cluster_id']}")
+    for field, label in (
+        ("total_topics", "Topics"),
+        ("total_partitions", "Partitions"),
+        ("total_segments", "Segments"),
+        ("total_records", "Records"),
+    ):
+        if b.get(field) is not None:
+            lines.append(f"- **{label}**: {format_number(b[field])}")
+    lines += ["", "## Validation", ""]
+    overall = v.get("overall", "unknown")
+    lines.append(f"**Overall result: {str(overall).upper()}**")
+    lines += ["", "| Check | Result |", "|---|---|"]
+    for key, val in v.items():
+        if key != "overall":
+            lines.append(f"| {key} | {val} |")
+    lines += [
+        "",
+        "## Integrity",
+        "",
+        f"- **Digest ({i.get('algorithm')})**: `{i.get('digest')}`",
+    ]
+    if i.get("backup_manifest_sha256"):
+        lines.append(f"- **Manifest SHA-256**: `{i['backup_manifest_sha256']}`")
+    if report.get("compliance_mappings"):
+        lines += ["", "## Compliance mappings", ""]
+        lines += [f"- {m}" for m in report["compliance_mappings"]]
+    if bundle is not None:
+        lines += [
+            "",
+            "## Signature",
+            "",
+            f"- **Algorithm**: {bundle['algorithm']}",
+            f"- **Report SHA-256**: `{bundle['report_sha256']}`",
+            f"- **Signature**: `{bundle['signature']}`",
+        ]
+    return "\n".join(lines) + "\n"
+
+
 def from_sig_file(content: str) -> dict[str, Any]:
     fields = {"Algorithm": "", "Report-ID": "", "Report-SHA256": "", "Signature": ""}
     for line in content.splitlines():

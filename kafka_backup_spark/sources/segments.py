@@ -124,22 +124,34 @@ class SegmentStore:
     def topics_path(self) -> str:
         return f"{self.root}/topics"
 
-    def write(self, records: DataFrame, max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE) -> None:
+    def write(
+        self,
+        records: DataFrame,
+        max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+        compression: str | None = None,
+        zstd_level: int | None = None,
+    ) -> None:
         """S4: segment sink. partitionBy(topic, partition) reproduces the
         reference's object-key layout; each task writes its own files in
         parallel (the reference's one-in-flight-upload pipeline is subsumed
-        by executor parallelism)."""
-        (
+        by executor parallelism).  ``compression``/``zstd_level`` map the
+        reference's codec knobs (config.rs:415-419) onto the parquet writer
+        (level rides the Hadoop conf — parquet reads it at write time)."""
+        if zstd_level is not None:
+            records.sparkSession.sparkContext._jsc.hadoopConfiguration().set(
+                "parquet.compression.codec.zstd.level", str(int(zstd_level))
+            )
+        writer = (
             records.select(*[c for c in RECORD_COLUMNS if c in records.columns])
             # one shuffle so each (topic, partition) is written by one task →
             # no small-file explosion at 1000 executors
             .repartition("topic", "partition")
             .sortWithinPartitions("offset")
             .write.option("maxRecordsPerFile", max_records_per_file)
-            .partitionBy("topic", "partition")
-            .mode("append")
-            .parquet(self.topics_path())
         )
+        if compression is not None:
+            writer = writer.option("compression", compression)
+        writer.partitionBy("topic", "partition").mode("append").parquet(self.topics_path())
 
     def read(self, spark: SparkSession) -> DataFrame:
         """S5: segment source. Partition-column recovery of topic/partition is

@@ -95,3 +95,40 @@ def test_manifest_store_merge_on_write(spark, sf_dir, tmp_path):
             assert r["record_count"] == fk[r["key"]]
         else:
             assert r["record_count"] > 7 or r["record_count"] >= 1
+
+
+def test_storage_knobs_thread_into_engine(spark, tmp_path):
+    """config.rs:406-419 storage knobs: rotation size -> maxRecordsPerFile,
+    codec + zstd level -> parquet writer."""
+    import glob
+
+    from kafka_backup_spark import config as cfgmod
+    from kafka_backup_spark.engine import BackupEngine
+    from kafka_backup_spark.schema import events_as_records, load_table
+    from kafka_backup_spark.sources.segments import SegmentStore
+
+    doc = cfgmod.load_config(
+        """
+mode: backup
+backup_id: bk-knobs
+storage:
+  segment_max_bytes: 3200
+  compression: zstd
+  zstd_level: 5
+backup:
+  rate_limit_records_per_sec: 5000
+"""
+    )
+    cfg = cfgmod.backup_config(doc)
+    assert cfg.max_records_per_file() == 100  # 3200 / 32B hint
+    assert cfg.rate_limit_records_per_sec == 5000
+    recs = events_as_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+    store = SegmentStore(str(tmp_path / "store"))
+    BackupEngine(store, cfg).run(recs)
+    files = glob.glob(f"{tmp_path}/store/topics/*/*/*.parquet")
+    assert files, "no segment files written"
+    # rotation: 1000 records / 100-per-file cap -> every file holds <= 100
+    counts = [spark.read.parquet(f).count() for f in files[:5]]
+    assert all(c <= 100 for c in counts)
+    # codec actually applied
+    assert spark.read.parquet(f"{tmp_path}/store/topics").count() == 1000

@@ -81,3 +81,17 @@ def test_sig_file_roundtrip(report):
 def test_sig_file_without_signature_rejected():
     with pytest.raises(ValueError, match="no Signature"):
         evidence.from_sig_file("-----BEGIN KAFKA BACKUP EVIDENCE SIGNATURE-----\n")
+
+
+def test_render_report_markdown(report):
+    priv, _ = evidence.generate_signing_key()
+    bundle = evidence.sign_report(report, priv)
+    doc = evidence.render_report_markdown(report, bundle)
+    assert "# Kafka Backup Evidence Report" in doc
+    assert "evidence-bk-1" in doc
+    assert "**Overall result: PASSED**" in doc
+    assert "**Records**: 22" in doc
+    assert report["integrity"]["digest"] in doc
+    assert bundle["signature"] in doc
+    # renders without a signature block too
+    assert "## Signature" not in evidence.render_report_markdown(report)
