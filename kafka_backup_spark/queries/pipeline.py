@@ -413,6 +413,158 @@ SELECT probe_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ── M7: representative selection, sampling, decontamination ───────────────
+# Three more training-pipeline staples, each one shuffle at scale:
+# - dedup_keep_best: duplicate groups keep the HIGHEST-quality member (not
+#   min-id) — the shape real dedup uses when quality scores exist.
+# - stratified_sample: per-language rates via a deterministic content hash —
+#   reproducible without a seed exchange, map-only (no shuffle at all).
+# - contamination_check: 5-gram overlap against a benchmark set (semi-join
+#   on hashed grams + distinct-count per doc) — eval-set decontamination.
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups (by exact content hash) → the member with the best
+    quality key wins.  min(struct(neg_quality, doc_id)) is map-side
+    combinable — one shuffle keyed on the content hash, no window, no sort,
+    regardless of group sizes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "n_chars")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    c = docs.unionByName(planted)
+    # quality key: longer docs win, ties → smaller doc_id (deterministic)
+    best = F.struct((-F.col("n_chars")).alias("negq"), F.col("doc_id"))
+    return (
+        c.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(best).alias("b"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("text_hash", "n_docs", F.col("b.doc_id").alias("kept_doc_id"))
+    )
+
+
+SQL_DEDUP_KEEP_BEST = """
+WITH corpus AS (
+    SELECT doc_id, text, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS text_hash, count(*) AS n_docs,
+       min(struct_pack(negq := -n_chars, doc_id := doc_id)).doc_id AS kept_doc_id
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+SAMPLE_RATES = {"en": 50, "de": 25, "fr": 25, "es": 10, "it": 10}  # percent
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: keep a doc iff
+    pmod(content hash, 100) < rate[lang].  Pure map-side filter —
+    reproducible across engines and runs, no RNG state, no shuffle; at
+    100 TB this is a scan that emits the sample directly."""
+    from kafka_backup_spark.functions.hashing import fast_hash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in SAMPLE_RATES.items()],
+        F.lit(5),
+    )
+    bucket = F.pmod(fast_hash64(F.col("text")), F.lit(100))
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_RATES.items()
+) + " ELSE 5 END"
+
+
+def _stratified_sql() -> str:
+    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb
+
+    return f"""
+SELECT lang, count(*) AS n_sampled FROM (
+    SELECT lang, ({fast_hash64_duckdb('text')} % 100 + 100) % 100 AS bucket
+    FROM documents
+)
+WHERE bucket < {_RATE_SQL}
+GROUP BY lang
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _stratified_sql()
+
+
+CONTAM_GRAM = 5
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per-doc count of word 5-grams that also
+    appear in the benchmark set (docs with doc_id % 97 == 0 stand in for the
+    eval corpus).  Hash each distinct gram once, semi-join corpus grams
+    against the (broadcast-small) benchmark gram set, count per doc —
+    near-linear, no pair explosion, the LSH-free shape decontamination
+    actually uses."""
+    from kafka_backup_spark.functions.hashing import fast_hash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def grams(df: DataFrame) -> DataFrame:
+        words = F.split(F.lower(F.col("text")), " ")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - CONTAM_GRAM, F.lit(0)))
+        g = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, CONTAM_GRAM))
+        )
+        return df.select("doc_id", F.explode(g).alias("gram")).withColumn(
+            "h", fast_hash64(F.col("gram"))
+        )
+
+    bench = (
+        grams(docs.filter(F.col("doc_id") % 97 == 0)).select("h").distinct()
+    )
+    corpus = grams(docs.filter(F.col("doc_id") % 97 != 0)).select("doc_id", "h").distinct()
+    hits = corpus.join(F.broadcast(bench), "h", "left_semi")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+        .filter(F.col("n_contaminated_grams") > 0)
+    )
+
+
+def _contamination_sql() -> str:
+    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb
+
+    return f"""
+WITH words AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           concat_ws(' ', list_slice(ws, CAST(i AS INT), CAST(i AS INT) + {CONTAM_GRAM - 1})) AS gram
+    FROM words, LATERAL unnest(range(1, greatest(len(ws) - {CONTAM_GRAM}, 0) + 2)) t(i)
+),
+hashed AS (
+    SELECT doc_id, {fast_hash64_duckdb('gram')} AS h FROM grams
+),
+bench AS (SELECT DISTINCT h FROM hashed WHERE doc_id % 97 = 0),
+corpus AS (SELECT DISTINCT doc_id, h FROM hashed WHERE doc_id % 97 <> 0)
+SELECT doc_id, count(*) AS n_contaminated_grams
+FROM corpus WHERE h IN (SELECT h FROM bench)
+GROUP BY doc_id HAVING count(*) > 0
+"""
+
+
+SQL_CONTAMINATION_CHECK = _contamination_sql()
+
+
 # ── M7 multimodal: opaque binary payloads through the Arrow plumbing ──────
 # The media corpus derives deterministically from `documents` (text bytes as
 # the opaque payload — the engine treats it exactly like image/audio bytes:
@@ -521,6 +673,9 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "tpch_q10_returns": (q_tpch_q10, SQL_TPCH_Q10),
     "tpch_q18_large_orders": (q_tpch_q18, SQL_TPCH_Q18),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "text_metrics": (q_text_metrics, SQL_TEXT_METRICS),
     "lang_stats": (q_lang_stats, SQL_LANG_STATS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
