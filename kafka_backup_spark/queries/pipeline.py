@@ -423,37 +423,40 @@ SELECT probe_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
 #   on hashed grams + distinct-count per doc) — eval-set decontamination.
 
 
+_PACK = 10_000_000  # > any doc_id or n_chars in the fixtures (and checkable)
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate groups (by exact content hash) → the member with the best
-    quality key wins.  min(struct(neg_quality, doc_id)) is map-side
-    combinable — one shuffle keyed on the content hash, no window, no sort,
-    regardless of group sizes."""
+    quality key wins.  The (quality, id) ordering is PACKED into one bigint
+    — ``(PACK - n_chars)·PACK + doc_id`` — because min over a struct forces
+    Spark into SortAggregate (structs can't live in the hash-agg buffer);
+    the packed long keeps the whole query a HashAggregate: one shuffle keyed
+    on the content hash, map-side combinable, no window, no sort, regardless
+    of group sizes (asserted in test_plan_quality)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "n_chars")
     planted = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
     c = docs.unionByName(planted)
-    # quality key: longer docs win, ties → smaller doc_id (deterministic)
-    best = F.struct((-F.col("n_chars")).alias("negq"), F.col("doc_id"))
+    # longer docs win, ties → smaller doc_id (deterministic total order)
+    packed = (F.lit(_PACK) - F.col("n_chars")).cast("long") * _PACK + F.col("doc_id")
     return (
         c.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min(best).alias("b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(packed).alias("p"))
         .filter(F.col("n_docs") > 1)
-        .select("text_hash", "n_docs", F.col("b.doc_id").alias("kept_doc_id"))
+        .select("text_hash", "n_docs", (F.col("p") % _PACK).alias("kept_doc_id"))
     )
 
 
-SQL_DEDUP_KEEP_BEST = """
+SQL_DEDUP_KEEP_BEST = f"""
 WITH corpus AS (
     SELECT doc_id, text, n_chars FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM documents WHERE doc_id % 10 = 0
 )
 SELECT md5(text) AS text_hash, count(*) AS n_docs,
-       min(struct_pack(negq := -n_chars, doc_id := doc_id)).doc_id AS kept_doc_id
+       min(CAST({_PACK} - n_chars AS BIGINT) * {_PACK} + doc_id) % {_PACK} AS kept_doc_id
 FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 """
 

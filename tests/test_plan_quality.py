@@ -90,3 +90,57 @@ def test_repartition_plans_scale(spark, sf_dir):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
         assert "Exchange SinglePartition" not in plan, name
         assert "Window" not in plan, name
+
+
+def test_contamination_check_broadcasts_benchmark_semi_join(spark, sf_dir):
+    """Decontamination must be the near-linear shape: benchmark gram set
+    broadcast, LeftSemi join, no cartesian/pair explosion."""
+    plan = _plan(catalog.queries()["contamination_check"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_map_side_filter(spark, sf_dir):
+    """The sampling predicate must run before any exchange: the only shuffle
+    is the final per-language count."""
+    plan = _plan(catalog.queries()["stratified_sample"](spark, sf_dir))
+    assert plan.count("+- Exchange") == 1  # tree nodes, not the detail echo
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dedup_keep_best_single_exchange_no_window(spark, sf_dir):
+    """Representative selection must stay a min(struct) agg: one shuffle on
+    the content hash, no window/sort over the duplicate groups."""
+    plan = _plan(catalog.queries()["dedup_keep_best"](spark, sf_dir))
+    assert plan.count("+- Exchange") == 1  # tree nodes, not the detail echo
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+    assert "Window" not in plan
+
+
+def test_entry_runs_on_vanilla_session(spark):
+    """The driver smoke-checks entry() on its own session; it must return a
+    non-empty DataFrame with a stable schema."""
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    cols = list(df.columns)
+    assert df.count() >= 0 and len(cols) > 0
+    assert cols == list(em.entry(spark).columns)
+
+
+def test_legacy_reader_splits_per_file(spark, tmp_path):
+    """S5 legacy scan must not use multiLine whole-file mode: line-mode scans
+    split per file and stream — assert the json relation reads with the
+    declared schema (no inference job) and yields one partition per file."""
+    from kafka_backup_spark.sources.segments import SegmentStore, write_legacy_segments
+
+    recs = [
+        {"topic": "t", "partition": p, "offset": o, "ts_ms": 1704067200000 + o,
+         "key": b"k", "value": b"v", "headers": []}
+        for p in (0, 1, 2) for o in range(3)
+    ]
+    root = str(tmp_path / "store")
+    write_legacy_segments(root, recs)
+    out = SegmentStore(root).read_legacy(spark)
+    assert out.count() == 9
+    assert out.rdd.getNumPartitions() >= 3  # one split per segment file
