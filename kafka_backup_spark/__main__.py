@@ -268,7 +268,14 @@ def cmd_three_phase_restore(args, doc) -> int:
         "out": args.out,
         "mapping_ranges": _rows(ranges.orderBy("topic", "partition")),
     }
-    if args.groups_json:
+    if rcfg.repartition_to is not None:
+        # reference three_phase.rs:119-131: no valid source->target offset
+        # mapping exists for repartitioned data - phase 3 must be skipped
+        result["warnings"] = [
+            "Repartitioned topics skipped for offset reset: "
+            "source->target offset mapping is not available for repartitioned data"
+        ]
+    elif args.groups_json:
         plan, summary = run_phase3(_load_groups(spark, args.groups_json), detailed, ranges)
         result["plan"] = _rows(plan.orderBy("group_id", "topic", "partition"))
         result["summary"] = _rows(summary.orderBy("group_id"))

@@ -206,3 +206,22 @@ def test_cli_evidence_signed(spark, capsys, store_dir, tmp_path):
     report = json.loads(open(out_path).read())
     bundle = evidence.from_sig_file(open(out_path + ".sig").read())
     assert evidence.verify_report(report, bundle, pub)
+
+
+def test_cli_three_phase_skips_reset_when_repartitioned(spark, capsys, store_dir, tmp_path):
+    """three_phase.rs:119-131: repartitioned data has no valid source->target
+    offset mapping, so phase 3 is skipped with a warning."""
+    cfg = tmp_path / "rp.yaml"
+    cfg.write_text(
+        "mode: restore\nbackup_id: bk-cli\nrestore:\n  repartition_to: 8\n"
+    )
+    groups = tmp_path / "rg.json"
+    groups.write_text(json.dumps([
+        {"group_id": "g1", "topic": "click", "partition": 0, "offset": 100},
+    ]))
+    out = run(capsys, [
+        "three-phase-restore", "--config", str(cfg), "--store", store_dir,
+        "--out", str(tmp_path / "rp-out"), "--groups-json", str(groups),
+    ])
+    assert "plan" not in out
+    assert any("Repartitioned" in w for w in out["warnings"])
