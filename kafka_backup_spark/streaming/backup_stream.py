@@ -31,10 +31,21 @@ from kafka_backup_spark.schema import RECORD_SCHEMA
 from kafka_backup_spark.sources.segments import SegmentStore
 
 
-def read_record_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_record_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming scan of a directory of canonical-schema parquet (the
-    file-source stand-in for ``readStream.format("kafka")``)."""
-    return spark.readStream.schema(RECORD_SCHEMA).parquet(source_dir)
+    file-source stand-in for ``readStream.format("kafka")``).
+
+    ``max_files_per_trigger`` is the file-source face of T6 rate limiting
+    (config.rs:662-668 → BackupConfig.rate_limit_records_per_sec): the Kafka
+    source expresses the same cap as ``maxOffsetsPerTrigger``
+    (kafka_io.source_options); both bound work per micro-batch so a backfill
+    can't starve the live stream."""
+    reader = spark.readStream.schema(RECORD_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(source_dir)
 
 
 def stream_backup(

@@ -149,3 +149,24 @@ def test_offset_gap_monitor_across_microbatches(spark, tmp_path):
     assert (gap["from_offset"], gap["to_offset"], gap["n"]) == (5, 6, 2)
     ov = events[("overlap", 0)]
     assert (ov["from_offset"], ov["to_offset"], ov["n"]) == (2, 2, 1)
+
+
+def test_rate_limited_stream_bounds_batch_size(spark, records, tmp_path):
+    """T6: maxFilesPerTrigger caps per-micro-batch work; all data still
+    drains under availableNow, just across more batches."""
+    from kafka_backup_spark.streaming.backup_stream import read_record_stream, stream_backup
+
+    source = str(tmp_path / "src")
+    for i in range(4):  # four separate files
+        records.filter(F.col("offset") % 4 == i).coalesce(1).write.mode("append").parquet(source)
+    store = SegmentStore(str(tmp_path / "store"))
+    q = stream_backup(
+        read_record_stream(spark, source, max_files_per_trigger=1),
+        store,
+        str(tmp_path / "ckpt"),
+        {"availableNow": True},
+    )
+    q.awaitTermination(120)
+    assert store.read(spark).count() == records.count()
+    batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 4  # one file per micro-batch, not one big gulp
