@@ -589,6 +589,8 @@ def _cells_udf(cells: list, cent_mat: list, nprobe: int):
     cnrm = np.sqrt((C * C).sum(axis=1))
 
     def top_cells(qe):
+        if len(qe) == 0:  # empty Arrow batch: keep the matmul 2-D
+            return pd.Series([], dtype=object)
         X = np.array(qe.tolist(), dtype=np.float64)  # batch × dim
         nrm = np.sqrt((X * X).sum(axis=1))
         S = (X @ C.T) / np.outer(nrm, cnrm)
@@ -616,6 +618,8 @@ def _pair_cosine_udf(prec: int):
     scale = float(10**prec)
 
     def pair_cos(qa, qb):
+        if len(qa) == 0:  # empty Arrow batch
+            return pd.Series([], dtype=np.float64)
         A = np.array(qa.tolist(), dtype=np.float64)
         B = np.array(qb.tolist(), dtype=np.float64)
         s = (A * B).sum(axis=1) / (

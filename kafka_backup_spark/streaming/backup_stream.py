@@ -132,18 +132,22 @@ def offset_gap_monitor(records: DataFrame) -> DataFrame:
         topic, partition = key
         next_expected = state.get[0] if state.exists else None
         out = []
-        for pdf in pdfs:
-            for off in sorted(int(o) for o in pdf["offset"]):
-                if next_expected is None:
-                    next_expected = off + 1
-                    continue
-                if off > next_expected:
-                    out.append(
-                        (topic, partition, "gap", next_expected, off - 1, off - next_expected)
-                    )
-                elif off < next_expected:
-                    out.append((topic, partition, "overlap", off, off, 1))
-                next_expected = max(next_expected, off + 1)
+        # a group's rows can span several Arrow chunks in arbitrary order —
+        # gather the micro-batch's offsets (ints only, bounded by batch size)
+        # and walk them sorted ONCE, or chunk boundaries would fabricate
+        # gap+overlap event pairs
+        offsets = sorted(int(o) for pdf in pdfs for o in pdf["offset"])
+        for off in offsets:
+            if next_expected is None:
+                next_expected = off + 1
+                continue
+            if off > next_expected:
+                out.append(
+                    (topic, partition, "gap", next_expected, off - 1, off - next_expected)
+                )
+            elif off < next_expected:
+                out.append((topic, partition, "overlap", off, off, 1))
+            next_expected = max(next_expected, off + 1)
         state.update((next_expected,))
         if out:
             yield pd.DataFrame(
