@@ -413,6 +413,79 @@ SELECT probe_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# ── TPC-H Q4-shaped: order priority with EXISTS semi-join ─────────────────
+# (testdata lineitem has no commitdate/receiptdate; the correlated-EXISTS
+# shape — the point of Q4 — is preserved against l_shipdate > o_orderdate)
+
+_Q4_BODY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4_BODY)
+
+
+SQL_TPCH_Q4 = _Q4_BODY
+
+
+# ── TPC-H Q14-shaped: promo revenue share ─────────────────────────────────
+
+_Q14_BODY = """
+SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))
+                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q14_BODY)
+
+
+SQL_TPCH_Q14 = _Q14_BODY
+
+
+# ── TPC-H Q19-shaped: disjunctive brand/quantity predicates ───────────────
+# The point of Q19: an OR-of-ANDs selection across the join — Catalyst must
+# push the common l_partkey = p_partkey equi-condition into the join and
+# evaluate the disjunction post-join without a cartesian.
+
+_Q19_BODY = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND (
+        (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 20 AND 30)
+  )
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19_BODY)
+
+
+SQL_TPCH_Q19 = _Q19_BODY
+
+
 # ── M7: representative selection, sampling, decontamination ───────────────
 # Three more training-pipeline staples, each one shuffle at scale:
 # - dedup_keep_best: duplicate groups keep the HIGHEST-quality member (not
@@ -671,6 +744,9 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_priority": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q4_exists": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q14_promo": (q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q19_disjunctive": (q_tpch_q19, SQL_TPCH_Q19),
     "tpch_q5_region_volume": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6_forecast": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q10_returns": (q_tpch_q10, SQL_TPCH_Q10),

@@ -144,3 +144,19 @@ def test_legacy_reader_splits_per_file(spark, tmp_path):
     out = SegmentStore(root).read_legacy(spark)
     assert out.count() == 9
     assert out.rdd.getNumPartitions() >= 3  # one split per segment file
+
+
+def test_tpch_q4_uses_semi_join(spark):
+    """The correlated EXISTS must compile to a semi join, not a subquery
+    re-execution per row."""
+    plan = _plan(catalog.queries()["tpch_q4_exists"](spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_disjunction_stays_equi_join(spark):
+    """Q19's OR-of-ANDs selection must ride the l_partkey = p_partkey hash
+    join as a post-join filter - never degrade to a cartesian/BNLJ."""
+    plan = _plan(catalog.queries()["tpch_q19_disjunctive"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
