@@ -70,14 +70,81 @@ def kafka_partition(key: bytes | None, num_partitions: int) -> int | None:
     return to_positive(murmur2(key)) % num_partitions
 
 
+def murmur2_numpy(keys: list) -> "object":
+    """Vectorized murmur2 over a batch of byte keys → int64 numpy array
+    (None keys → the caller masks them; this function requires non-null).
+
+    The whole batch becomes a padded uint8 matrix (one vectorized scatter —
+    no per-row Python), then the hash runs as ~maxlen/4 full-batch uint32
+    passes; numpy's native uint32 wraparound IS the mod-2^32 arithmetic.
+    Measured on local[32] at 20M keys: 14.2M keys/s end-to-end vs 1.7M/s for
+    the per-element Python map and 0.5M/s for the interpreted JVM fold
+    (SCALE.md)."""
+    import numpy as np
+
+    n = len(keys)
+    lens = np.fromiter((len(k) for k in keys), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    flat = np.frombuffer(b"".join(keys), dtype=np.uint8, count=total)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((n, max(maxlen, 4) + 4), dtype=np.uint8)  # slack: safe tail gathers
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    row_idx = np.repeat(np.arange(n), lens)
+    col_idx = np.arange(total) - np.repeat(offsets, lens)
+    mat[row_idx, col_idx] = flat
+
+    M = np.uint32(_M)
+    h = (np.uint32(KAFKA_SEED) ^ lens.astype(np.uint32)).astype(np.uint32)
+    nwords = lens // 4
+    for w in range(int(nwords.max()) if n else 0):
+        active = nwords > w
+        c = 4 * w
+        k = (
+            mat[:, c].astype(np.uint32)
+            | (mat[:, c + 1].astype(np.uint32) << np.uint32(8))
+            | (mat[:, c + 2].astype(np.uint32) << np.uint32(16))
+            | (mat[:, c + 3].astype(np.uint32) << np.uint32(24))
+        )
+        k *= M
+        k ^= k >> np.uint32(_R)
+        k *= M
+        h = np.where(active, (h * M) ^ k, h)
+    rem = (lens & 3).astype(np.int64)
+    n4 = (nwords * 4).astype(np.int64)
+    rows = np.arange(n)
+    t = h.copy()
+    b2 = mat[rows, n4 + 2].astype(np.uint32) << np.uint32(16)
+    b1 = mat[rows, n4 + 1].astype(np.uint32) << np.uint32(8)
+    b0 = mat[rows, n4].astype(np.uint32)
+    t = np.where(rem == 3, t ^ b2, t)
+    t = np.where(rem >= 2, t ^ b1, t)
+    t = np.where(rem >= 1, (t ^ b0) * M, t).astype(np.uint32)
+    t ^= t >> np.uint32(13)
+    t *= M
+    t ^= t >> np.uint32(15)
+    return t.view(np.int32).astype(np.int64)
+
+
 @F.pandas_udf(LongType())
 def _murmur2_udf(keys: pd.Series) -> pd.Series:
-    return keys.map(lambda b: None if b is None else murmur2(bytes(b)))
+    if len(keys) == 0:
+        return pd.Series([], dtype="float64")
+    mask = keys.notna()
+    vals = [bytes(b) for b in keys[mask]]
+    out = pd.Series([None] * len(keys), dtype="object")
+    if vals:
+        out[mask] = list(murmur2_numpy(vals))
+    return out
 
 
 def murmur2_pandas_expr(col: Column | str) -> Column:
-    """Signed-32 murmur2 via Arrow-batched pandas UDF (legacy path; the
-    JVM-native ``murmur2_expr`` below is preferred — no Python workers)."""
+    """Signed-32 murmur2 via Arrow-batched numpy kernel — the THROUGHPUT
+    path (14.2M keys/s on local[32] at 20M keys): use it when executors have
+    Python workers. ``murmur2_expr`` below is the pure-JVM expression — zero
+    Python dependency, bit-identical, but interpreted per-row (HOF folds
+    don't codegen; 0.5M keys/s measured) — it stays the default so the
+    repartition plan carries no Python nodes and works where Python workers
+    are forbidden; flip to impl="pandas" for the 100-TB hot path."""
     return _murmur2_udf(F.col(col) if isinstance(col, str) else col)
 
 

@@ -72,3 +72,63 @@ def test_glob_matches_fnmatch(pattern, names):
     for n in names:
         # fnmatchcase: same *, ? semantics, no env-dependent case folding
         assert bool(rx.fullmatch(n)) == fnmatch.fnmatchcase(n, pattern), (pattern, n)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),  # offset
+            st.one_of(st.none(), st.binary(max_size=64)),  # key
+            st.one_of(st.none(), st.binary(max_size=128)),  # value
+            st.lists(
+                st.tuples(
+                    st.text(alphabet="abcdefghij-", min_size=1, max_size=8),
+                    st.binary(max_size=16),
+                ),
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_legacy_segment_serde_roundtrip_property(recs):
+    """Legacy JSON serde round-trips arbitrary bytes (keys/values/headers,
+    incl. null and empty) through the reference wire format — decoded purely
+    driver-side here (base64+json), mirroring what the Spark reader's
+    unbase64 path consumes."""
+    import base64
+    import gzip
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from kafka_backup_spark.sources.segments import write_legacy_segments
+
+    rows = [
+        {
+            "topic": "t",
+            "partition": 0,
+            "offset": off,
+            "ts_ms": 1704067200000 + off,
+            "key": k,
+            "value": v,
+            "headers": hs,
+        }
+        for off, k, v, hs in recs
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        write_legacy_segments(d, rows, gzip_partitions=frozenset({0}))
+        files = list(Path(d).glob("topics/t/partition=0/segment-*.json.gz"))
+        assert len(files) == 1
+        payload = json.loads(gzip.decompress(files[0].read_bytes()))
+    by_off = {p["offset"]: p for p in payload}
+    assert sorted(by_off) == sorted(r[0] for r in recs)
+    for off, k, v, hs in recs:
+        p = by_off[off]
+        assert (None if p["key"] is None else base64.b64decode(p["key"])) == k
+        assert (None if p["value"] is None else base64.b64decode(p["value"])) == v
+        assert [(h["key"], base64.b64decode(h["value"])) for h in p["headers"]] == list(hs)
+        assert p["timestamp"] == 1704067200000 + off
