@@ -160,3 +160,33 @@ def test_tpch_q19_disjunction_stays_equi_join(spark):
     plan = _plan(catalog.queries()["tpch_q19_disjunctive"](spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_segment_join_skips_exchange(spark, sf_dir, tmp_path):
+    """write_bucketed pre-shuffles once: a (topic, partition)-keyed join of
+    two bucketed tables runs with NO exchange on either side."""
+    recs = events_as_records(load_table(spark, sf_dir, "events"))
+    store = SegmentStore(str(tmp_path / "store"))
+    spark.sql("DROP TABLE IF EXISTS bk_records")
+    spark.sql("DROP TABLE IF EXISTS bk_watermarks")
+    store.write_bucketed(recs, "bk_records", buckets=8)
+    wm = recs.groupBy("topic", "partition").agg(
+        F.max("offset").alias("hwm")
+    )
+    store.write_bucketed(
+        wm.withColumnRenamed("hwm", "offset"), "bk_watermarks", buckets=8
+    )
+    a = spark.table("bk_records")
+    b = spark.table("bk_watermarks").select(
+        "topic", "partition", F.col("offset").alias("hwm")
+    )
+    # force the merge join (Catalyst would broadcast the small test fixture;
+    # at scale both sides are big and SMJ is what bucketing de-shuffles).
+    # NB: no offset==hwm filter here — Catalyst folds equality filters into
+    # the join keys, which would widen them past the bucket columns and
+    # disable the bucketed scan.
+    joined = a.hint("merge").join(b, ["topic", "partition"])
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # both sides read co-located buckets
+    assert joined.count() > 0
