@@ -498,7 +498,19 @@ def q_legacy_segment_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key", F.when(F.col("offset") % 10 == 0, F.lit(None)).otherwise(F.col("key"))
     )
     rows = r.select("topic", "partition", "offset", "ts_ms", "key", "value").collect()
-    root = "/tmp/kbs-legacy-v1-" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    # cache key covers the SOURCE CONTENT, not just the path: if the driver
+    # regenerates testdata between rounds, a path-keyed fixture would go
+    # stale and hash-mismatch the oracle. size+mtime of every events parquet
+    # part is cheap and changes whenever the data does.
+    stat = []
+    ev_dir = f"{sf_dir}/events.parquet"
+    for p in sorted([ev_dir] if os.path.isfile(ev_dir) else [
+        os.path.join(ev_dir, f) for f in os.listdir(ev_dir)
+    ]):
+        st = os.stat(p)
+        stat.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    fingerprint = hashlib.sha256((sf_dir + "|" + "|".join(stat)).encode()).hexdigest()[:12]
+    root = "/tmp/kbs-legacy-v2-" + fingerprint
     if not os.path.isdir(root):  # deterministic content → safe to reuse
         write_legacy_segments(
             root,
