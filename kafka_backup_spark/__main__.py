@@ -137,11 +137,50 @@ def cmd_show_offset_mapping(args, _doc) -> int:
 
 
 def cmd_status(args, _doc) -> int:
-    """Static status mode (commands/status.rs): totals + per-topic rollup of a
-    completed backup. (Live --watch mode needs a running cluster job; the
-    streaming metrics live in streaming/metrics.py.)"""
+    """Status (commands/status.rs). Static mode: totals + per-topic rollup of
+    a completed backup. ``--watch`` (live mode): poll the STORE itself each
+    interval and emit one JSON line per tick with record/byte deltas — a
+    concurrently-running backup (this process or another) shows up as
+    records/sec, the file-backed analogue of the reference's offset-db
+    polling."""
     spark = get_spark("cli-status")
     mstore = ManifestStore(args.store, args.backup_id)
+    if args.watch:
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from kafka_backup_spark.functions.formatting import format_bytes, format_number
+
+        store = SegmentStore(args.store)
+        prev_records = prev_bytes = None
+        for _tick in range(args.iterations):
+            try:
+                snap = store.read(spark).agg(
+                    F.count(F.lit(1)).alias("records"),
+                    F.sum(
+                        F.coalesce(F.octet_length("key"), F.lit(0))
+                        + F.coalesce(F.octet_length("value"), F.lit(0))
+                    ).alias("bytes"),
+                ).collect()[0]
+                records, nbytes = snap["records"], snap["bytes"] or 0
+            except Exception:  # store not created yet
+                records = nbytes = 0
+            line = {
+                "records": records,
+                "records_h": format_number(records),
+                "bytes": nbytes,
+                "bytes_h": format_bytes(nbytes),
+            }
+            if prev_records is not None:
+                line["records_per_sec"] = round(
+                    (records - prev_records) / max(args.interval, 1e-9), 1
+                )
+            prev_records, prev_bytes = records, nbytes
+            _emit(line)
+            if _tick < args.iterations - 1:
+                _time.sleep(args.interval)
+        return 0
     docjson = mstore.load_doc()
     if docjson is None:
         print("no manifest found", file=sys.stderr)
@@ -385,6 +424,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--groups-json", help="consumer group offsets JSON [{group_id, topic, partition, offset}]")
     ap.add_argument("--snapshot-id", help="offset-rollback: snapshot id")
     ap.add_argument("--sign-key", help="evidence: ECDSA P-256 private key PEM path")
+    ap.add_argument("--watch", action="store_true", help="status: live polling mode")
+    ap.add_argument("--interval", type=float, default=2.0, help="status --watch: seconds between ticks")
+    ap.add_argument("--iterations", type=int, default=2**31, help="status --watch: tick count (tests use small values)")
     ap.add_argument("--bootstrap-servers", help="offset-reset script/execute: target cluster")
     args = ap.parse_args(argv)
 

@@ -225,3 +225,17 @@ def test_cli_three_phase_skips_reset_when_repartitioned(spark, capsys, store_dir
     ])
     assert "plan" not in out
     assert any("Repartitioned" in w for w in out["warnings"])
+
+
+def test_cli_status_watch_ticks(spark, capsys, store_dir):
+    """Live status mode: one JSON line per tick with human-formatted totals
+    and a rate once two samples exist."""
+    rc = main([
+        "status", "--store", store_dir, "--backup-id", "bk-cli",
+        "--watch", "--interval", "0.1", "--iterations", "2",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["records"] > 0 and "KB" in lines[0]["bytes_h"] or "B" in lines[0]["bytes_h"]
+    assert "records_per_sec" in lines[1]
