@@ -529,9 +529,14 @@ def q_legacy_segment_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             gzip_partitions=frozenset({0}),
         )
     out = SegmentStore(root).read_legacy(spark)
+    # key/value surface as HEX strings (not raw binary): the driver's
+    # canonicalizer sorts pandas frames, and bytearray cells are unhashable
+    # there — the decode path stays byte-exact internally, only the query
+    # projection is stringified.  Spark hex() and DuckDB hex() both emit
+    # uppercase and both propagate NULL.
     return out.select(
-        "key",
-        "value",
+        F.hex("key").alias("key_hex"),
+        F.hex("value").alias("value_hex"),
         "topic",
         "partition",
         "offset",
@@ -542,8 +547,9 @@ def q_legacy_segment_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LEGACY_SEGMENT_READ = f"""
 WITH {RECORDS_CTE}
-SELECT CASE WHEN "offset" % 10 = 0 THEN NULL ELSE key END AS key,
-       value, topic, "partition", "offset", ts_ms, topic AS hdr_src
+SELECT CASE WHEN "offset" % 10 = 0 THEN NULL ELSE hex(key) END AS key_hex,
+       hex(value) AS value_hex, topic, "partition", "offset", ts_ms,
+       topic AS hdr_src
 FROM records WHERE "offset" < 5000
 """
 
