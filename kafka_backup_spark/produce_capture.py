@@ -89,9 +89,13 @@ def produce_with_offset_capture(
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 ts = int(row.timestamp.value // 10**6) if hasattr(row.timestamp, "value") else int(row.timestamp)
+                # row.headers arrives as a numpy array under Arrow; bare
+                # truthiness on a 2+ element array raises "ambiguous", so
+                # the null check must be explicit (ADVICE r2).
+                row_headers = row.headers if row.headers is not None else []
                 headers = [
                     (h["key"], bytes(h["value"]) if h["value"] is not None else None)
-                    for h in (row.headers or [])
+                    for h in row_headers
                 ]
                 producer.produce(
                     topic=row.topic,

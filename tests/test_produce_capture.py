@@ -24,12 +24,19 @@ _factory = mock_producer_factory({("click", 0): 1000, ("click", 1): 50})
 @pytest.fixture()
 def records(spark):
     ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    # the 3-header record matters: Arrow hands headers to the UDF as a numpy
+    # array, and `arr or []` raises "truth value ambiguous" for len >= 2 —
+    # exactly what inject_backup_headers (3 provenance headers) produces
     rows = [
         (b"k1", b"v1", "click", 0, 7, ts, 0, [{"key": "h", "value": b"x"}]),
         (b"k2", b"v2", "click", 0, 9, ts, 0, []),
         (None, b"v3", "click", 0, 12, ts, 0, None),
         (b"k4", b"v4", "click", 1, 3, ts, 0, []),
         (b"k5", None, "view", 2, 1, ts, 0, []),
+        (b"k6", b"v6", "click", 0, 14, ts, 0,
+         [{"key": "kb-topic", "value": b"click"},
+          {"key": "kb-partition", "value": b"0"},
+          {"key": "kb-offset", "value": b"14"}]),
     ]
     return spark.createDataFrame(rows, RECORD_SCHEMA)
 
@@ -46,7 +53,8 @@ def test_capture_reconstructs_broker_offsets(spark, records):
     assert got[("click", 0, 12)] == 1002
     assert got[("click", 1, 3)] == 50
     assert got[("view", 2, 1)] == 0  # empty partition starts at 0
-    assert len(got) == 5
+    assert got[("click", 0, 14)] == 1003  # multi-header record produces too
+    assert len(got) == 6
 
 
 def test_capture_without_headers_feeds_phase3(spark, records):
