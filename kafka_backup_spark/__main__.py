@@ -153,7 +153,7 @@ def cmd_status(args, _doc) -> int:
         from kafka_backup_spark.functions.formatting import format_bytes, format_number
 
         store = SegmentStore(args.store)
-        prev_records = prev_bytes = None
+        prev_records = prev_bytes = prev_t = None
         for _tick in range(args.iterations):
             try:
                 snap = store.read(spark).agg(
@@ -172,11 +172,15 @@ def cmd_status(args, _doc) -> int:
                 "bytes": nbytes,
                 "bytes_h": format_bytes(nbytes),
             }
+            now = _time.monotonic()
             if prev_records is not None:
-                line["records_per_sec"] = round(
-                    (records - prev_records) / max(args.interval, 1e-9), 1
-                )
-            prev_records, prev_bytes = records, nbytes
+                # rate over MEASURED wall clock, not the nominal interval:
+                # each tick also spends the snapshot-scan time, which grows
+                # with store size and would overstate the rate (ADVICE r2)
+                elapsed = max(now - prev_t, 1e-9)
+                line["records_per_sec"] = round((records - prev_records) / elapsed, 1)
+                line["bytes_per_sec"] = round((nbytes - prev_bytes) / elapsed, 1)
+            prev_records, prev_bytes, prev_t = records, nbytes, now
             _emit(line)
             if _tick < args.iterations - 1:
                 _time.sleep(args.interval)

@@ -30,8 +30,17 @@ def urllib_transport(url: str, payload: dict, timeout_s: float) -> tuple[int, st
         headers={"Content-Type": "application/json"},
         method="POST",
     )
-    with urllib.request.urlopen(req, timeout=timeout_s) as resp:  # pragma: no cover
-        return resp.status, resp.read().decode()
+    try:  # pragma: no cover - needs a live socket
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return resp.status, resp.read().decode()
+    except urllib.error.URLError as e:
+        # urlopen wraps connect timeouts in URLError(reason=socket.timeout);
+        # unwrap so custom_webhook_check's fail_on_timeout branch (which
+        # catches TimeoutError) actually sees them (webhook.rs timeout
+        # semantics).
+        if isinstance(e.reason, TimeoutError):
+            raise e.reason from e
+        raise
 
 
 class SlackNotifier:

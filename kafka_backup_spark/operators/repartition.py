@@ -16,6 +16,15 @@ deterministically (reproducible across runs and engines).  It is a pure
 projection: no window, no extra shuffle, no single-task bottleneck — the
 row_number() formulation used previously funneled the whole stream through
 one reducer, which dies at cluster scale.
+
+CONTIGUITY ASSUMPTION: the arithmetic form is uniform only when offsets are
+contiguous within each source partition.  After PITR/record filters or on
+compacted topics, surviving offsets can carry a periodic stride; if that
+stride shares a factor with N, records pile onto few targets (unlike the
+reference's counter, which is stride-blind).  The ``dispersed`` strategy
+trades determinism-across-engines for stride-independence by hashing
+(partition, offset) with xxhash64 — still deterministic across runs, still
+a pure projection.  Pick it whenever the input stream has been filtered.
 """
 
 from __future__ import annotations
@@ -30,6 +39,12 @@ def _round_robin_expr(num_partitions: int) -> Column:
     return F.pmod(F.col("partition") + F.col("offset"), F.lit(num_partitions)).cast("int")
 
 
+def _dispersed_expr(num_partitions: int) -> Column:
+    # stride-independent round-robin for filtered/compacted streams: any
+    # periodic offset pattern is scrambled before the mod (ADVICE r2)
+    return F.pmod(F.xxhash64("partition", "offset"), F.lit(num_partitions)).cast("int")
+
+
 def assign_target_partitions(
     df: DataFrame,
     num_partitions: int,
@@ -39,6 +54,8 @@ def assign_target_partitions(
 ) -> DataFrame:
     if strategy == "automatic":
         return df.withColumn(out_col, _round_robin_expr(num_partitions))
+    if strategy == "dispersed":
+        return df.withColumn(out_col, _dispersed_expr(num_partitions))
     if strategy != "murmur2":
         raise ValueError(f"unknown repartitioning strategy: {strategy}")
     hashed = kafka_partition_expr(F.col(key_col), num_partitions)

@@ -88,8 +88,11 @@ def write_legacy_segments(root: str, records, gzip_partitions: frozenset = froze
             {
                 "key": b64(r["key"]),
                 "value": b64(r["value"]),
+                # null header VALUES stay null (nullable field in
+                # LEGACY_JSON_SCHEMA; reference serde manifest.rs:183-266
+                # distinguishes absent from empty) — ADVICE r2
                 "headers": [
-                    {"key": hk, "value": b64(hv) or ""} for hk, hv in r.get("headers", [])
+                    {"key": hk, "value": b64(hv)} for hk, hv in r.get("headers", [])
                 ],
                 "timestamp": r["ts_ms"],
                 "offset": r["offset"],

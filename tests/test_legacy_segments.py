@@ -42,7 +42,7 @@ RECS = [
         "ts_ms": 1704067300000,
         "key": b"k3",
         "value": None,  # null value too
-        "headers": [("h", b"x")],
+        "headers": [("h", b"x"), ("h-null", None)],  # null header value: stays null on the wire
     },
     {
         "topic": "audit.log",
@@ -75,12 +75,14 @@ def test_legacy_roundtrip_with_gzip(spark, tmp_path):
     assert r8["key"] is None and bytes(r8["value"]) == b"v8" and r8["headers"] == []
     r3 = rows[("orders", 1, 3)]
     assert r3["value"] is None and bytes(r3["key"]) == b"k3"
+    assert [(h["key"], h["value"] if h["value"] is None else bytes(h["value"]))
+            for h in r3["headers"]] == [("h", b"x"), ("h-null", None)]
     assert rows[("audit.log", 2, 0)]["topic"] == "audit.log"
 
 
 def test_legacy_wire_format_matches_reference_serde(tmp_path):
     """The emitted JSON must be exactly the reference's serde shape: base64
-    strings, header value always present (empty string for empty bytes),
+    strings, nullable header values serialized as JSON null (not ""),
     compact arrays."""
     root = str(tmp_path / "store")
     write_legacy_segments(root, RECS[:1])

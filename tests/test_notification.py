@@ -124,3 +124,26 @@ def test_webhook_check_network_error_fails():
     t = FakeTransport(raise_exc=ConnectionError("refused"))
     res = custom_webhook_check("c", "u", "b", transport=t)
     assert res["outcome"] == "failed" and "refused" in res["detail"]
+
+
+def test_urllib_transport_unwraps_urlerror_timeout(monkeypatch):
+    """urlopen wraps connect timeouts in URLError(reason=socket.timeout);
+    the transport must surface TimeoutError so fail_on_timeout=False can
+    return 'skipped' instead of 'failed' (ADVICE r2)."""
+    import socket
+    import urllib.error
+    import urllib.request
+
+    from kafka_backup_spark.notification import urllib_transport
+
+    def fake_urlopen(req, timeout=None):
+        raise urllib.error.URLError(socket.timeout("timed out"))
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    with pytest.raises(TimeoutError):
+        urllib_transport("http://example.invalid/hook", {}, 0.01)
+    res = custom_webhook_check(
+        "c", "http://example.invalid/hook", "b",
+        fail_on_timeout=False, transport=urllib_transport,
+    )
+    assert res["outcome"] == "skipped"
