@@ -116,31 +116,56 @@ def nearest_offsets_by_timestamp(
 
     Returns probes + (source_offset, target_offset) of the first pair with
     timestamp ≥ probe, else the pair with the greatest source offset.
+
+    Same union-window shape as J1 (no probes×pairs join-then-filter: that
+    formulation expands O(probes × pairs-per-partition) rows before its
+    min_by — a quadratic blowup once detailed mappings reach ~10⁶ pairs per
+    partition at 100-TB scale).  Here probes and pairs shuffle ONCE on
+    (topic, partition); a forward-looking window picks the first mapping at
+    or after each probe, and a full-partition max picks the greatest-offset
+    fallback — row count never exceeds probes + pairs.
     """
-    agg = detailed.groupBy(*KEYS).agg(
-        F.max_by(F.struct("source_offset", "target_offset"), F.col("source_offset")).alias("_last")
+    p = probes.select(
+        *KEYS,
+        F.col(probe_ts_col).alias("_ts"),
+        F.lit(0).alias("_is_map"),
+        F.lit(None).cast("long").alias("_so"),
+        F.lit(None).cast("long").alias("_tgt"),
     )
-    # ≥-probe minimum: theta-join probes×pairs within (topic, partition).
-    # Mapping tables are small relative to the stream (one pair per produce
-    # batch) → broadcast; falls back to shuffle join above the threshold.
-    cand = (
-        probes.join(F.broadcast(detailed), KEYS, "left")
-        .filter(F.col("timestamp") >= F.col(probe_ts_col))
-        .groupBy(*KEYS, probe_ts_col)
-        .agg(
-            F.min_by(
-                F.struct("source_offset", "target_offset"), F.struct("timestamp", "source_offset")
-            ).alias("_first_ge")
-        )
+    m = detailed.select(
+        *KEYS,
+        F.col("timestamp").alias("_ts"),
+        F.lit(1).alias("_is_map"),
+        F.col("source_offset").alias("_so"),
+        F.col("target_offset").alias("_tgt"),
     )
+    u = p.unionByName(m)
+    # mapping rows sort AFTER probe rows at equal timestamp, so a pair with
+    # timestamp == probe_ts lands in the probe's forward window (the ≥ in
+    # "first pair with timestamp ≥ T"); _so breaks timestamp ties by the
+    # smallest source offset, matching the reference's min_by ordering
+    order = [F.col("_ts").asc(), F.col("_is_map").asc(), F.col("_so").asc_nulls_first()]
+    w_fwd = (
+        Window.partitionBy(*KEYS).orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_all = (
+        Window.partitionBy(*KEYS).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    pair = F.struct(F.col("_so").alias("source_offset"), F.col("_tgt").alias("target_offset"))
+    map_pair = F.when(F.col("_is_map") == 1, pair)
+    first_ge = F.first(map_pair, ignorenulls=True).over(w_fwd)
+    # struct max is lexicographic on (source_offset, target_offset) → the
+    # greatest-source-offset pair, i.e. the reference's last-pair fallback
+    last_pair = F.max(map_pair).over(w_all)
     out = (
-        probes.join(cand, [*KEYS, probe_ts_col], "left")
-        .join(F.broadcast(agg), KEYS, "left")
-        .withColumn("_pick", F.coalesce(F.col("_first_ge"), F.col("_last")))
+        u.withColumn("_pick", F.coalesce(first_ge, last_pair))
+        .filter(F.col("_is_map") == 0)
     )
     return out.select(
         *KEYS,
-        probe_ts_col,
+        F.col("_ts").alias(probe_ts_col),
         F.col("_pick.source_offset").alias("source_offset"),
         F.col("_pick.target_offset").alias("target_offset"),
     )

@@ -190,3 +190,17 @@ def test_bucketed_segment_join_skips_exchange(spark, sf_dir, tmp_path):
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan  # both sides read co-located buckets
     assert joined.count() > 0
+
+
+def test_timestamp_asof_has_no_join_expansion(spark):
+    """J2 must stay the union-window shape: the old probes×pairs broadcast
+    join-then-filter expanded O(probes × pairs-per-partition) rows before
+    its min_by, a quadratic blowup at 100-TB mapping sizes (VERDICT r2)."""
+    df = catalog.queries()["timestamp_asof"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin",
+                 "CartesianProduct", "ShuffledHashJoin"):
+        assert node not in plan, f"J2 plan regressed to a join: {node}"
+    # two shuffles only (probe-dedup agg + the union-window sort); each
+    # node shows up twice in `formatted` output (tree + detail section)
+    assert plan.count(" Exchange") <= 4
