@@ -126,6 +126,63 @@ def cmd_validate(args, doc) -> int:
     return 0
 
 
+def cmd_validate_restore(args, _doc) -> int:
+    """validate-restore (commands/validate_restore.rs:5-46 + validation.rs
+    full-run orchestration): post-restore validation of the TARGET as one
+    entry point — load the manifest, resolve target watermarks, run A4
+    message-count + A5 offset-range + A7 summary, emit the report.
+
+    Watermark source: ``--bootstrap-servers`` fetches live earliest/latest
+    via the (injectable) AdminClient; ``--target-parquet`` derives them from
+    restored records (earliest = min offset, latest = max offset + 1) for
+    file-backed runs.  Exit code 1 when overall != passed, mirroring the
+    reference's exit-on-invalid."""
+    spark = get_spark("cli-validate-restore")
+    from pyspark.sql import functions as F
+
+    from kafka_backup_spark.validation.checks import (
+        message_count_check,
+        offset_range_check,
+        validation_summary,
+    )
+
+    m = ManifestStore(args.store, args.backup_id).load(spark)
+    if m is None:
+        print("no manifest found", file=sys.stderr)
+        return 1
+    if args.bootstrap_servers:
+        from kafka_backup_spark.sources.kafka_io import fetch_watermarks
+
+        parts = [
+            (r["topic"], r["partition"])
+            for r in m.select("topic", "partition").distinct().collect()
+        ]
+        watermarks = fetch_watermarks(spark, args.bootstrap_servers, parts)
+    elif args.target_parquet:
+        watermarks = (
+            spark.read.parquet(args.target_parquet)
+            .groupBy("topic", "partition")
+            .agg(
+                F.min("offset").alias("earliest"),
+                (F.max("offset") + 1).alias("latest"),
+            )
+        )
+    else:
+        print("validate-restore needs --bootstrap-servers or --target-parquet",
+              file=sys.stderr)
+        return 2
+    counts = message_count_check(m, watermarks)
+    ranges = offset_range_check(m, watermarks)
+    summary = _rows(validation_summary(counts, ranges))[0]
+    _emit({
+        "backup_id": args.backup_id,
+        "message_count": _rows(counts.orderBy("topic", "partition")),
+        "offset_range": _rows(ranges.orderBy("topic", "partition")),
+        "summary": summary,
+    })
+    return 0 if summary["overall"] == "passed" else 1
+
+
 def cmd_show_offset_mapping(args, _doc) -> int:
     spark = get_spark("cli-mapping")
     from kafka_backup_spark.three_phase import build_offset_mapping, mapping_ranges
@@ -224,14 +281,38 @@ def _reset_plan(spark, args):
 
 
 def cmd_offset_reset(args, _doc) -> int:
-    """offset-reset plan|script|execute (main.rs:560-615).
+    """offset-reset plan|script|execute|bulk (main.rs:560-615;
+    commands/offset_reset_bulk.rs:38).
 
     plan:    J3 reset plan as JSON (offset_reset.rs generate_json_report)
     script:  kafka-consumer-groups.sh script (offset_reset.rs:450-518)
     execute: commit via AdminClient — cluster-gated; plan/script never need one
+    bulk:    parallel commit fan-out with retry/backoff + p50/p99 report
+             (offset_automation.rs:320-620)
     """
     spark = get_spark("cli-offset-reset")
     plan, summary = _reset_plan(spark, args)
+    if args.action == "bulk":
+        from kafka_backup_spark.offset_reset_bulk import (
+            BulkResetConfig,
+            bulk_reset_offsets,
+            performance_stats,
+        )
+
+        mappings = [
+            (r["group_id"], r["topic"], r["partition"], r["target_offset"])
+            for r in plan.collect()
+            if r["target_offset"] is not None
+        ]
+        cfg = BulkResetConfig(
+            max_concurrent_requests=args.max_concurrent,
+            max_retry_attempts=args.max_retries,
+        )
+        report = bulk_reset_offsets(args.bootstrap_servers, mappings, cfg)
+        report["performance"] = performance_stats(spark, report)
+        del report["latencies_ms"]  # raw samples fold into the percentiles
+        _emit(report)
+        return 0 if report["status"] != "failed" else 1
     if args.action == "plan":
         _emit({
             "plan": _rows(plan.orderBy("group_id", "topic", "partition")),
@@ -343,6 +424,55 @@ def cmd_offset_rollback(args, _doc) -> int:
     return 0
 
 
+def cmd_snapshot_groups(args, _doc) -> int:
+    """snapshot-groups capture|show (commands/snapshot_groups.rs:38-160).
+
+    capture: list groups on the source cluster (injectable admin), keep
+             committed offsets on the manifest's backed-up topics, write
+             {backup_id}/consumer-groups-snapshot.json (reference wire shape)
+    show:    read the snapshot from the store and render per-group offsets
+    """
+    import time as _time
+
+    from kafka_backup_spark import group_snapshot as gs
+
+    if args.action == "capture":
+        spark = get_spark("cli-snapshot-groups")
+        m = ManifestStore(args.store, args.backup_id).load(spark)
+        if m is None:
+            print("no manifest found", file=sys.stderr)
+            return 1
+        backed = {r["topic"] for r in m.select("topic").distinct().collect()}
+        rows = gs.capture_group_offsets(args.bootstrap_servers, backed)
+        doc = gs.build_snapshot_doc(rows, int(_time.time() * 1000))
+        path = gs.write_snapshot(args.store, args.backup_id, doc)
+        _emit({"snapshot": path, "groups": len(doc["groups"]),
+               "offsets": sum(len(p) for g in doc["groups"]
+                              for p in g["offsets"].values())})
+        return 0
+    # show: pure file read — no Spark session needed
+    doc = gs.read_snapshot(args.store, args.backup_id)
+    if doc is None:
+        print("no consumer-groups snapshot found", file=sys.stderr)
+        return 1
+    _emit({
+        "snapshot_time": doc["snapshot_time"],
+        "groups": [
+            {
+                "group_id": g["group_id"],
+                "topics": len(g["offsets"]),
+                "offsets": [
+                    {"topic": t, "partition": int(p), "offset": o}
+                    for t, parts in sorted(g["offsets"].items())
+                    for p, o in sorted(parts.items(), key=lambda kv: int(kv[0]))
+                ],
+            }
+            for g in doc["groups"]
+        ],
+    })
+    return 0
+
+
 def cmd_evidence(args, doc) -> int:
     """Evidence report (evidence/report.rs + signing.rs): validate the backup,
     assemble the signed report document, optionally write report.json + .sig."""
@@ -407,10 +537,12 @@ COMMANDS = {
     "list": cmd_list,
     "status": cmd_status,
     "validate": cmd_validate,
+    "validate-restore": cmd_validate_restore,
     "show-offset-mapping": cmd_show_offset_mapping,
     "offset-reset": cmd_offset_reset,
     "three-phase-restore": cmd_three_phase_restore,
     "offset-rollback": cmd_offset_rollback,
+    "snapshot-groups": cmd_snapshot_groups,
     "evidence": cmd_evidence,
 }
 
@@ -431,13 +563,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--watch", action="store_true", help="status: live polling mode")
     ap.add_argument("--interval", type=float, default=2.0, help="status --watch: seconds between ticks")
     ap.add_argument("--iterations", type=int, default=2**31, help="status --watch: tick count (tests use small values)")
-    ap.add_argument("--bootstrap-servers", help="offset-reset script/execute: target cluster")
+    ap.add_argument("--bootstrap-servers", help="offset-reset script/execute/bulk: target cluster")
+    ap.add_argument("--max-concurrent", type=int, default=50, help="offset-reset bulk: parallel group commits")
+    ap.add_argument("--max-retries", type=int, default=3, help="offset-reset bulk: per-partition retry attempts")
     args = ap.parse_args(argv)
 
-    if args.command == "offset-reset" and args.action not in {"plan", "script", "execute"}:
-        ap.error("offset-reset requires an action: plan | script | execute")
+    if args.command == "offset-reset" and args.action not in {"plan", "script", "execute", "bulk"}:
+        ap.error("offset-reset requires an action: plan | script | execute | bulk")
     if args.command == "offset-rollback" and args.action not in {"snapshot", "plan"}:
         ap.error("offset-rollback requires an action: snapshot | plan")
+    if args.command == "snapshot-groups" and args.action not in {"capture", "show"}:
+        ap.error("snapshot-groups requires an action: capture | show")
 
     doc = None
     if args.config:

@@ -193,6 +193,24 @@ def list_offsets(
     return {(tp.topic, tp.partition): f.result().offset for tp, f in futures.items()}
 
 
+def fetch_watermarks(
+    spark, bootstrap_servers: str, partitions: list[tuple[str, int]]
+):
+    """Target-cluster watermarks as a DataFrame (topic, partition, earliest,
+    latest) — two batched ListOffsets calls (earliest + latest), the
+    validation input shape for A4/A5 (validation/context.rs watermark fetch;
+    commands/validate_restore.rs orchestration)."""
+    earliest = list_offsets(bootstrap_servers, partitions, "earliest")
+    latest = list_offsets(bootstrap_servers, partitions, "latest")
+    rows = [
+        (t, p, earliest.get((t, p), -1), latest.get((t, p), -1))
+        for t, p in partitions
+    ]
+    return spark.createDataFrame(
+        rows, "topic string, partition int, earliest long, latest long"
+    )
+
+
 def ensure_topics_exist(
     bootstrap_servers: str, topics: dict[str, int], timeout_s: float = 30.0
 ) -> list[str]:

@@ -239,3 +239,164 @@ def test_cli_status_watch_ticks(spark, capsys, store_dir):
     assert len(lines) == 2
     assert lines[0]["records"] > 0 and "KB" in lines[0]["bytes_h"] or "B" in lines[0]["bytes_h"]
     assert "records_per_sec" in lines[1]
+
+
+def _contiguous_store(spark, tmp_path):
+    """Backup a contiguous-offset fixture (watermark-derived counts only
+    match A4 when offsets have no holes — see verify-skill gotcha)."""
+    import datetime
+
+    from kafka_backup_spark.engine import BackupConfig, BackupEngine
+    from kafka_backup_spark.manifest_store import ManifestStore
+    from kafka_backup_spark.schema import RECORD_SCHEMA
+    from kafka_backup_spark.sources.segments import SegmentStore
+
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (b"k", b"v", "click", p, o, ts, 0, [])
+        for p in (0, 1)
+        for o in range(100)
+    ]
+    records = spark.createDataFrame(rows, RECORD_SCHEMA)
+    store_dir = str(tmp_path / "vr-store")
+    store = SegmentStore(store_dir)
+    manifest = BackupEngine(store, BackupConfig(inject_headers=False)).run(records)
+    ManifestStore(store_dir, "bk-vr").save(manifest, source_cluster_id="src")
+    return store_dir, records
+
+
+def test_cli_validate_restore_passes_file_backed(spark, capsys, tmp_path):
+    store_dir, records = _contiguous_store(spark, tmp_path)
+    target = str(tmp_path / "vr-target")
+    records.write.parquet(target)
+    out = run(capsys, [
+        "validate-restore", "--store", store_dir, "--backup-id", "bk-vr",
+        "--target-parquet", target,
+    ])
+    assert out["summary"]["overall"] == "passed"
+    assert all(r["status"] == "passed" for r in out["message_count"])
+    assert all(r["status"] == "passed" for r in out["offset_range"])
+
+
+def test_cli_validate_restore_reports_failed_on_wrong_counts(spark, capsys, tmp_path):
+    from tests.test_kafka_admin_fake import FakeAdmin
+    from kafka_backup_spark.sources import kafka_io
+
+    store_dir, _records = _contiguous_store(spark, tmp_path)
+    fake = FakeAdmin()
+    # target cluster holds fewer records than the manifest promises
+    fake.offsets = {("click", 0): (0, 40), ("click", 1): (0, 100)}
+    kafka_io.set_admin_factory(lambda servers: fake)
+    try:
+        rc = main([
+            "validate-restore", "--store", store_dir, "--backup-id", "bk-vr",
+            "--bootstrap-servers", "broker:9092",
+        ])
+    finally:
+        kafka_io.set_admin_factory(None)
+    assert rc == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["summary"]["overall"] == "failed"
+    bad = {r["partition"]: r["status"] for r in out["message_count"]}
+    assert bad[0] == "failed" and bad[1] == "passed"
+
+
+def test_cli_offset_reset_bulk_via_fake_admin(spark, capsys, store_dir, tmp_path):
+    from tests.test_offset_reset_bulk import FlakyAdmin
+    from kafka_backup_spark.sources import kafka_io
+
+    out_dir = str(tmp_path / "bulk-target")
+    groups = tmp_path / "bulk-groups.json"
+    groups.write_text(json.dumps([
+        {"group_id": "g1", "topic": "click", "partition": 0, "offset": 100},
+        {"group_id": "g2", "topic": "click", "partition": 0, "offset": 200},
+    ]))
+    run(capsys, [
+        "three-phase-restore", "--store", store_dir, "--out", out_dir,
+        "--groups-json", str(groups),
+    ])
+    fake = FlakyAdmin()
+    kafka_io.set_admin_factory(lambda servers: fake)
+    try:
+        res = run(capsys, [
+            "offset-reset", "bulk", "--store", store_dir,
+            "--groups-json", str(groups), "--target-parquet", out_dir,
+            "--bootstrap-servers", "broker:9092", "--max-concurrent", "2",
+        ])
+    finally:
+        kafka_io.set_admin_factory(None)
+    assert res["status"] == "success"
+    assert "p50_latency_ms" in res["performance"]
+    if res["total_offsets_reset"]:  # mapping resolved → commits reached admin
+        assert fake.attempts
+
+
+def test_cli_snapshot_groups_capture_and_show(spark, capsys, tmp_path):
+    from types import SimpleNamespace
+
+    from kafka_backup_spark.sources import kafka_io
+
+    store_dir, _records = _contiguous_store(spark, tmp_path)
+
+    class _Done:
+        def __init__(self, v):
+            self._v = v
+
+        def result(self):
+            return self._v
+
+    class SnapshotAdmin:
+        """list_consumer_groups + list_consumer_group_offsets surface."""
+
+        def list_consumer_groups(self):
+            return _Done(SimpleNamespace(valid=[
+                SimpleNamespace(group_id="g-app"),
+                SimpleNamespace(group_id="g-other"),
+            ]))
+
+        def list_consumer_group_offsets(self, reqs):
+            offsets = {
+                "g-app": [
+                    SimpleNamespace(topic="click", partition=0, offset=42),
+                    SimpleNamespace(topic="click", partition=1, offset=7),
+                    SimpleNamespace(topic="unrelated", partition=0, offset=9),
+                ],
+                "g-other": [
+                    SimpleNamespace(topic="click", partition=0, offset=-1),  # invalid
+                ],
+            }
+            return {
+                r.group_id: _Done(SimpleNamespace(
+                    group_id=r.group_id, topic_partitions=offsets[r.group_id]
+                ))
+                for r in reqs
+            }
+
+    kafka_io.set_admin_factory(lambda servers: SnapshotAdmin())
+    try:
+        cap = run(capsys, [
+            "snapshot-groups", "capture", "--store", store_dir,
+            "--backup-id", "bk-vr", "--bootstrap-servers", "broker:9092",
+        ])
+    finally:
+        kafka_io.set_admin_factory(None)
+    # unrelated topic filtered (not in manifest), negative offset dropped,
+    # g-other therefore empty and omitted
+    assert cap["groups"] == 1 and cap["offsets"] == 2
+
+    shown = run(capsys, [
+        "snapshot-groups", "show", "--store", store_dir, "--backup-id", "bk-vr",
+    ])
+    g = shown["groups"][0]
+    assert g["group_id"] == "g-app"
+    assert g["offsets"] == [
+        {"topic": "click", "partition": 0, "offset": 42},
+        {"topic": "click", "partition": 1, "offset": 7},
+    ]
+
+    # restore-side J4 load: flat frame matches the wire file
+    from kafka_backup_spark.group_snapshot import load_snapshot
+
+    df = load_snapshot(spark, store_dir, "bk-vr")
+    assert {(r["group_id"], r["topic"], r["partition"], r["offset"])
+            for r in df.collect()} == {("g-app", "click", 0, 42), ("g-app", "click", 1, 7)}
