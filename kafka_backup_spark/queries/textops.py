@@ -180,38 +180,38 @@ SELECT doc_id, cand_lang AS pred_lang, score FROM ranked WHERE rn = 1
 
 
 # ── SimHash32 over whitespace tokens ──────────────────────────────────────
-# bit b of simhash = 1 iff Σ over token instances of (±1 by hash bit b) > 0.
-# Distinct tokens are hashed once (fast_hash64 % 2^32) and weighted by their
-# occurrence count, so the 32× bit fan-out runs over doc-vocabulary rows
-# (~50/doc), not token instances (~300/doc).
+# bit b of simhash = 1 iff Σ over token instances of (±1 by hash bit b) > 0,
+# equivalently iff 2·ones_b > n where ones_b counts instances with bit b set
+# and n is the doc's token count.  Single-exchange plan: explode → hash per
+# instance (fast_hash64 % 2^32, non-negative) → one groupBy(doc_id) whose agg
+# buffer packs the 32 ones-counts 3-per-long into 21-bit lanes (11 packed
+# longs + n, instead of 32 wide columns) — map-side combine ships one
+# 12-long row per doc per mapper.  Lane cap: 2^21 tokens per doc (~8 MB of
+# text at avg 4 chars/token); beyond that, chunk documents upstream.
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_backup_spark.functions.hashing import fast_hash64
 
+    LANE, MASK = 21, (1 << 21) - 1
     d = _docs(spark, sf_dir)
-    tok = (
-        d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", fast_hash64(F.col("w")) % F.lit(1 << 32))
-    )
-    # 32 per-bit sums as agg COLUMNS over the token stream — no ×32 row
-    # explode, one map-side-combinable shuffle of (doc_id + 32 longs) instead
-    # of two shuffles over 32× the rows; bit-identical to the exploded form
-    # (integer sums, order-free)
-    bit_sums = [
-        F.sum(
-            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"s{b}")
-        for b in range(32)
-    ]
-    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).select("doc_id", (fast_hash64(F.col("w")) % F.lit(1 << 32)).alias("h"))
+    packs = []
+    for g in range(11):
+        bits = range(3 * g, min(3 * g + 3, 32))
+        lanes = " + ".join(
+            f"shiftleft(shiftright(h, {b}) & 1, {LANE * j})"
+            for j, b in enumerate(bits)
+        )
+        packs.append(F.sum(F.expr(lanes)).alias(f"p{g}"))
+    agg = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *packs)
     word = None
     for b in range(32):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        g, j = divmod(b, 3)
+        ones = F.expr(f"shiftright(p{g}, {LANE * j}) & {MASK}")
+        term = F.when(ones * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
         word = term if word is None else word + term
     return agg.select("doc_id", word.cast("long").alias("simhash"))
 

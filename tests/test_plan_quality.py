@@ -58,6 +58,16 @@ def test_hashing_paths_have_no_python_udfs(spark):
         assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan, name
 
 
+def test_simhash_is_single_exchange_hash_agg(spark):
+    """The packed-lane simhash must stay one shuffle (groupBy doc_id straight
+    off the exploded stream) and keep its 12-long agg buffer in HashAggregate
+    — no intermediate (doc_id, word) exchange, no SortAggregate."""
+    df = catalog.queries()["simhash"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+
+
 def test_manifest_agg_is_single_exchange(spark, sf_dir):
     df = catalog.queries()["describe_rollup"](spark, sf_dir)
     plan = _plan(df)
