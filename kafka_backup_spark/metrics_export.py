@@ -166,10 +166,14 @@ def registry_from_progress(
     return r
 
 
-def serve_once(registry: MetricsRegistry, port: int = 0, n_requests: int = 1) -> int:
-    """One-shot scrape endpoint (server.rs:119-238): bind, serve /metrics for
-    ``n_requests`` GETs, shut down.  Returns the bound port (pass port=0 for
-    an ephemeral one — tests and smoke checks)."""
+def serve_once(
+    registry: MetricsRegistry, port: int = 0, n_requests: int = 1, health=None
+) -> int:
+    """One-shot scrape endpoint (server.rs:119-238): bind, serve /metrics
+    (and, with a :class:`~kafka_backup_spark.health.HealthCheck`, the
+    reference's ``/health`` JSON — server.rs:74,112) for ``n_requests``
+    GETs, shut down.  Returns the bound port (pass port=0 for an ephemeral
+    one — tests and smoke checks)."""
     import http.server
     import threading
 
@@ -177,6 +181,15 @@ def serve_once(registry: MetricsRegistry, port: int = 0, n_requests: int = 1) ->
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib API)
+            if health is not None and self.path == "/health":
+                body = health.to_json().encode()
+                # 200 healthy/degraded, 503 unhealthy (server.rs health_handler)
+                self.send_response(200 if health.is_operational() else 503)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if self.path not in ("/metrics", "/"):
                 self.send_response(404)
                 self.end_headers()
