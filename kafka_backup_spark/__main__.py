@@ -514,6 +514,7 @@ def cmd_evidence(args, doc) -> int:
         manifest_sha256=manifest_sha,
     )
     out: dict = {"report": report}
+    bundle = None
     if args.sign_key:
         with open(args.sign_key, "rb") as fh:
             priv = fh.read()
@@ -525,6 +526,12 @@ def cmd_evidence(args, doc) -> int:
             with open(args.out + ".sig", "w") as fh:
                 fh.write(evidence.to_sig_file(bundle))
             out["files"] = [args.out, args.out + ".sig"]
+    if args.pdf:
+        from kafka_backup_spark.evidence_pdf import write_report_pdf
+
+        out.setdefault("files", []).append(
+            write_report_pdf(args.pdf, report, bundle)
+        )
     _emit(out)
     return 0
 
@@ -560,6 +567,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--groups-json", help="consumer group offsets JSON [{group_id, topic, partition, offset}]")
     ap.add_argument("--snapshot-id", help="offset-rollback: snapshot id")
     ap.add_argument("--sign-key", help="evidence: ECDSA P-256 private key PEM path")
+    ap.add_argument("--pdf", help="evidence: also render the report as PDF to this path")
     ap.add_argument("--watch", action="store_true", help="status: live polling mode")
     ap.add_argument("--interval", type=float, default=2.0, help="status --watch: seconds between ticks")
     ap.add_argument("--iterations", type=int, default=2**31, help="status --watch: tick count (tests use small values)")

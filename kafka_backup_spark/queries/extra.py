@@ -492,6 +492,11 @@ def q_legacy_segment_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_backup_spark.sources.segments import SegmentStore, write_legacy_segments
 
+    # Fixture-size cap: the `.collect()` below writes the JSON segments
+    # single-threaded on the driver, which is fine ONLY because this bound
+    # keeps the subset at oracle scale (≤5000 rows/partition).  For a real
+    # legacy-format export use write_legacy_segments over foreachPartition,
+    # never a driver collect.
     r = records_df(spark, sf_dir).filter(F.col("offset") < 5000)
     # null out every 10th key: exercises the optional-key decode branch
     r = r.withColumn(

@@ -195,9 +195,10 @@ def test_cli_evidence_signed(spark, capsys, store_dir, tmp_path):
     key_path = tmp_path / "key.pem"
     key_path.write_bytes(priv)
     out_path = str(tmp_path / "report.json")
+    pdf_path = str(tmp_path / "report.pdf")
     res = run(capsys, [
         "evidence", "--store", store_dir, "--backup-id", "bk-cli",
-        "--sign-key", str(key_path), "--out", out_path,
+        "--sign-key", str(key_path), "--out", out_path, "--pdf", pdf_path,
     ])
     assert res["report"]["report_id"] == "evidence-bk-cli"
     assert res["report"]["backup"]["total_records"] > 0
@@ -206,6 +207,11 @@ def test_cli_evidence_signed(spark, capsys, store_dir, tmp_path):
     report = json.loads(open(out_path).read())
     bundle = evidence.from_sig_file(open(out_path + ".sig").read())
     assert evidence.verify_report(report, bundle, pub)
+    # the PDF twin exists, is well-formed, and carries the signature block
+    assert pdf_path in res["files"]
+    pdf = open(pdf_path, "rb").read()
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    assert b"Evidence Report" in pdf and bundle["report_sha256"].encode() in pdf
 
 
 def test_cli_three_phase_skips_reset_when_repartitioned(spark, capsys, store_dir, tmp_path):
