@@ -273,9 +273,10 @@ FROM documents
 # ── M7: MinHash signatures over character 8-shingles ──────────────────────
 # Each DISTINCT shingle is hashed ONCE (fast_hash64: native md5+conv, stays
 # in whole-stage codegen); the hash families are affine transforms
-# (a_s·h + c_s) mod p of that one hash, aggregated as N mins in a single
-# map-side-combinable groupBy, then unpivoted. No per-seed row blowup, no
-# per-seed hashing — the shape that survives 100 TB. The LSH banding step
+# (a_s·h + c_s) mod p of that one hash, reduced per document with array_min
+# over the per-doc shingle-hash array — a pure projection, no shuffle at
+# all — then unpivoted. No per-seed row blowup, no per-seed hashing — the
+# shape that survives 100 TB. The LSH banding step
 # downstream groups equal signatures, so candidate generation stays a
 # group-by, not an n² join.
 
@@ -291,23 +292,27 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.length("text") >= 8)
     )
-    shingles = docs.select(
+    # per-doc shingle-hash array: dedup (array_distinct) and the N seed mins
+    # (array_min over affine transforms) are all projections — the query has
+    # NO shuffle beyond the input spread; signatures never leave the mapper
+    hashed = docs.select(
         "doc_id",
-        F.explode(
+        F.transform(
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.length("text") - 7),
                     lambda i: F.substring(F.col("text"), i, F.lit(8)),
                 )
-            )
-        ).alias("shingle"),
+            ),
+            lambda sgl: fast_hash64(sgl),
+        ).alias("hs"),
     )
-    h = shingles.withColumn("h", fast_hash64(F.col("shingle")))
-    mins = h.groupBy("doc_id").agg(
+    mins = hashed.select(
+        "doc_id",
         *[
-            F.min(seeded_hash(F.col("h"), s)).alias(f"m{s}")
+            F.array_min(F.transform("hs", lambda h: seeded_hash(h, s))).alias(f"m{s}")
             for s in range(N_MINHASH_SEEDS)
-        ]
+        ],
     )
     stack = ", ".join(f"{s}, m{s}" for s in range(N_MINHASH_SEEDS))
     return mins.select(

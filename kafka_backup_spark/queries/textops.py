@@ -340,29 +340,38 @@ def _gram_sets(c: DataFrame) -> DataFrame:
     )
 
 
-def _hashed_gram_sets(c: DataFrame) -> DataFrame:
-    """Distinct (doc_id, gram-hash) pairs: hashing BEFORE the distinct means
-    the dedup exchange shuffles 8-byte longs, not gram strings (~3× less
-    shuffle I/O). Hash collisions merge shingles identically in the DuckDB
-    oracle (same hash), so parity is structural."""
+def _hashed_gram_arrays(c: DataFrame) -> DataFrame:
+    """Per-doc deduped gram-hash ARRAYS (doc_id, hs: array<long>).
+
+    Gram dedup is within-document, so ``array_distinct`` on the hashed gram
+    array replaces the global ``.distinct()`` exchange — the whole
+    shingle→hash→dedup chain is a zero-shuffle projection, and MinHash
+    signatures downstream reduce the same array with ``array_min`` (still no
+    shuffle). Hashing inside the array keeps 8-byte longs, not gram strings,
+    in every downstream exchange.  Hash collisions merge shingles identically
+    in the DuckDB oracle (same hash), so parity is structural."""
     from kafka_backup_spark.functions.hashing import fast_hash64
 
     toks = F.split(F.col("text"), " ")
-    grams = c.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
-            )
-        ).alias("g"),
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
     )
-    return grams.select("doc_id", fast_hash64(F.col("g")).alias("h")).distinct()
+    return c.select(
+        "doc_id",
+        F.array_distinct(F.transform(gram_arr, lambda g: fast_hash64(g))).alias("hs"),
+    )
+
+
+def _hashed_gram_sets(c: DataFrame) -> DataFrame:
+    """Distinct (doc_id, gram-hash) pairs — exploded view of
+    ``_hashed_gram_arrays`` for the intersection joins."""
+    return _hashed_gram_arrays(c).select("doc_id", F.explode("hs").alias("h"))
 
 
 _GRAMS_CTE = """
@@ -458,7 +467,10 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_backup_spark.functions.hashing import fast_hash64
 
     c = _near_corpus(spark, sf_dir)
-    return _band_candidates(_hashed_gram_sets(c))
+    # cache the per-doc hash arrays: both sides of the band self-join read
+    # them, and the shingle+hash lineage (HOF lambdas run interpreted, not
+    # codegen) is the expensive part of the query
+    return _band_candidates(_hashed_gram_arrays(c).cache())
 
 
 def _lsh_sql() -> str:
@@ -803,12 +815,19 @@ SELECT vec_a, vec_b, cosine_sim FROM pairs WHERE cosine_sim >= {COSINE_DUP_THRES
 # near_dup_jaccard query is the brute-force oracle baseline for recall.
 
 
-def _band_candidates(grams: DataFrame) -> DataFrame:
-    """LSH band-bucket candidate pairs from hashed grams (doc_id, h)."""
+def _band_candidates(arrs: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs from per-doc gram-hash arrays
+    (doc_id, hs).  Signatures are ``array_min`` over affine transforms of the
+    array — a projection, so the first shuffle in the whole LSH pipeline is
+    the band self-join itself."""
     from kafka_backup_spark.functions.hashing import seeded_hash
 
-    sigs = grams.groupBy("doc_id").agg(
-        *[F.min(seeded_hash(F.col("h"), s)).alias(f"m{s}") for s in range(N_SEEDS)]
+    sigs = arrs.filter(F.size("hs") > 0).select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hs", lambda h: seeded_hash(h, s))).alias(f"m{s}")
+            for s in range(N_SEEDS)
+        ],
     )
     band_cols = [
         F.struct(
@@ -840,12 +859,15 @@ def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_backup_spark.functions.hashing import fast_hash64
 
     c = _near_corpus(spark, sf_dir)
-    # hash grams once and CACHE: candidates and verification both consume
-    # this DataFrame, and without materialization Spark would re-run the
-    # whole explode+hash lineage for each side of the plan
-    grams = _hashed_gram_sets(c).cache()
-    cand = _band_candidates(grams)
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # hash grams once and CACHE the per-doc ARRAY form (one row per doc —
+    # far smaller than the exploded pairs): candidates, sizes, and the
+    # verification joins all derive from it, and without materialization
+    # Spark would re-run the whole shingle+hash lineage for each side
+    arrs = _hashed_gram_arrays(c).cache()
+    cand = _band_candidates(arrs)
+    # |gram set| is just the array length — no groupBy shuffle
+    sizes = arrs.select("doc_id", F.size("hs").cast("long").alias("n"))
+    grams = arrs.select("doc_id", F.explode("hs").alias("h"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), "h")
     gb = grams.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
