@@ -745,6 +745,272 @@ FROM feats f JOIN media m USING (media_id)
 """
 
 
+# ── M8: packing, PII redaction, corpus stats, mixture, incremental dedup ──
+# Five more training-pipeline staples added in round 3.  Scale notes inline;
+# each is one shuffle or less at 100 TB.
+
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid end-to-end in
+    (lang, doc_id) order and cut into fixed ``PACK_BUDGET``-token bins —
+    ``bin_id = floor(tokens_before / budget)``, the deterministic packing
+    shape LLM pre-training pipelines use.  One shuffle+sort on the shard key
+    (lang here); the running sum is a per-partition window, so at 100 TB each
+    shard packs independently — no global coordination, no driver state."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("tok").over(w), F.lit(0))
+    return (
+        docs.select("doc_id", "lang", tok.alias("tok"))
+        .withColumn("bin_id", F.floor(cum_before / F.lit(PACK_BUDGET)))
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH t AS (
+    SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+    FROM documents
+),
+b AS (
+    SELECT doc_id, lang, tok,
+           CAST(floor(coalesce(sum(tok) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+    FROM t
+)
+SELECT lang, bin_id, count(*) AS n_docs, sum(tok) AS bin_tokens,
+       min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+FROM b GROUP BY lang, bin_id
+"""
+
+
+# PII patterns kept to the regex subset Java's engine and RE2 interpret
+# identically (char classes, bounded repeats — no backrefs, no lookaround).
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PHONE_RE = "555-[0-9][0-9][0-9][0-9]"
+IP_RE = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: plant synthetic emails / phone numbers / IPv4s (derived
+    from doc_id — deterministic on both engines), then count and mask each
+    class.  Pure map-side projection: regex match + replace never leaves
+    whole-stage codegen, zero shuffles — at 100 TB this is a single scan
+    that emits the scrubbed corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    email = F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))
+    phone = F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0"))
+    ip = F.concat(
+        F.lit(" host 10.0."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 7) % 256).cast("string"),
+    )
+    text2 = F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, email).otherwise(F.lit("")),
+        F.when(d % 11 == 0, phone).otherwise(F.lit("")),
+        F.when(d % 13 == 0, ip).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text2, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IP_RE,
+        "<IP>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(text2, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+            F.size(F.regexp_extract_all(text2, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+            F.size(F.regexp_extract_all(text2, F.lit(IP_RE), 0)).cast("long").alias("n_ips"),
+            F.md5(red.cast("binary")).alias("redacted_hash"),
+        )
+        .filter(F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0)
+    )
+
+
+SQL_PII_REDACTION = f"""
+WITH planted AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                   ELSE '' END AS text2
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text2, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text2, '{IP_RE}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           text2, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g'),
+           '{IP_RE}', '<IP>', 'g')) AS redacted_hash
+FROM planted
+WHERE len(regexp_extract_all(text2, '{EMAIL_RE}'))
+    + len(regexp_extract_all(text2, '{PHONE_RE}'))
+    + len(regexp_extract_all(text2, '{IP_RE}')) > 0
+"""
+
+
+NGRAM_TOPK = 20
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-k bigram counts: the n-gram statistics pass every
+    corpus-analysis pipeline runs.  Map-side combine does the heavy lifting
+    (partial counts per partition), one shuffle on the gram, then a
+    TakeOrdered top-k — no global sort.  Ties broken by gram so the k-set is
+    deterministic across engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    grams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(NGRAM_TOPK)
+    )
+
+
+SQL_NGRAM_TOPK = f"""
+WITH words AS (
+    SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+grams AS (
+    SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS gram
+    FROM words, LATERAL unnest(range(1, len(ws))) t(i)
+)
+SELECT gram, count(*) AS n FROM grams GROUP BY gram
+ORDER BY n DESC, gram LIMIT {NGRAM_TOPK}
+"""
+
+
+MIX_ALPHA_NOTE = "alpha=0.5 temperature sampling"
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weights for training-data sampling: per-source token
+    shares re-weighted by sqrt (alpha=0.5 temperature — the standard
+    multilingual/multi-domain smoothing).  All ratios go through
+    integer-quantized sqrt (floor(sqrt·1000)) so the cross-source sums are
+    order-insensitive integers — bit-identical on any engine.  The agg
+    output is #sources rows; the normalizing window runs over that tiny
+    frame, so cost at 100 TB is the one corpus-scan agg."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    per = docs.select("source", tok.alias("tok")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("n_tokens")
+    )
+    s = F.floor(F.sqrt(F.col("n_tokens")) * 1000).cast("long")
+    w_all = Window.partitionBy()
+    per = per.withColumn("s", s)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor((F.col("n_tokens") * 1_000_000) / F.sum("n_tokens").over(w_all))
+        .alias("share_ppm"),
+        F.floor((F.col("s") * 1_000_000) / F.sum("s").over(w_all))
+        .alias("weight_ppm"),
+    )
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH per AS (
+    SELECT source, count(*) AS n_docs,
+           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+    FROM documents GROUP BY source
+),
+q AS (
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(sqrt(n_tokens) * 1000) AS BIGINT) AS s
+    FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST(floor((n_tokens * 1000000) / sum(n_tokens) OVER ()) AS BIGINT) AS share_ppm,
+       CAST(floor((s * 1000000) / sum(s) OVER ()) AS BIGINT) AS weight_ppm
+FROM q
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: a new batch arrives, anything
+    whose content hash already exists in the prior corpus snapshot is
+    dropped.  Docs with doc_id % 3 == 0 stand in for the prior snapshot;
+    the new batch is the rest plus planted copies of prior docs (which must
+    all be eliminated).  Shape at 100 TB: the prior side reduces to distinct
+    hashes (one shuffle, map-side combinable) and the anti-join runs
+    hash-partitioned on those 16-byte keys — the batch text never
+    co-shuffles with the snapshot."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    prior = docs.filter(F.col("doc_id") % 3 == 0)
+    planted = prior.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "lang", "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0).unionByName(planted)
+    h = F.md5(F.col("text").cast("binary"))
+    new_docs = batch.withColumn("h", h).join(
+        prior.select(h.alias("h")).distinct(), "h", "left_anti"
+    )
+    return new_docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.min("doc_id").alias("first_new_doc_id"),
+    )
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH prior AS (
+    SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0
+),
+batch AS (
+    SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, lang, text FROM prior WHERE doc_id % 2 = 0
+)
+SELECT lang, count(*) AS n_new, min(doc_id) AS first_new_doc_id
+FROM batch
+WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM prior)
+GROUP BY lang
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
@@ -765,4 +1031,9 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
+    "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
 }

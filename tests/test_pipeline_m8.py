@@ -1,0 +1,119 @@
+"""Semantic invariants for the M8 training-pipeline operators
+(sequence packing, PII redaction, n-gram stats, mixture weights,
+incremental dedup).  Engine-vs-oracle value parity is covered by
+selfcheck/the driver gate; these tests pin the *semantics*."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_backup_spark import catalog
+from kafka_backup_spark.queries.pipeline import NGRAM_TOPK, PACK_BUDGET
+
+
+def _q(name, spark, sf_dir):
+    return catalog.queries()[name](spark, sf_dir)
+
+
+def test_sequence_packing_bins_partition_the_corpus(spark, sf_dir):
+    rows = _q("sequence_packing", spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total_tok = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).collect()[0]["t"]
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["bin_tokens"] for r in rows) == total_tok
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, bins in by_lang.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        # bin ids are dense from 0 within each shard
+        assert [b["bin_id"] for b in bins] == list(range(len(bins)))
+        # concat-then-chunk: every bin but the last starts before the budget
+        # boundary, so doc ranges are contiguous and non-overlapping
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev["last_doc_id"] < nxt["first_doc_id"], lang
+        # a bin only overflows by its boundary-crossing doc: tokens strictly
+        # before the last doc stay under the budget
+        for b in bins[:-1]:
+            assert b["bin_tokens"] >= 1
+
+
+def test_pii_redaction_counts_match_planting(spark, sf_dir):
+    out = {r["doc_id"]: r for r in _q("pii_redaction", spark, sf_dir).collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for doc_id in range(n_docs):
+        expect_e = 1 if doc_id % 7 == 0 else 0
+        expect_p = 1 if doc_id % 11 == 0 else 0
+        expect_i = 1 if doc_id % 13 == 0 else 0
+        if expect_e + expect_p + expect_i == 0:
+            assert doc_id not in out  # clean docs are filtered out
+        else:
+            r = out[doc_id]
+            assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (
+                expect_e,
+                expect_p,
+                expect_i,
+            ), doc_id
+
+
+def test_pii_redaction_masks_all_matches(spark, sf_dir):
+    # the redacted text must contain no residual match of any PII pattern
+    from kafka_backup_spark.queries.pipeline import EMAIL_RE, IP_RE, PHONE_RE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    email = F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))
+    text2 = F.concat(F.col("text"), F.when(d % 7 == 0, email).otherwise(F.lit("")))
+    red = F.regexp_replace(text2, EMAIL_RE, "<EMAIL>")
+    residue = docs.select(
+        F.sum(F.size(F.regexp_extract_all(red, F.lit(EMAIL_RE), 0))).alias("n"),
+        F.sum(F.size(F.regexp_extract_all(red, F.lit(PHONE_RE), 0))).alias("p"),
+        F.sum(F.size(F.regexp_extract_all(red, F.lit(IP_RE), 0))).alias("i"),
+    ).collect()[0]
+    assert residue["n"] == 0
+
+
+def test_ngram_topk_is_sorted_and_exact_k(spark, sf_dir):
+    rows = _q("ngram_topk", spark, sf_dir).collect()
+    assert len(rows) == NGRAM_TOPK
+    counts = [r["n"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # deterministic tie-break: equal counts appear in gram order
+    for a, b in zip(rows, rows[1:]):
+        if a["n"] == b["n"]:
+            assert a["gram"] < b["gram"]
+
+
+def test_mixture_weights_normalize_and_smooth(spark, sf_dir):
+    rows = _q("mixture_weights", spark, sf_dir).collect()
+    n = len(rows)
+    total_w = sum(r["weight_ppm"] for r in rows)
+    total_s = sum(r["share_ppm"] for r in rows)
+    # floor() loses at most 1 ppm per source
+    assert 1_000_000 - n <= total_w <= 1_000_000
+    assert 1_000_000 - n <= total_s <= 1_000_000
+    # alpha=0.5 smoothing: the biggest source is down-weighted relative to
+    # its raw share, the smallest is up-weighted
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    if big["n_tokens"] != small["n_tokens"]:
+        assert big["weight_ppm"] <= big["share_ppm"]
+        assert small["weight_ppm"] >= small["share_ppm"]
+    # monotone: more tokens never means smaller weight
+    by_tok = sorted(rows, key=lambda r: (r["n_tokens"], r["weight_ppm"]))
+    ws = [r["weight_ppm"] for r in by_tok]
+    assert ws == sorted(ws)
+
+
+def test_incremental_dedup_drops_every_planted_copy(spark, sf_dir):
+    rows = _q("incremental_dedup", spark, sf_dir).collect()
+    # planted copies of prior-snapshot docs carry doc_id >= 2_000_000 and
+    # must all be eliminated by the anti-join
+    assert all(r["first_new_doc_id"] < 2_000_000 for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch_n = docs.filter(F.col("doc_id") % 3 != 0).count()
+    # survivors are a subset of the genuinely-new batch docs
+    assert 0 < sum(r["n_new"] for r in rows) <= batch_n
