@@ -81,7 +81,7 @@ def main() -> int:
     # repeat each query and keep the fastest run: this VM shows sporadic
     # 10-30x neighbor-load spikes (see SCALE.md) and the min is the honest
     # engine cost; repeats share nothing (noop sink, no caching)
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -112,6 +112,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeats": repeats,
                 "noop_floor_sec": floor,
                 "net_total_sec": round(sum(max(t - floor, 0.0) for t in timings.values()), 3),
             }

@@ -40,18 +40,38 @@ _CHECKED_LLM = [
     "multimodal_meta",  # lang_stats yields its slot: text_analysis carries lang
     "embedding_near_dup",
     "ivf_topk",
+    # M8 training-pipeline five, driver-gated per VERDICT r3 #2:
+    "sequence_packing",
+    "pii_redaction",
+    "ngram_topk",
+    "mixture_weights",
+    "incremental_dedup",
 ]
 # past-the-window by choice: redundant with a checked entry's semantics.
 # Displaced in r3 for the three pipeline staples (VERDICT r2 #2):
 #   scalar_hashes — F5/F6 already proven by evidence_digest
 #   dedup_records — T8 already pytest-proven (stateful twin) + dedup_exact
 #   topk_events   — orderBy/limit proven inside describe_rollup + TPC-H
-# All four stay in the catalog tail, so selfcheck still verifies them.
+# Displaced in r4 for the M8 five (VERDICT r3 #2 named the first two):
+#   salted_topic_agg     — skew demo; two-phase plan asserted in test_skew.py
+#   windowed_throughput  — T5 watermark path already pytest-proven
+#   semi_join_topics     — U3 semi-join shape proven by the checked
+#                          contamination_check (broadcast left-semi) row
+#   time_format          — F8 epoch↔datetime conversions exercised inside
+#                          checked pitr_window/describe_rollup + pytest
+#   round_robin_repartition — R2/R3 fan-out twin of checked
+#                          murmur2_repartition; dispersal pytest-asserted
+# All stay in the catalog tail, so selfcheck still verifies every one.
 _BEYOND_WINDOW = {
     "offset_gap_scan",  # lag-window twin; integrity_scan holds the A11 slot
     "scalar_hashes",
     "dedup_records",
     "topk_events",
+    "salted_topic_agg",
+    "windowed_throughput",
+    "semi_join_topics",
+    "time_format",
+    "round_robin_repartition",
 }
 _FIRST = [
     *(n for n in CORE_QUERIES if n not in _BEYOND_WINDOW),

@@ -273,12 +273,16 @@ FROM documents
 # ── M7: MinHash signatures over character 8-shingles ──────────────────────
 # Each DISTINCT shingle is hashed ONCE (fast_hash64: native md5+conv, stays
 # in whole-stage codegen); the hash families are affine transforms
-# (a_s·h + c_s) mod p of that one hash, reduced per document with array_min
-# over the per-doc shingle-hash array — a pure projection, no shuffle at
-# all — then unpivoted. No per-seed row blowup, no per-seed hashing — the
-# shape that survives 100 TB. The LSH banding step
-# downstream groups equal signatures, so candidate generation stays a
-# group-by, not an n² join.
+# (a_s·h + c_s) mod p of that one hash, aggregated as N mins in a single
+# map-side-combinable groupBy, then unpivoted. No per-seed row blowup, no
+# per-seed hashing — the shape that survives 100 TB.  The explode+groupBy
+# form is deliberate: higher-order-function lambdas (transform/array_min)
+# evaluate INTERPRETED in Spark, while explode + hash agg stays inside
+# whole-stage codegen with map-side partial aggregation — ~3× faster
+# standalone (the r3 array-form experiment only pays off where the gram
+# frame is cached and reused, which lsh_candidates/near_dup_pipeline do).
+# The LSH banding step downstream groups equal signatures, so candidate
+# generation stays a group-by, not an n² join.
 
 N_MINHASH_SEEDS = 4
 
@@ -292,27 +296,22 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.length("text") >= 8)
     )
-    # per-doc shingle-hash array: dedup (array_distinct) and the N seed mins
-    # (array_min over affine transforms) are all projections — the query has
-    # NO shuffle beyond the input spread; signatures never leave the mapper
-    hashed = docs.select(
+    # explode(sequence) + substring, NOT transform/array_distinct: generator
+    # + projection fuse into whole-stage codegen, while HOF lambdas evaluate
+    # interpreted.  Skipping the per-doc dedup is free for correctness —
+    # min() is duplicate-insensitive, so min over the multiset equals min
+    # over the distinct set the oracle computes.
+    shingles = docs.select(
         "doc_id",
-        F.transform(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - 7),
-                    lambda i: F.substring(F.col("text"), i, F.lit(8)),
-                )
-            ),
-            lambda sgl: fast_hash64(sgl),
-        ).alias("hs"),
-    )
-    mins = hashed.select(
-        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, i, 8)").alias("shingle"))
+    h = shingles.withColumn("h", fast_hash64(F.col("shingle")))
+    mins = h.groupBy("doc_id").agg(
         *[
-            F.array_min(F.transform("hs", lambda h: seeded_hash(h, s))).alias(f"m{s}")
+            F.min(seeded_hash(F.col("h"), s)).alias(f"m{s}")
             for s in range(N_MINHASH_SEEDS)
-        ],
+        ]
     )
     stack = ", ".join(f"{s}, m{s}" for s in range(N_MINHASH_SEEDS))
     return mins.select(
@@ -751,25 +750,54 @@ FROM feats f JOIN media m USING (media_id)
 
 
 PACK_BUDGET = 2048  # tokens per packed training sequence
+PACK_BUCKET = 256  # doc_ids per prefix-sum bucket (window parallelism unit)
 
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing: documents are laid end-to-end in
     (lang, doc_id) order and cut into fixed ``PACK_BUDGET``-token bins —
     ``bin_id = floor(tokens_before / budget)``, the deterministic packing
-    shape LLM pre-training pipelines use.  One shuffle+sort on the shard key
-    (lang here); the running sum is a per-partition window, so at 100 TB each
-    shard packs independently — no global coordination, no driver state."""
+    shape LLM pre-training pipelines use.
+
+    The running sum is a TWO-LEVEL prefix sum, not one window per lang: a
+    lang-only window would sort a whole language through a single task
+    (the corpus has ~5 langs — at 100 TB that is one reducer per ~20 TB).
+    Instead docs bucket by ``(lang, doc_id // PACK_BUCKET)``; per-bucket
+    token totals are prefix-summed on a tiny frame (#docs/bucket_size rows)
+    that broadcast-joins back, and the within-bucket window runs per
+    (lang, bucket) — parallelism = #buckets, output identical to the
+    single-window formulation the oracle computes.  At larger corpora the
+    bucket width is the knob: any value keeps correctness, width ~ docs-per-
+    task keeps the totals frame tiny relative to the data."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tok = F.size(F.split(F.col("text"), " ")).cast("long")
-    w = (
+    t = docs.select(
+        "doc_id", "lang", tok.alias("tok")
+    ).withColumn("bkt", F.floor(F.col("doc_id") / F.lit(PACK_BUCKET)))
+    # level 1: per-bucket totals, prefix-summed over the tiny bucket frame
+    wb = (
         Window.partitionBy("lang")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        t.groupBy("lang", "bkt")
+        .agg(F.sum("tok").alias("bkt_tok"))
+        .select(
+            "lang",
+            "bkt",
+            F.coalesce(F.sum("bkt_tok").over(wb), F.lit(0)).alias("bkt_offset"),
+        )
+    )
+    # level 2: within-bucket running sum + broadcast bucket offset
+    wi = (
+        Window.partitionBy("lang", "bkt")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum("tok").over(w), F.lit(0))
+    cum_before = F.col("bkt_offset") + F.coalesce(F.sum("tok").over(wi), F.lit(0))
     return (
-        docs.select("doc_id", "lang", tok.alias("tok"))
+        t.join(F.broadcast(offsets), ["lang", "bkt"])
         .withColumn("bin_id", F.floor(cum_before / F.lit(PACK_BUDGET)))
         .groupBy("lang", "bin_id")
         .agg(
@@ -930,7 +958,10 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-quantized sqrt (floor(sqrt·1000)) so the cross-source sums are
     order-insensitive integers — bit-identical on any engine.  The agg
     output is #sources rows; the normalizing window runs over that tiny
-    frame, so cost at 100 TB is the one corpus-scan agg."""
+    frame, so the corpus-scan agg dominates the cost.  The ppm ratios go
+    through DOUBLE before scaling: an integer ``n_tokens * 1e6`` would
+    overflow int64 near ~9e12 tokens (Spark wraps silently, DuckDB raises
+    — a cross-engine divergence exactly at large-corpus sizes)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tok = F.size(F.split(F.col("text"), " ")).cast("long")
     per = docs.select("source", tok.alias("tok")).groupBy("source").agg(
@@ -943,10 +974,16 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.floor((F.col("n_tokens") * 1_000_000) / F.sum("n_tokens").over(w_all))
-        .alias("share_ppm"),
-        F.floor((F.col("s") * 1_000_000) / F.sum("s").over(w_all))
-        .alias("weight_ppm"),
+        F.floor(
+            F.col("n_tokens").cast("double")
+            * 1_000_000.0
+            / F.sum("n_tokens").over(w_all).cast("double")
+        ).alias("share_ppm"),
+        F.floor(
+            F.col("s").cast("double")
+            * 1_000_000.0
+            / F.sum("s").over(w_all).cast("double")
+        ).alias("weight_ppm"),
     )
 
 
@@ -962,8 +999,10 @@ q AS (
     FROM per
 )
 SELECT source, n_docs, n_tokens,
-       CAST(floor((n_tokens * 1000000) / sum(n_tokens) OVER ()) AS BIGINT) AS share_ppm,
-       CAST(floor((s * 1000000) / sum(s) OVER ()) AS BIGINT) AS weight_ppm
+       CAST(floor(CAST(n_tokens AS DOUBLE) * 1000000
+                  / CAST(sum(n_tokens) OVER () AS DOUBLE)) AS BIGINT) AS share_ppm,
+       CAST(floor(CAST(s AS DOUBLE) * 1000000
+                  / CAST(sum(s) OVER () AS DOUBLE)) AS BIGINT) AS weight_ppm
 FROM q
 """
 
@@ -1005,8 +1044,14 @@ batch AS (
     SELECT doc_id + 2000000 AS doc_id, lang, text FROM prior WHERE doc_id % 2 = 0
 )
 SELECT lang, count(*) AS n_new, min(doc_id) AS first_new_doc_id
-FROM batch
-WHERE md5(text) NOT IN (SELECT DISTINCT md5(text) FROM prior)
+FROM batch b
+-- NOT EXISTS (not NOT IN): matches the Spark left_anti join's NULL
+-- semantics — a NULL batch hash is KEPT by both, whereas NOT IN would
+-- return zero rows the moment any prior hash were NULL.
+WHERE NOT EXISTS (
+    SELECT 1 FROM (SELECT DISTINCT md5(text) AS h FROM prior) p
+    WHERE p.h = md5(b.text)
+)
 GROUP BY lang
 """
 

@@ -374,6 +374,35 @@ def _hashed_gram_sets(c: DataFrame) -> DataFrame:
     return _hashed_gram_arrays(c).select("doc_id", F.explode("hs").alias("h"))
 
 
+_GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE cached instance of the per-doc gram-hash arrays per (session,
+    sf_dir).  lsh_candidates and near_dup_pipeline derive every branch from
+    this frame; hoisting the ``.cache()`` here (a) stops each call from
+    re-registering an identical plan (the "already cached" CacheManager
+    warnings) and (b) bounds pinned executor storage to one copy instead of
+    one per query.  The frame is one row per doc of 8-byte hash arrays —
+    MEMORY_AND_DISK default, so at scale it spills rather than evicting.
+    ``release_gram_cache`` frees it explicitly."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _GRAM_CACHE if k[0] != app]:
+        _GRAM_CACHE.pop(k, None)  # drop handles left by dead sessions
+    key = (app, sf_dir)
+    if key not in _GRAM_CACHE:
+        _GRAM_CACHE[key] = _hashed_gram_arrays(_near_corpus(spark, sf_dir)).cache()
+    return _GRAM_CACHE[key]
+
+
+def release_gram_cache(spark: SparkSession | None = None) -> None:
+    """Unpersist the shared gram-array frame (one session's, or all)."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for k in list(_GRAM_CACHE):
+        if app is None or k[0] == app:
+            _GRAM_CACHE.pop(k).unpersist()
+
+
 _GRAMS_CTE = """
 grams AS (
     SELECT DISTINCT doc_id, g FROM (
@@ -464,13 +493,10 @@ BAND_SIZE = 4
 
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_backup_spark.functions.hashing import fast_hash64
-
-    c = _near_corpus(spark, sf_dir)
-    # cache the per-doc hash arrays: both sides of the band self-join read
-    # them, and the shingle+hash lineage (HOF lambdas run interpreted, not
-    # codegen) is the expensive part of the query
-    return _band_candidates(_hashed_gram_arrays(c).cache())
+    # the shared cached per-doc hash arrays: both sides of the band
+    # self-join read them, and the shingle+hash lineage (HOF lambdas run
+    # interpreted, not codegen) is the expensive part of the query
+    return _band_candidates(_shared_gram_arrays(spark, sf_dir))
 
 
 def _lsh_sql() -> str:
@@ -856,14 +882,11 @@ def _band_candidates(arrs: DataFrame) -> DataFrame:
 
 
 def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_backup_spark.functions.hashing import fast_hash64
-
-    c = _near_corpus(spark, sf_dir)
-    # hash grams once and CACHE the per-doc ARRAY form (one row per doc —
-    # far smaller than the exploded pairs): candidates, sizes, and the
-    # verification joins all derive from it, and without materialization
-    # Spark would re-run the whole shingle+hash lineage for each side
-    arrs = _hashed_gram_arrays(c).cache()
+    # the shared cached per-doc ARRAY form (one row per doc — far smaller
+    # than the exploded pairs): candidates, sizes, and the verification
+    # joins all derive from it, and without materialization Spark would
+    # re-run the whole shingle+hash lineage for each side
+    arrs = _shared_gram_arrays(spark, sf_dir)
     cand = _band_candidates(arrs)
     # |gram set| is just the array length — no groupBy shuffle
     sizes = arrs.select("doc_id", F.size("hs").cast("long").alias("n"))

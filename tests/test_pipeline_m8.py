@@ -24,6 +24,13 @@ def test_sequence_packing_bins_partition_the_corpus(spark, sf_dir):
     n_docs = docs.count()
     assert sum(r["n_docs"] for r in rows) == n_docs
     assert sum(r["bin_tokens"] for r in rows) == total_tok
+    # per-doc token counts, to check budget boundaries doc-by-doc
+    tok_of = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("t")
+        ).collect()
+    }
     by_lang: dict[str, list] = {}
     for r in rows:
         by_lang.setdefault(r["lang"], []).append(r)
@@ -35,10 +42,19 @@ def test_sequence_packing_bins_partition_the_corpus(spark, sf_dir):
         # boundary, so doc ranges are contiguous and non-overlapping
         for prev, nxt in zip(bins, bins[1:]):
             assert prev["last_doc_id"] < nxt["first_doc_id"], lang
-        # a bin only overflows by its boundary-crossing doc: tokens strictly
-        # before the last doc stay under the budget
-        for b in bins[:-1]:
-            assert b["bin_tokens"] >= 1
+        # budget invariants, derived from the running sum `bin_id =
+        # floor(tokens_before/budget)`: for every non-last bin b,
+        #   (1) the stream crosses the (b+1)·budget boundary inside b —
+        #       cumulative tokens through b reach past the boundary;
+        #   (2) only the boundary-crossing (last) doc overflows — the
+        #       cumulative total minus that doc stays under the boundary.
+        cum = 0
+        for b in bins:
+            cum += b["bin_tokens"]
+            boundary = (b["bin_id"] + 1) * PACK_BUDGET
+            if b["bin_id"] < bins[-1]["bin_id"]:
+                assert cum >= boundary, (lang, b["bin_id"])
+                assert cum - tok_of[b["last_doc_id"]] < boundary, (lang, b["bin_id"])
 
 
 def test_pii_redaction_counts_match_planting(spark, sf_dir):
@@ -60,20 +76,40 @@ def test_pii_redaction_counts_match_planting(spark, sf_dir):
 
 
 def test_pii_redaction_masks_all_matches(spark, sf_dir):
-    # the redacted text must contain no residual match of any PII pattern
+    # after the full triple redaction (emails, then phones, then IPs — the
+    # exact chain q_pii_redaction applies), NO pattern of ANY class may
+    # still match anywhere in the corpus
     from kafka_backup_spark.queries.pipeline import EMAIL_RE, IP_RE, PHONE_RE
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = F.col("doc_id")
     email = F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))
-    text2 = F.concat(F.col("text"), F.when(d % 7 == 0, email).otherwise(F.lit("")))
-    red = F.regexp_replace(text2, EMAIL_RE, "<EMAIL>")
+    phone = F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0"))
+    ip = F.concat(
+        F.lit(" host 10.0."),
+        (d % 256).cast("string"),
+        F.lit("."),
+        ((d * 7) % 256).cast("string"),
+    )
+    text2 = F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, email).otherwise(F.lit("")),
+        F.when(d % 11 == 0, phone).otherwise(F.lit("")),
+        F.when(d % 13 == 0, ip).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text2, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IP_RE,
+        "<IP>",
+    )
     residue = docs.select(
         F.sum(F.size(F.regexp_extract_all(red, F.lit(EMAIL_RE), 0))).alias("n"),
         F.sum(F.size(F.regexp_extract_all(red, F.lit(PHONE_RE), 0))).alias("p"),
         F.sum(F.size(F.regexp_extract_all(red, F.lit(IP_RE), 0))).alias("i"),
     ).collect()[0]
-    assert residue["n"] == 0
+    assert (residue["n"], residue["p"], residue["i"]) == (0, 0, 0)
 
 
 def test_ngram_topk_is_sorted_and_exact_k(spark, sf_dir):

@@ -214,3 +214,21 @@ def test_timestamp_asof_has_no_join_expansion(spark):
     # two shuffles only (probe-dedup agg + the union-window sort); each
     # node shows up twice in `formatted` output (tree + detail section)
     assert plan.count(" Exchange") <= 4
+
+
+def test_sequence_packing_window_parallelism(spark, sf_dir):
+    """The packing running-sum must NOT be a per-lang window (5 langs ⇒ 5
+    reducer tasks sorting the whole corpus at scale).  Assert the two-level
+    shape: every Window node's partition spec includes the doc_id bucket
+    alongside lang, and the bucket offsets join back via broadcast."""
+    df = catalog.queries()["sequence_packing"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window nodes in the packing plan"
+    assert all("bkt" in s for s in specs), f"lang-only window spec: {specs}"
+    assert "BroadcastHashJoin" in plan  # offsets frame joins back broadcast
+    # and the big side is never range/single-partitioned for a global sort
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
