@@ -33,6 +33,27 @@ def _emit(obj) -> None:
     print(json.dumps(obj, default=str))
 
 
+def cmd_config(args, _doc) -> int:
+    """Inspect a YAML config without touching any store or session
+    (commands/config.rs env-expansion + validate-on-load semantics).
+    ``config validate`` exits 0/1 with a one-line verdict; ``config show``
+    prints the effective document — env-expanded, defaults resolved — so
+    users see exactly what a run would use."""
+    if not args.config:
+        print("config requires --config", file=sys.stderr)
+        return 2
+    try:
+        doc = cfgmod.load_config(args.config)
+    except (cfgmod.ConfigError, OSError, ValueError) as exc:
+        _emit({"valid": False, "error": str(exc)})
+        return 1
+    if args.action == "validate":
+        _emit({"valid": True, "mode": doc.get("mode"), "backup_id": doc.get("backup_id")})
+        return 0
+    _emit(cfgmod.effective_config(doc))
+    return 0
+
+
 def cmd_backup(args, doc) -> int:
     spark = get_spark("cli-backup")
     from kafka_backup_spark.schema import events_as_records
@@ -551,7 +572,11 @@ COMMANDS = {
     "offset-rollback": cmd_offset_rollback,
     "snapshot-groups": cmd_snapshot_groups,
     "evidence": cmd_evidence,
+    "config": cmd_config,
 }
+
+# commands that inspect local files only — no segment/manifest store needed
+_NO_STORE = {"config"}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -559,7 +584,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("command", choices=sorted(COMMANDS))
     ap.add_argument("action", nargs="?", help="subaction: offset-reset plan|script|execute; offset-rollback snapshot|plan")
     ap.add_argument("--config", help="YAML config (reference document shape)")
-    ap.add_argument("--store", required=True, help="segment/manifest store root")
+    ap.add_argument("--store", help="segment/manifest store root (required for every command except `config`)")
     ap.add_argument("--backup-id", help="backup id (for describe/status/validate)")
     ap.add_argument("--source-parquet", help="backup: source events parquet")
     ap.add_argument("--target-parquet", help="offset mapping: restored records parquet")
@@ -582,6 +607,14 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("offset-rollback requires an action: snapshot | plan")
     if args.command == "snapshot-groups" and args.action not in {"capture", "show"}:
         ap.error("snapshot-groups requires an action: capture | show")
+    if args.command == "config":
+        if args.action not in {"show", "validate"}:
+            ap.error("config requires an action: show | validate")
+        # config does its own load so invalid YAML is a clean exit-1 verdict,
+        # not a traceback from the shared preload below
+        return cmd_config(args, None)
+    if not args.store and args.command not in _NO_STORE:
+        ap.error("--store is required")
 
     doc = None
     if args.config:

@@ -28,18 +28,41 @@ class ConfigError(ValueError):
     pass
 
 
+def expand_env_vars(text: str) -> str:
+    """Expand ``${VAR}`` patterns with environment values before YAML parse
+    (commands/config.rs:1-35): unset variables become the empty string (with
+    a warning), and a bare ``$`` without ``{`` passes through unchanged."""
+    import os
+    import re
+    import warnings
+
+    def sub(m: "re.Match[str]") -> str:
+        name = m.group(1)
+        val = os.environ.get(name)
+        if val is None:
+            warnings.warn(
+                f"Environment variable '{name}' is not set, using empty string",
+                stacklevel=3,
+            )
+            return ""
+        return val
+
+    return re.sub(r"\$\{([^}]*)\}", sub, text)
+
+
 def load_config(path_or_doc: str | dict[str, Any]) -> dict[str, Any]:
-    """Load + validate a config document (YAML path, YAML string, or dict)."""
+    """Load + validate a config document (YAML path, YAML string, or dict).
+    ``${VAR}`` env references in YAML text are expanded before parsing."""
     if isinstance(path_or_doc, dict):
         doc = path_or_doc
     else:
         import yaml
 
         if "\n" in path_or_doc or ":" in path_or_doc.splitlines()[0]:
-            doc = yaml.safe_load(path_or_doc)
+            doc = yaml.safe_load(expand_env_vars(path_or_doc))
         else:
             with open(path_or_doc) as fh:
-                doc = yaml.safe_load(fh)
+                doc = yaml.safe_load(expand_env_vars(fh.read()))
     if not isinstance(doc, dict):
         raise ConfigError("config must be a mapping")
     validate(doc)
@@ -116,3 +139,19 @@ def restore_config(doc: dict[str, Any]) -> RestoreConfig:
         repartition_strategy=r.get("repartition_strategy", "murmur2"),
         inject_headers=bool(r.get("inject_headers", False)),
     )
+
+
+def effective_config(doc: dict[str, Any]) -> dict[str, Any]:
+    """The defaults-resolved view of a validated document: every engine
+    knob at its final value (dataclass defaults filled in), the shape
+    ``config show`` prints so users see exactly what a run would use."""
+    import dataclasses
+
+    return {
+        "mode": doc.get("mode"),
+        "backup_id": doc.get("backup_id"),
+        "source": dict(doc.get("source", {}) or {}),
+        "storage": dict(doc.get("storage", {}) or {}),
+        "backup": dataclasses.asdict(backup_config(doc)),
+        "restore": dataclasses.asdict(restore_config(doc)),
+    }

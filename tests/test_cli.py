@@ -406,3 +406,38 @@ def test_cli_snapshot_groups_capture_and_show(spark, capsys, tmp_path):
     df = load_snapshot(spark, store_dir, "bk-vr")
     assert {(r["group_id"], r["topic"], r["partition"], r["offset"])
             for r in df.collect()} == {("g-app", "click", 0, 42), ("g-app", "click", 1, 7)}
+
+
+def test_cli_config_show_resolves_defaults(capsys, cfg_path):
+    out = run(capsys, ["config", "show", "--config", cfg_path])
+    assert out["mode"] == "backup" and out["backup_id"] == "bk-cli"
+    # defaults the YAML never mentions are resolved to their engine values
+    assert out["backup"]["segment_span"] == 1000
+    assert out["restore"]["repartition_strategy"] == "murmur2"
+    assert out["restore"]["window_start_ms"] == 1704067200000
+
+
+def test_cli_config_validate_ok_and_invalid(capsys, cfg_path, tmp_path):
+    out = run(capsys, ["config", "validate", "--config", cfg_path])
+    assert out == {"valid": True, "mode": "backup", "backup_id": "bk-cli"}
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("mode: sideways\nbackup_id: x\n")
+    rc = main(["config", "validate", "--config", str(bad)])
+    assert rc == 1
+    verdict = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert verdict["valid"] is False and "mode" in verdict["error"]
+
+
+def test_cli_config_expands_env_vars(capsys, tmp_path, monkeypatch):
+    monkeypatch.setenv("KBS_TEST_BACKUP_ID", "bk-from-env")
+    p = tmp_path / "env.yaml"
+    p.write_text("mode: backup\nbackup_id: ${KBS_TEST_BACKUP_ID}\n")
+    out = run(capsys, ["config", "show", "--config", str(p)])
+    assert out["backup_id"] == "bk-from-env"
+    # unset variable -> empty string -> backup_id missing -> invalid
+    monkeypatch.delenv("KBS_TEST_BACKUP_ID")
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        rc = main(["config", "validate", "--config", str(p)])
+    assert rc == 1
