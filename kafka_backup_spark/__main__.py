@@ -280,6 +280,49 @@ def cmd_status(args, _doc) -> int:
     return 0
 
 
+def cmd_metrics_runtime(args, _doc) -> int:
+    """Persistent Prometheus exporter (commands/metrics_runtime.rs): serve
+    /metrics continuously while polling the store each ``--interval``, so a
+    concurrently-running backup is scrapable live.  ``--iterations`` bounds
+    the loop (tests use small values; the default is effectively forever),
+    then the endpoint honors the reference's keep-alive (one final scrape
+    window) and closes.  Emits one JSON line per tick with the bound port."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kafka_backup_spark.metrics_export import MetricsServer, backup_registry
+
+    spark = get_spark("cli-metrics")
+    store = SegmentStore(args.store)
+    registry = backup_registry()
+    registry.register("kafka_backup_store_records", "records in the segment store")
+    registry.register("kafka_backup_store_bytes", "key+value bytes in the segment store")
+    server = MetricsServer(registry, port=args.port)
+    port = server.start()
+    try:
+        for _tick in range(args.iterations):
+            try:
+                snap = store.read(spark).agg(
+                    F.count(F.lit(1)).alias("records"),
+                    F.sum(
+                        F.coalesce(F.octet_length("key"), F.lit(0))
+                        + F.coalesce(F.octet_length("value"), F.lit(0))
+                    ).alias("bytes"),
+                ).collect()[0]
+                records, nbytes = snap["records"], snap["bytes"] or 0
+            except Exception:  # store not created yet
+                records = nbytes = 0
+            registry.set("kafka_backup_store_records", records)
+            registry.set("kafka_backup_store_bytes", nbytes)
+            _emit({"port": port, "tick": _tick, "records": records, "bytes": nbytes})
+            if _tick < args.iterations - 1:
+                _time.sleep(args.interval)
+    finally:
+        server.stop(keep_alive_seconds=args.keep_alive)
+    return 0
+
+
 def _load_groups(spark, path: str):
     """Group offsets from a JSON file: [{group_id, topic, partition, offset}]."""
     import json as jsonmod
@@ -573,6 +616,7 @@ COMMANDS = {
     "snapshot-groups": cmd_snapshot_groups,
     "evidence": cmd_evidence,
     "config": cmd_config,
+    "metrics-runtime": cmd_metrics_runtime,
 }
 
 # commands that inspect local files only — no segment/manifest store needed
@@ -595,7 +639,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pdf", help="evidence: also render the report as PDF to this path")
     ap.add_argument("--watch", action="store_true", help="status: live polling mode")
     ap.add_argument("--interval", type=float, default=2.0, help="status --watch: seconds between ticks")
-    ap.add_argument("--iterations", type=int, default=2**31, help="status --watch: tick count (tests use small values)")
+    ap.add_argument("--iterations", type=int, default=2**31, help="status --watch / metrics-runtime: tick count (tests use small values)")
+    ap.add_argument("--port", type=int, default=0, help="metrics-runtime: bind port (0 = ephemeral)")
+    ap.add_argument("--keep-alive", type=float, default=0.0, help="metrics-runtime: seconds the endpoint stays up after the loop ends")
     ap.add_argument("--bootstrap-servers", help="offset-reset script/execute/bulk: target cluster")
     ap.add_argument("--max-concurrent", type=int, default=50, help="offset-reset bulk: parallel group commits")
     ap.add_argument("--max-retries", type=int, default=3, help="offset-reset bulk: per-partition retry attempts")

@@ -216,3 +216,70 @@ def serve_once(
 
     threading.Thread(target=_serve, daemon=True).start()
     return bound
+
+
+class MetricsServer:
+    """Persistent exporter (commands/metrics_runtime.rs:8-56 +
+    metrics/server.rs run loop): serves ``/metrics`` and ``/health`` on a
+    daemon thread until :meth:`stop`.  Unlike :func:`serve_once`, every
+    scrape re-renders the registry, so a concurrently-updating run shows
+    live values.  ``stop(keep_alive_seconds=N)`` mirrors the reference's
+    ``shutdown_after_operation``: the endpoint stays scrapable N seconds
+    after the operation finishes (a final Prometheus scrape window), then
+    closes.  Driver-side only — metric VALUES still come from Spark jobs."""
+
+    def __init__(self, registry: MetricsRegistry, port: int = 0, health=None) -> None:
+        self.registry = registry
+        self._port = port
+        self._health = health
+        self._server = None
+        self._thread = None
+
+    def start(self) -> int:
+        """Bind and serve in the background; returns the bound port."""
+        import http.server
+        import threading
+
+        registry = self.registry
+        health = self._health
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib API)
+                if health is not None and self.path == "/health":
+                    body = health.to_json().encode()
+                    self.send_response(200 if health.is_operational() else 503)
+                    self.send_header("Content-Type", "application/json")
+                elif self.path in ("/metrics", "/"):
+                    body = registry.render().encode()  # live re-render
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; version=0.0.4; charset=utf-8"
+                    )
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._server = http.server.ThreadingHTTPServer(("127.0.0.1", self._port), Handler)
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self._server.server_address[1]
+
+    def stop(self, keep_alive_seconds: float = 0.0) -> None:
+        """Shut down, optionally after the reference's keep-alive window."""
+        import time
+
+        if self._server is None:
+            return
+        if keep_alive_seconds > 0:
+            time.sleep(keep_alive_seconds)
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(timeout=5)
+        self._server = None

@@ -375,6 +375,25 @@ def _hashed_gram_sets(c: DataFrame) -> DataFrame:
 
 
 _GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TAGGED: dict[tuple[str, str], DataFrame] = {}
+
+
+def _tagged_persist(spark: SparkSession, tag: str, df: DataFrame) -> DataFrame:
+    """Persist ``df``, releasing the handle the SAME query persisted on a
+    previous call.  The ANN queries re-derive equivalent frames every call;
+    without this, each call re-registers the plan ("already cached"
+    warnings) and the orphaned handles pin executor storage forever.  Unlike
+    the shared gram cache, the frame is NOT reused across calls — each call
+    recomputes honestly (k-means state differs per invocation lifecycle);
+    only the storage handle lifecycle is managed."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _TAGGED if k[0] != app]:
+        _TAGGED.pop(k, None)  # drop handles left by dead sessions
+    old = _TAGGED.pop((app, tag), None)
+    if old is not None:
+        old.unpersist()
+    _TAGGED[(app, tag)] = df.persist()
+    return df
 
 
 def _shared_gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,11 +415,13 @@ def _shared_gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def release_gram_cache(spark: SparkSession | None = None) -> None:
-    """Unpersist the shared gram-array frame (one session's, or all)."""
+    """Unpersist every frame this module pinned (one session's, or all):
+    the shared gram-array cache plus the tag-tracked ANN persists."""
     app = spark.sparkContext.applicationId if spark is not None else None
-    for k in list(_GRAM_CACHE):
-        if app is None or k[0] == app:
-            _GRAM_CACHE.pop(k).unpersist()
+    for store in (_GRAM_CACHE, _TAGGED):
+        for k in list(store):
+            if app is None or k[0] == app:
+                store.pop(k).unpersist()
 
 
 _GRAMS_CTE = """
@@ -590,16 +611,15 @@ def _icsim(x: Column, y: Column, prec: int) -> Column:
     return F.round(_idot(x, y) / (_norm(x) * _norm(y)), prec)
 
 
-def _prep_corpus(df: DataFrame) -> DataFrame:
+def _prep_corpus(df: DataFrame, tag: str) -> DataFrame:
     """(vec_id, qe) → persisted corpus.
 
     The quantizer pipeline takes several actions over the same corpus (seed
     collect, Lloyd collect, final pair join); persisting the ~n×(dim·8B)
-    frame avoids re-reading + re-quantizing per action, and MEMORY_AND_DISK
-    spills gracefully when an executor can't hold its slice at scale."""
-    from pyspark import StorageLevel
-
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    frame avoids re-reading + re-quantizing per action (MEMORY_AND_DISK
+    default — spills gracefully when an executor can't hold its slice at
+    scale), and the tag releases the previous call's handle."""
+    return _tagged_persist(df.sparkSession, tag, df)
 
 
 def _cells_udf(cells: list, cent_mat: list, nprobe: int):
@@ -765,7 +785,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     corpus = _prep_corpus(
-        base.unionByName(planted).select("vec_id", _quantize(F.col("embedding")).alias("qe"))
+        base.unionByName(planted).select("vec_id", _quantize(F.col("embedding")).alias("qe")),
+        f"near_dup_corpus:{sf_dir}",
     )
     # corpus size arithmetically: vec_ids are contiguous 0..nb-1 (TESTDATA.md),
     # so planted = ceil(nb/50) and the count comes from parquet footer
@@ -780,9 +801,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine — the vectors join in only for surviving candidates.  member is
     # persisted because the self-join would otherwise recompute the
     # scoring UDF once per side.
-    member = corpus.select(
-        "vec_id", F.explode(_cells_udf(cells, cent_mat, 2)(F.col("qe"))).alias("cell")
-    ).persist()
+    member = _tagged_persist(
+        spark,
+        f"near_dup_member:{sf_dir}",
+        corpus.select(
+            "vec_id", F.explode(_cells_udf(cells, cent_mat, 2)(F.col("qe"))).alias("cell")
+        ),
+    )
     a, b = member.alias("a"), member.alias("b")
     cand = (
         a.join(
@@ -982,7 +1007,10 @@ IVF_NPROBE = 4
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")  # no spread(): see near-dup
-    corpus = _prep_corpus(emb.select("vec_id", _quantize(F.col("embedding")).alias("qe")))
+    corpus = _prep_corpus(
+        emb.select("vec_id", _quantize(F.col("embedding")).alias("qe")),
+        f"ivf_corpus:{sf_dir}",
+    )
     # parquet-footer count — no quantize+persist job just to size k
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     k = math.ceil(math.sqrt(n))

@@ -441,3 +441,17 @@ def test_cli_config_expands_env_vars(capsys, tmp_path, monkeypatch):
         _w.simplefilter("ignore")
         rc = main(["config", "validate", "--config", str(p)])
     assert rc == 1
+
+
+def test_cli_metrics_runtime_ticks(spark, capsys, store_dir):
+    # two ticks over the already-written store: each emits port + totals,
+    # endpoint closes cleanly after the loop (keep-alive 0)
+    rc = main([
+        "metrics-runtime", "--store", store_dir,
+        "--interval", "0.05", "--iterations", "2", "--keep-alive", "0",
+    ])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()[-2:]]
+    assert [l["tick"] for l in lines] == [0, 1]
+    assert lines[0]["port"] > 0 and lines[0]["records"] > 0
+    assert lines[0]["records"] == lines[1]["records"]

@@ -110,3 +110,32 @@ def test_finished_stream_populates_registry(spark, tmp_path):
     assert reg.get("kafka_backup_records") == expected
     assert reg.get("kafka_backup_batches") >= 1
     assert "kafka_backup_records_total" in reg.render()
+
+
+def test_metrics_server_live_rerender_and_shutdown():
+    """MetricsServer (metrics_runtime.rs parity): values updated between
+    scrapes are visible live, and stop() closes the socket."""
+    import urllib.error
+    import urllib.request
+
+    from kafka_backup_spark.metrics_export import MetricsRegistry, MetricsServer
+
+    reg = MetricsRegistry()
+    reg.register("kafka_backup_store_records", "records")
+    reg.set("kafka_backup_store_records", 5)
+    server = MetricsServer(reg, port=0)
+    port = server.start()
+
+    def scrape(path="/metrics"):
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=5) as r:
+            return r.read().decode()
+
+    assert "kafka_backup_store_records 5" in scrape()
+    reg.set("kafka_backup_store_records", 9)
+    assert "kafka_backup_store_records 9" in scrape()  # re-rendered, not frozen
+    with pytest.raises(urllib.error.HTTPError):
+        scrape("/nope")
+    server.stop(keep_alive_seconds=0.0)
+    with pytest.raises(Exception):
+        scrape()
+    server.stop()  # idempotent
