@@ -1056,6 +1056,137 @@ GROUP BY lang
 """
 
 
+# ── M9: repetition/quality signals + corpus shape stats ───────────────────
+# Two more corpus-curation staples (added round 4).  Both are classic
+# pre-training filters: Gopher-style repetition metrics (Rae et al. 2021's
+# "repetition" quality signals — fraction of duplicated n-grams, dominance
+# of the single most frequent token) and the per-source document-length
+# histogram every mixture/packing decision starts from.
+
+REP_DUP_BIGRAM_MAX = 0.20  # Gopher-ish: drop docs whose bigrams repeat >20%
+REP_TOP_TOKEN_MAX = 0.30  # ...or where one token is >30% of the text
+
+
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: token count, distinct-token and
+    duplicate-bigram fractions, top-token dominance, and the resulting
+    keep/drop flag.  Shape at 100 TB: two explode→groupBy chains (token
+    counts, bigram counts), both map-side-combinable — partial aggregation
+    collapses each document's grams inside the mapper, so the shuffle
+    carries ~distinct-grams-per-doc rows, then a tiny doc_id-keyed join.
+    No windows, no HOF lambdas on the hot path (explode(sequence) stays in
+    whole-stage codegen)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    tok = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    # bigrams via explode(sequence) over the word array — codegen, no lambda
+    warr = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
+    bi = (
+        docs.select("doc_id", warr.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.element_at("ws", F.col("i")), F.element_at("ws", F.col("i") + 1)
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bi"), F.count(F.lit(1)).alias("n_bi_distinct"))
+    )
+    dup_bi = F.round(1.0 - F.col("n_bi_distinct") / F.col("n_bi"), 4)
+    top_frac = F.round(F.col("top_c") / F.col("n_tokens"), 4)
+    return tok.join(bi, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_frac"),
+        top_frac.alias("top_token_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        (
+            (dup_bi <= F.lit(REP_DUP_BIGRAM_MAX)) & (top_frac <= F.lit(REP_TOP_TOKEN_MAX))
+        ).alias("keep"),
+    )
+
+
+SQL_REPETITION_METRICS = f"""
+WITH words AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ) WHERE w <> ''
+),
+tok AS (
+    SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c
+    FROM (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
+    GROUP BY doc_id
+),
+warr AS (
+    SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents
+),
+bi AS (
+    SELECT doc_id, sum(c) AS n_bi, count(*) AS n_bi_distinct
+    FROM (
+        SELECT doc_id, g, count(*) AS c FROM (
+            SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g
+            FROM warr, LATERAL unnest(range(1, len(ws))) t(i)
+            WHERE len(ws) >= 2
+        ) GROUP BY doc_id, g
+    ) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       round(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 4) AS distinct_frac,
+       round(CAST(t.top_c AS DOUBLE) / t.n_tokens, 4) AS top_token_frac,
+       round(1.0 - CAST(b.n_bi_distinct AS DOUBLE) / b.n_bi, 4) AS dup_bigram_frac,
+       (round(1.0 - CAST(b.n_bi_distinct AS DOUBLE) / b.n_bi, 4) <= {REP_DUP_BIGRAM_MAX}
+        AND round(CAST(t.top_c AS DOUBLE) / t.n_tokens, 4) <= {REP_TOP_TOKEN_MAX}) AS keep
+FROM tok t JOIN bi b ON t.doc_id = b.doc_id
+"""
+
+
+HIST_BUCKET_TOKENS = 64  # histogram bucket width in tokens
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram per source: bucketed token counts — the
+    shape every packing-budget / mixture decision reads first.  One
+    map-side-combinable groupBy on (source, bucket); cardinality is
+    #sources × #buckets regardless of corpus size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        docs.select("source", F.floor(tok / F.lit(HIST_BUCKET_TOKENS)).alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_TOKEN_HISTOGRAM = f"""
+SELECT source,
+       CAST(floor(CAST(len(string_split(text, ' ')) AS BIGINT)
+                  / {HIST_BUCKET_TOKENS}.0) AS BIGINT) AS bucket,
+       count(*) AS n_docs
+FROM documents GROUP BY source, bucket
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
@@ -1081,4 +1212,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "ngram_topk": (q_ngram_topk, SQL_NGRAM_TOPK),
     "mixture_weights": (q_mixture_weights, SQL_MIXTURE_WEIGHTS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    # M9 (catalog tail — selfcheck-gated; the 50-slot driver window is full)
+    "repetition_metrics": (q_repetition_metrics, SQL_REPETITION_METRICS),
+    "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
 }

@@ -1,0 +1,70 @@
+"""Semantic invariants for the M9 corpus-curation operators (repetition
+metrics, token histogram).  Engine-vs-oracle parity is covered by
+selfcheck; these pin the semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_backup_spark import catalog
+from kafka_backup_spark.queries.pipeline import (
+    HIST_BUCKET_TOKENS,
+    REP_DUP_BIGRAM_MAX,
+    REP_TOP_TOKEN_MAX,
+)
+
+
+def _q(name, spark, sf_dir):
+    return catalog.queries()[name](spark, sf_dir)
+
+
+def test_repetition_metrics_bounds_and_flag(spark, sf_dir):
+    rows = _q("repetition_metrics", spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs  # synthetic docs all have >= 2 tokens
+    for r in rows:
+        assert r["n_tokens"] >= 1
+        assert 0.0 < r["distinct_frac"] <= 1.0
+        assert 0.0 < r["top_token_frac"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] < 1.0
+        assert r["keep"] == (
+            r["dup_bigram_frac"] <= REP_DUP_BIGRAM_MAX
+            and r["top_token_frac"] <= REP_TOP_TOKEN_MAX
+        )
+
+
+def test_repetition_metrics_on_known_doc(spark, sf_dir):
+    # hand-check one doc end-to-end against pure Python
+    doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()[0]
+    )
+    words = [w for w in doc["text"].lower().split(" ") if w]
+    bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    from collections import Counter
+
+    wc = Counter(words)
+    row = [
+        r
+        for r in _q("repetition_metrics", spark, sf_dir).collect()
+        if r["doc_id"] == doc["doc_id"]
+    ][0]
+    assert row["n_tokens"] == len(words)
+    assert row["top_token_frac"] == round(max(wc.values()) / len(words), 4)
+    assert row["dup_bigram_frac"] == round(1 - len(set(bigrams)) / len(bigrams), 4)
+
+
+def test_token_histogram_partitions_corpus(spark, sf_dir):
+    rows = _q("token_histogram", spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # buckets are non-negative and every (source, bucket) is unique
+    keys = [(r["source"], r["bucket"]) for r in rows]
+    assert len(set(keys)) == len(keys)
+    assert all(r["bucket"] >= 0 for r in rows)
+    # cross-check one source's bucket sum against a direct count
+    src = rows[0]["source"]
+    direct = docs.filter(F.col("source") == src).count()
+    assert sum(r["n_docs"] for r in rows if r["source"] == src) == direct
