@@ -15,7 +15,7 @@ VALUES = ["", "a", "abc", "hello world", "Zürich", "文档", "x" * 100, "the qu
 
 def py_hash64(s: str) -> int:
     d = hashlib.md5(s.encode()).digest()
-    return int.from_bytes(d[8:15], "little")  # u56: md5 bytes 8..14 LE
+    return int.from_bytes(d[8:15], "big")  # u56: md5 bytes 8..14 BE
 
 
 def test_python_definition_matches_spark(spark):
