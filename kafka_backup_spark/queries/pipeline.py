@@ -350,9 +350,13 @@ SQL_MINHASH_SIGNATURES = _minhash_sql()
 
 
 # ── M7: brute-force cosine top-k (ANN baseline) ───────────────────────────
-# Probes broadcast against the corpus; dot products stay in zip_with/
-# aggregate (JVM codegen, no Python). Similarity rounded to 4dp before
-# ranking so cross-engine float summation order can't flip results.
+# Probes broadcast against the corpus; dot products run as zip_with/
+# aggregate folds (no Python, but HOF lambdas evaluate INTERPRETED — so the
+# norms are hoisted out of the pair space: one fold per VECTOR before the
+# cross join, not three folds per PAIR after it, a 3× cut in lambda evals
+# with bit-identical values since each fold's summation order is unchanged).
+# Similarity rounded to 4dp before ranking so cross-engine float summation
+# order can't flip results.
 
 N_PROBES = 5
 TOP_K = 3
@@ -361,26 +365,29 @@ TOP_K = 3
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_backup_spark.queries.common import spread
 
-    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
-    )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    pairs = F.broadcast(probes).crossJoin(corpus).filter(
-        F.col("probe_id") != F.col("neighbor_id")
-    )
-
     def dot(a, b):
         prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
         return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
 
+    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("pn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nn"),
+    )
+    pairs = F.broadcast(probes).crossJoin(corpus).filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
     sims = pairs.select(
         "probe_id",
         "neighbor_id",
         F.round(
-            dot(F.col("pe"), F.col("ne"))
-            / (F.sqrt(dot(F.col("pe"), F.col("pe"))) * F.sqrt(dot(F.col("ne"), F.col("ne")))),
-            4,
+            dot(F.col("pe"), F.col("ne")) / (F.col("pn") * F.col("nn")), 4
         ).alias("cosine_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(
