@@ -132,3 +132,22 @@ backup:
     assert all(c <= 100 for c in counts)
     # codec actually applied
     assert spark.read.parquet(f"{tmp_path}/store/topics").count() == 1000
+
+
+def test_expand_env_vars_semantics(monkeypatch):
+    """commands/config.rs parity: set vars substitute, unset vars become
+    empty (with a warning), bare $ passes through."""
+    import warnings
+
+    from kafka_backup_spark.config import expand_env_vars
+
+    monkeypatch.setenv("KBS_A", "hello")
+    monkeypatch.setenv("KBS_B", "world")
+    assert expand_env_vars("${KBS_A} ${KBS_B}") == "hello world"
+    assert expand_env_vars("price is $5") == "price is $5"
+    assert expand_env_vars("no vars here") == "no vars here"
+    monkeypatch.delenv("KBS_UNSET_XYZ", raising=False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert expand_env_vars("pass: ${KBS_UNSET_XYZ}") == "pass: "
+    assert any("KBS_UNSET_XYZ" in str(x.message) for x in w)

@@ -38,3 +38,40 @@ def test_embedding_near_dup_finds_planted_pairs(spark, sf_dir):
     planted = {(i, i + 1_000_000) for i in emb_ids if i % 50 == 0}
     recall = len(found & planted) / len(planted)
     assert recall >= 0.8, f"planted-pair recall {recall:.2f} below floor"
+
+
+def test_shared_gram_cache_single_entry_and_release(spark, sf_dir):
+    """Repeated LSH/near-dup calls reuse ONE cached gram frame; release
+    unpersists and empties the registry."""
+    from kafka_backup_spark.queries import textops
+
+    textops.release_gram_cache()
+    q = catalog.queries()
+    q["lsh_candidates"](spark, sf_dir).count()
+    q["near_dup_pipeline"](spark, sf_dir).count()
+    q["lsh_candidates"](spark, sf_dir).count()
+    app = spark.sparkContext.applicationId
+    grams = [k for k in textops._GRAM_CACHE if k[0] == app]
+    assert len(grams) == 1  # one shared frame, not one per call
+    assert textops._GRAM_CACHE[grams[0]].storageLevel.useMemory
+    textops.release_gram_cache(spark)
+    assert not [k for k in textops._GRAM_CACHE if k[0] == app]
+
+
+def test_tagged_persist_releases_previous_handle(spark, sf_dir):
+    """Each ANN call re-persists under its tag; the prior handle must be
+    unpersisted (no storage accumulation across calls)."""
+    from kafka_backup_spark.queries import textops
+
+    q = catalog.queries()
+    q["embedding_near_dup"](spark, sf_dir).count()
+    app = spark.sparkContext.applicationId
+    first = {k: v for k, v in textops._TAGGED.items() if k[0] == app}
+    q["embedding_near_dup"](spark, sf_dir).count()
+    second = {k: v for k, v in textops._TAGGED.items() if k[0] == app}
+    assert set(first) == set(second)  # same tags, no growth
+    for k, old in first.items():
+        if second[k] is not old:
+            # the replaced frame must have been unpersisted
+            assert old.storageLevel.useMemory is False or not old.is_cached
+    textops.release_gram_cache(spark)
