@@ -1215,6 +1215,83 @@ FROM h
 """
 
 
+# ── Duplicate-cluster resolution (connected components over near-dup pairs)
+# After pair detection, dedup pipelines need the CLUSTERS: each group of
+# mutual near-dups collapses to one canonical doc (the min id).  Components
+# come from iterative min-label propagation — the standard Spark shape for
+# CC: per round, every node takes the min label among itself and its
+# neighbors; converged when nothing changes.  Rounds are bounded by
+# component diameter (near-dup clusters are tiny — pairs/triples), and each
+# round is one join + one map-side-combinable min-agg.  At web scale the
+# same primitives implement large-star/small-star contraction
+# (Kiveris et al., "Connected Components in MapReduce and Beyond") for
+# log-diameter convergence; the fixture graph converges in 1-2 rounds.
+# The driver-side loop holds only a changed-row count per round.
+
+CC_MAX_ROUNDS = 20
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_near_dup_pipeline(spark, sf_dir).select("doc_a", "doc_b")
+    edges = _tagged_persist(
+        spark,
+        f"dupc_edges:{sf_dir}",
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("s", "d"),
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)  # truncate lineage between rounds
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        prop = edges.join(
+            labels.select(F.col("node").alias("s"), F.col("label").alias("l2")), "s"
+        ).select(F.col("d").alias("node"), F.col("l2").alias("label"))
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.select("node", F.col("label").alias("old")), "node")
+            .filter(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"), F.max("node").alias("max_doc")
+    ).select(F.col("label").alias("cluster_id"), "n_members", "max_doc")
+
+
+def _dup_clusters_sql() -> str:
+    """DuckDB twin: min-reachable-id per node via WITH RECURSIVE over the
+    same near-dup pair set (subquery carries its own WITH chain)."""
+    return f"""
+WITH RECURSIVE p AS (
+    SELECT doc_a, doc_b FROM ({SQL_NEAR_DUP_PIPELINE})
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM p
+          UNION ALL SELECT doc_b AS s, doc_a AS d FROM p),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node AS r FROM nodes
+    UNION
+    SELECT e.d AS node, r.r FROM reach r JOIN edges e ON e.s = r.node
+),
+labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, count(*) AS n_members, max(node) AS max_doc
+FROM labels GROUP BY cluster_id
+"""
+
+
+SQL_DUP_CLUSTERS = _dup_clusters_sql()
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
@@ -1228,4 +1305,5 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "near_dup_pipeline": (q_near_dup_pipeline, SQL_NEAR_DUP_PIPELINE),
     "lsh_candidates": (q_lsh_candidates, SQL_LSH_CANDIDATES),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
 }

@@ -75,3 +75,33 @@ def test_tagged_persist_releases_previous_handle(spark, sf_dir):
             # the replaced frame must have been unpersisted
             assert old.storageLevel.useMemory is False or not old.is_cached
     textops.release_gram_cache(spark)
+
+
+def test_dup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every verified near-dup pair lands in one cluster; cluster_id is the
+    component min; only multi-member clusters appear (no singletons)."""
+    q = catalog.queries()
+    pairs = [(r["doc_a"], r["doc_b"]) for r in q["near_dup_pipeline"](spark, sf_dir).collect()]
+    rows = q["dup_clusters"](spark, sf_dir).collect()
+    # pure-Python union-find as the oracle-of-the-oracle
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    sizes = Counter(find(x) for x in parent)
+    expect = {(root, n) for root, n in sizes.items()}
+    got = {(r["cluster_id"], r["n_members"]) for r in rows}
+    assert got == expect
+    assert all(r["n_members"] >= 2 for r in rows)
+    assert all(r["cluster_id"] <= r["max_doc"] for r in rows)
