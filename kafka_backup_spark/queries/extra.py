@@ -40,7 +40,15 @@ from kafka_backup_spark.validation.checks import (
 
 
 def q_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = records_df(spark, sf_dir)
+    # spread: this is a pure projection emitting O(n) rows, so the per-row
+    # header-codec expression work parallelizes across the narrow shuffle
+    # (0.73→0.47 s; single-row-group fixture would otherwise run 1 task).
+    # Agg-shaped consumers of records_df deliberately do NOT spread — their
+    # map-side partial agg already collapses the data in the scan task and
+    # the raw-row shuffle measured net-negative.
+    from kafka_backup_spark.queries.common import spread
+
+    r = spread(records_df(spark, sf_dir))
     injected = projections.inject_restore_headers(r)
     reassigned = injected.withColumn("offset", F.col("offset") + 999)
     out = projections.extract_source_offset(reassigned)
