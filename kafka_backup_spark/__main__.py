@@ -42,9 +42,13 @@ def cmd_config(args, _doc) -> int:
     if not args.config:
         print("config requires --config", file=sys.stderr)
         return 2
+    import yaml
+
     try:
         doc = cfgmod.load_config(args.config)
-    except (cfgmod.ConfigError, OSError, ValueError) as exc:
+    except (cfgmod.ConfigError, OSError, ValueError, yaml.YAMLError) as exc:
+        # yaml.YAMLError is NOT a ValueError — without it, malformed YAML
+        # would traceback instead of producing the clean exit-1 verdict
         _emit({"valid": False, "error": str(exc)})
         return 1
     if args.action == "validate":
@@ -214,6 +218,29 @@ def cmd_show_offset_mapping(args, _doc) -> int:
     return 0
 
 
+def _store_totals(spark, store: SegmentStore) -> tuple[int, int]:
+    """(records, key+value bytes) snapshot of a segment store — the ONE
+    definition `status --watch` and `metrics-runtime` both report.  A store
+    whose path doesn't exist yet reads as empty (bootstrap: watch/export
+    may start before the first backup writes); any other failure (executor
+    loss, corrupt footers, stopped context) propagates — silently reporting
+    0 would make an outage look like an idle store."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        snap = store.read(spark).agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum(
+                F.coalesce(F.octet_length("key"), F.lit(0))
+                + F.coalesce(F.octet_length("value"), F.lit(0))
+            ).alias("bytes"),
+        ).collect()[0]
+    except AnalysisException:  # store not created yet
+        return 0, 0
+    return snap["records"], snap["bytes"] or 0
+
+
 def cmd_status(args, _doc) -> int:
     """Status (commands/status.rs). Static mode: totals + per-topic rollup of
     a completed backup. ``--watch`` (live mode): poll the STORE itself each
@@ -226,24 +253,12 @@ def cmd_status(args, _doc) -> int:
     if args.watch:
         import time as _time
 
-        from pyspark.sql import functions as F
-
         from kafka_backup_spark.functions.formatting import format_bytes, format_number
 
         store = SegmentStore(args.store)
         prev_records = prev_bytes = prev_t = None
         for _tick in range(args.iterations):
-            try:
-                snap = store.read(spark).agg(
-                    F.count(F.lit(1)).alias("records"),
-                    F.sum(
-                        F.coalesce(F.octet_length("key"), F.lit(0))
-                        + F.coalesce(F.octet_length("value"), F.lit(0))
-                    ).alias("bytes"),
-                ).collect()[0]
-                records, nbytes = snap["records"], snap["bytes"] or 0
-            except Exception:  # store not created yet
-                records = nbytes = 0
+            records, nbytes = _store_totals(spark, store)
             line = {
                 "records": records,
                 "records_h": format_number(records),
@@ -289,8 +304,7 @@ def cmd_metrics_runtime(args, _doc) -> int:
     window) and closes.  Emits one JSON line per tick with the bound port."""
     import time as _time
 
-    from pyspark.sql import functions as F
-
+    from kafka_backup_spark.health import HealthCheck
     from kafka_backup_spark.metrics_export import MetricsServer, backup_registry
 
     spark = get_spark("cli-metrics")
@@ -298,21 +312,24 @@ def cmd_metrics_runtime(args, _doc) -> int:
     registry = backup_registry()
     registry.register("kafka_backup_store_records", "records in the segment store")
     registry.register("kafka_backup_store_bytes", "key+value bytes in the segment store")
-    server = MetricsServer(registry, port=args.port)
+    health = HealthCheck()
+    health.register_component("store_poll")
+    server = MetricsServer(registry, port=args.port, health=health)
     port = server.start()
     try:
         for _tick in range(args.iterations):
             try:
-                snap = store.read(spark).agg(
-                    F.count(F.lit(1)).alias("records"),
-                    F.sum(
-                        F.coalesce(F.octet_length("key"), F.lit(0))
-                        + F.coalesce(F.octet_length("value"), F.lit(0))
-                    ).alias("bytes"),
-                ).collect()[0]
-                records, nbytes = snap["records"], snap["bytes"] or 0
-            except Exception:  # store not created yet
-                records = nbytes = 0
+                records, nbytes = _store_totals(spark, store)
+                health.mark_healthy("store_poll")
+            except Exception as exc:
+                # keep serving: /health flips unhealthy (503) instead of the
+                # exporter dying mid-scrape or silently reporting an empty
+                # store; the gauges keep their last good values
+                health.mark_unhealthy("store_poll", str(exc))
+                _emit({"port": port, "tick": _tick, "error": str(exc)})
+                if _tick < args.iterations - 1:
+                    _time.sleep(args.interval)
+                continue
             registry.set("kafka_backup_store_records", records)
             registry.set("kafka_backup_store_bytes", nbytes)
             _emit({"port": port, "tick": _tick, "records": records, "bytes": nbytes})

@@ -1133,9 +1133,14 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("c").alias("n_bi"), F.count(F.lit(1)).alias("n_bi_distinct"))
     )
-    dup_bi = F.round(1.0 - F.col("n_bi_distinct") / F.col("n_bi"), 4)
+    # LEFT join: a doc with <2 tokens has no bigram row — it must still get
+    # a verdict (dup_bigram_frac 0.0: nothing repeated), not silently vanish
+    # from the keep/drop output
+    dup_bi = F.round(
+        F.coalesce(1.0 - F.col("n_bi_distinct") / F.col("n_bi"), F.lit(0.0)), 4
+    )
     top_frac = F.round(F.col("top_c") / F.col("n_tokens"), 4)
-    return tok.join(bi, "doc_id").select(
+    return tok.join(bi, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
         F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_frac"),
@@ -1175,10 +1180,10 @@ bi AS (
 SELECT t.doc_id, t.n_tokens,
        round(CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 4) AS distinct_frac,
        round(CAST(t.top_c AS DOUBLE) / t.n_tokens, 4) AS top_token_frac,
-       round(1.0 - CAST(b.n_bi_distinct AS DOUBLE) / b.n_bi, 4) AS dup_bigram_frac,
-       (round(1.0 - CAST(b.n_bi_distinct AS DOUBLE) / b.n_bi, 4) <= {REP_DUP_BIGRAM_MAX}
+       round(coalesce(1.0 - CAST(b.n_bi_distinct AS DOUBLE) / b.n_bi, 0.0), 4) AS dup_bigram_frac,
+       (round(coalesce(1.0 - CAST(b.n_bi_distinct AS DOUBLE) / b.n_bi, 0.0), 4) <= {REP_DUP_BIGRAM_MAX}
         AND round(CAST(t.top_c AS DOUBLE) / t.n_tokens, 4) <= {REP_TOP_TOKEN_MAX}) AS keep
-FROM tok t JOIN bi b ON t.doc_id = b.doc_id
+FROM tok t LEFT JOIN bi b ON t.doc_id = b.doc_id
 """
 
 

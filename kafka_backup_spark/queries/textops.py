@@ -416,12 +416,18 @@ def _shared_gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def release_gram_cache(spark: SparkSession | None = None) -> None:
     """Unpersist every frame this module pinned (one session's, or all):
-    the shared gram-array cache plus the tag-tracked ANN persists."""
+    the shared gram-array cache plus the tag-tracked ANN persists.  Handles
+    left by sessions that have since stopped are dropped without the
+    unpersist call — it would raise through the dead SparkContext."""
     app = spark.sparkContext.applicationId if spark is not None else None
     for store in (_GRAM_CACHE, _TAGGED):
         for k in list(store):
             if app is None or k[0] == app:
-                store.pop(k).unpersist()
+                df = store.pop(k)
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # session already stopped; nothing left to free
 
 
 _GRAMS_CTE = """
@@ -1244,6 +1250,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)  # truncate lineage between rounds
     )
+    converged = False
     for _ in range(CC_MAX_ROUNDS):
         prop = edges.join(
             labels.select(F.col("node").alias("s"), F.col("label").alias("l2")), "s"
@@ -1262,7 +1269,17 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # fail LOUD: returning the intermediate labels would silently split
+        # components whose diameter exceeds the round cap (the recursive
+        # oracle computes the full closure) — a wrong answer, not a slow one
+        raise RuntimeError(
+            f"dup_clusters: label propagation not converged after "
+            f"{CC_MAX_ROUNDS} rounds — component diameter exceeds the cap; "
+            f"raise CC_MAX_ROUNDS or switch to large-star/small-star"
+        )
     return labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_members"), F.max("node").alias("max_doc")
     ).select(F.col("label").alias("cluster_id"), "n_members", "max_doc")

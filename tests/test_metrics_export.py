@@ -139,3 +139,29 @@ def test_metrics_server_live_rerender_and_shutdown():
     with pytest.raises(Exception):
         scrape()
     server.stop()  # idempotent
+
+
+def test_metrics_server_health_endpoint():
+    """metrics-runtime wires a HealthCheck: /health serves 200 JSON while
+    operational and 503 once a component is unhealthy."""
+    import json as jsonmod
+    import urllib.error
+    import urllib.request
+
+    from kafka_backup_spark.health import HealthCheck
+    from kafka_backup_spark.metrics_export import MetricsRegistry, MetricsServer
+
+    health = HealthCheck()
+    health.register_component("store_poll")
+    server = MetricsServer(MetricsRegistry(), port=0, health=health)
+    port = server.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=5) as r:
+            body = jsonmod.loads(r.read().decode())
+        assert body["status"] == "healthy"
+        health.mark_unhealthy("store_poll", "boom")
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=5)
+        assert exc.value.code == 503
+    finally:
+        server.stop()

@@ -227,7 +227,24 @@ def test_sequence_packing_window_parallelism(spark, sf_dir):
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, "expected window nodes in the packing plan"
-    assert all("bkt" in s for s in specs), f"lang-only window spec: {specs}"
+
+    # only the PARTITION columns count — they are the args before the first
+    # ordered (ASC/DESC) column, so a lang-only window with bkt merely in
+    # its ORDER BY cannot sneak past.  The level-1 offsets window is
+    # legitimately lang-partitioned (it runs over the tiny bucket-totals
+    # frame), so the requirement is: at least one window — the level-2
+    # running sum over the full corpus — partitions on the bucket.
+    def part_cols(spec: str) -> list[str]:
+        cols = []
+        for arg in spec.split(","):
+            if " ASC" in arg or " DESC" in arg:
+                break
+            cols.append(arg.strip())
+        return cols
+
+    assert any(
+        any("bkt" in c for c in part_cols(s)) for s in specs
+    ), f"no bucket-partitioned window in the packing plan: {specs}"
     assert "BroadcastHashJoin" in plan  # offsets frame joins back broadcast
     # and the big side is never range/single-partitioned for a global sort
     assert "Exchange rangepartitioning" not in plan
