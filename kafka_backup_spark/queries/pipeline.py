@@ -1213,6 +1213,66 @@ FROM documents GROUP BY source, bucket
 """
 
 
+def q_filtered_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filtered mixture weights: the composition real curation
+    pipelines run — drop documents failing the Gopher repetition filters
+    (M9 ``repetition_metrics`` keep flag), THEN compute the α=0.5 domain
+    mixture over the survivors.  The keep set joins back as a semi-join on
+    doc_id (hash-partitioned, no payload duplication); everything downstream
+    is the one corpus agg + tiny-frame window of ``mixture_weights``."""
+    rep_keep = q_repetition_metrics(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    kept = docs.select("doc_id", "source", tok.alias("tok")).join(
+        rep_keep, "doc_id", "left_semi"
+    )
+    per = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("n_tokens")
+    )
+    s = F.floor(F.sqrt(F.col("n_tokens")) * 1000).cast("long")
+    w_all = Window.partitionBy()
+    per = per.withColumn("s", s)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(
+            F.col("n_tokens").cast("double")
+            * 1_000_000.0
+            / F.sum("n_tokens").over(w_all).cast("double")
+        ).alias("share_ppm"),
+        F.floor(
+            F.col("s").cast("double")
+            * 1_000_000.0
+            / F.sum("s").over(w_all).cast("double")
+        ).alias("weight_ppm"),
+    )
+
+
+SQL_FILTERED_MIXTURE = f"""
+WITH kept AS (
+    SELECT doc_id FROM ({SQL_REPETITION_METRICS}) WHERE keep
+),
+per AS (
+    SELECT d.source, count(*) AS n_docs,
+           sum(CAST(len(string_split(d.text, ' ')) AS BIGINT)) AS n_tokens
+    FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.source
+),
+q AS (
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(sqrt(n_tokens) * 1000) AS BIGINT) AS s
+    FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST(floor(CAST(n_tokens AS DOUBLE) * 1000000
+                  / CAST(sum(n_tokens) OVER () AS DOUBLE)) AS BIGINT) AS share_ppm,
+       CAST(floor(CAST(s AS DOUBLE) * 1000000
+                  / CAST(sum(s) OVER () AS DOUBLE)) AS BIGINT) AS weight_ppm
+FROM q
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
@@ -1241,4 +1301,5 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     # M9 (catalog tail — selfcheck-gated; the 50-slot driver window is full)
     "repetition_metrics": (q_repetition_metrics, SQL_REPETITION_METRICS),
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
+    "filtered_mixture": (q_filtered_mixture, SQL_FILTERED_MIXTURE),
 }

@@ -68,3 +68,21 @@ def test_token_histogram_partitions_corpus(spark, sf_dir):
     src = rows[0]["source"]
     direct = docs.filter(F.col("source") == src).count()
     assert sum(r["n_docs"] for r in rows if r["source"] == src) == direct
+
+
+def test_filtered_mixture_sums_and_subset(spark, sf_dir):
+    """Survivor mixture: totals equal the kept-doc subset exactly, ppm
+    normalization holds, and filtering can only shrink each source."""
+    rows = {r["source"]: r for r in _q("filtered_mixture", spark, sf_dir).collect()}
+    rep = {r["doc_id"]: r["keep"] for r in _q("repetition_metrics", spark, sf_dir).collect()}
+    full = {r["source"]: r for r in _q("mixture_weights", spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source").collect()
+    from collections import Counter
+
+    kept_by_source = Counter(d["source"] for d in docs if rep.get(d["doc_id"]))
+    assert {s: r["n_docs"] for s, r in rows.items()} == dict(kept_by_source)
+    for s, r in rows.items():
+        assert r["n_docs"] <= full[s]["n_docs"]
+        assert r["n_tokens"] <= full[s]["n_tokens"]
+    total = sum(r["share_ppm"] for r in rows.values())
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
