@@ -82,15 +82,17 @@ def main() -> int:
     # 10-30x neighbor-load spikes (see SCALE.md) and the min is the honest
     # engine cost; repeats share nothing (noop sink, no caching)
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        best = float("inf")
-        for _ in range(repeats):
+    # repeats INTERLEAVE (full pass over all queries, then repeat the pass):
+    # the VM's noise spikes last seconds-to-minutes, so back-to-back repeats
+    # of one query can all land inside a single spike — spreading a query's
+    # repeats across passes makes min-of-n actually reject localized noise
+    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(repeats):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best[name] = min(best[name], time.perf_counter() - t0)
+    timings = {name: round(t, 3) for name, t in best.items()}
 
     # measured per-query fixed floor: plan+schedule+noop-write of a trivial
     # one-row query. Sub-second entries are dominated by this scheduler

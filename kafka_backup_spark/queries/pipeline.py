@@ -771,7 +771,8 @@ FROM feats f JOIN media m USING (media_id)
 
 
 PACK_BUDGET = 2048  # tokens per packed training sequence
-PACK_BUCKET = 256  # doc_ids per prefix-sum bucket (window parallelism unit)
+PACK_BUCKET = 256  # min doc_ids per prefix-sum bucket (parallelism unit)
+MAX_PACK_BUCKETS = 4096  # cap on buckets ⇒ the offsets frame stays broadcast-small
 
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,14 +788,23 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     token totals are prefix-summed on a tiny frame (#docs/bucket_size rows)
     that broadcast-joins back, and the within-bucket window runs per
     (lang, bucket) — parallelism = #buckets, output identical to the
-    single-window formulation the oracle computes.  At larger corpora the
-    bucket width is the knob: any value keeps correctness, width ~ docs-per-
-    task keeps the totals frame tiny relative to the data."""
+    single-window formulation the oracle computes.
+
+    The bucket width ADAPTS to corpus size: width = max(PACK_BUCKET,
+    ceil(n/MAX_PACK_BUCKETS)), so the offsets frame is never more than
+    ~MAX_PACK_BUCKETS rows per lang — always broadcastable — while
+    parallelism stays in the thousands at any scale (a FIXED width would
+    grow the broadcast frame linearly with the corpus: 10⁹ docs / 256 ≈ 4M
+    rows — dead on arrival).  Output is invariant to the width, so the
+    oracle needs no knowledge of it; n comes from the parquet footer (no
+    scan)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()  # parquet footer metadata, no data scan
+    width = max(PACK_BUCKET, -(-(n_docs) // MAX_PACK_BUCKETS))
     tok = F.size(F.split(F.col("text"), " ")).cast("long")
     t = docs.select(
         "doc_id", "lang", tok.alias("tok")
-    ).withColumn("bkt", F.floor(F.col("doc_id") / F.lit(PACK_BUCKET)))
+    ).withColumn("bkt", F.floor(F.col("doc_id") / F.lit(width)))
     # level 1: per-bucket totals, prefix-summed over the tiny bucket frame
     wb = (
         Window.partitionBy("lang")
