@@ -948,16 +948,19 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-k — no global sort.  Ties broken by gram so the k-set is
     deterministic across engines."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # explode(sequence) + element_at, not a transform() lambda: the
+    # generator+projection pair fuses into whole-stage codegen while HOF
+    # lambdas evaluate interpreted (same shape as repetition_metrics)
     words = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != F.lit(""))
-    grams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(grams).alias("gram"))
+        docs.select(words.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i"), "ws")
+        .select(
+            F.concat_ws(
+                " ", F.element_at("ws", F.col("i")), F.element_at("ws", F.col("i") + 1)
+            ).alias("gram")
+        )
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("gram"))
