@@ -1,0 +1,125 @@
+"""Versioned corpus store: append-only document snapshots with cross-version
+incremental dedup — the storage-side counterpart of the ``incremental_dedup``
+catalog query, and the piece a training-data pipeline needs between crawls:
+"add this batch, but only what we have never seen".
+
+Mirrors the reference's manifest discipline (manifest merge-on-write,
+backup/engine.rs dedupe-on-merge semantics) applied to a documents table:
+
+- Layout: ``{root}/corpus/version=N/*.parquet`` (hive-partitioned on
+  version) + ``{root}/corpus_manifest.json`` (tiny driver-side lineage:
+  one entry per version with counts and the parent chain).
+- ``write_version(docs)`` keeps only documents whose content hash does not
+  appear in ANY prior version.  The prior side reads ONLY the ``h`` column
+  (parquet column pruning — the text payload never loads), reduces to
+  distinct hashes (map-side combinable), and anti-joins hash-partitioned:
+  at 100 TB the shuffle carries 16-byte keys, not documents.
+- ``read_corpus()`` is one pruned scan of the hive layout — version
+  filters push down as partition pruning, so "corpus as of v3" reads
+  exactly versions 0..3 and nothing else.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "corpus_manifest.json"
+
+
+class CorpusStore:
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    def corpus_path(self) -> str:
+        return f"{self.root}/corpus"
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST_NAME)
+
+    # ── manifest (driver-side, one tiny JSON doc — manifest_store.py style) ──
+    def versions(self) -> list[dict]:
+        try:
+            with open(self._manifest_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return []
+
+    def _append_manifest(self, entry: dict) -> None:
+        entries = self.versions()
+        entries.append(entry)
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(entries, fh, indent=2)
+        os.replace(tmp, self._manifest_path())  # atomic merge-on-write
+
+    # ── write path ────────────────────────────────────────────────────────
+    def write_version(self, docs: DataFrame) -> dict:
+        """Materialize a new version holding only never-seen documents.
+
+        ``docs``: (doc_id, lang, source, text, ...) — any schema with a
+        ``text`` column; the content hash is md5(text).  Returns the new
+        manifest entry {version, n_input, n_new, created_at}."""
+        spark = docs.sparkSession
+        prior = self.versions()
+        version = prior[-1]["version"] + 1 if prior else 0
+        hashed = docs.withColumn("h", F.md5(F.col("text").cast("binary")))
+        if prior:
+            # prior side: ONLY the hash column loads (pruned scan), distinct
+            # collapses it map-side; anti-join shuffles 16-byte keys
+            seen = self.read_corpus(spark).select("h").distinct()
+            fresh = hashed.join(seen, "h", "left_anti")
+        else:
+            # first version still dedups WITHIN the batch below
+            fresh = hashed
+        # within-batch dedup: first writer wins per hash (min doc_id), the
+        # same min(struct) shape as dedup_keep_best — no window
+        fresh = (
+            fresh.withColumn("_all", F.struct(*[c for c in fresh.columns if c != "h"]))
+            .groupBy("h")
+            .agg(F.min("_all").alias("_all"))
+            .select("h", "_all.*")
+        )
+        n_input = docs.count()
+        (
+            fresh.withColumn("version", F.lit(version))
+            .repartition("version")
+            .write.option("maxRecordsPerFile", 1_000_000)
+            .partitionBy("version")
+            .mode("append")
+            .parquet(self.corpus_path())
+        )
+        n_new = self.read_version(spark, version).count()
+        entry = {
+            "version": version,
+            "n_input": n_input,
+            "n_new": n_new,
+            "parent": prior[-1]["version"] if prior else None,
+            "created_at": int(time.time() * 1000),
+        }
+        self._append_manifest(entry)
+        return entry
+
+    # ── read paths ────────────────────────────────────────────────────────
+    def _read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", self.corpus_path()).parquet(
+            f"{self.corpus_path()}/version=*"
+        )
+
+    def read_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """One version's documents (partition-pruned scan)."""
+        return self._read(spark).filter(F.col("version") == version)
+
+    def read_corpus(self, spark: SparkSession, up_to: int | None = None) -> DataFrame:
+        """The deduped corpus as of ``up_to`` (default: latest).  Version
+        predicates prune at the partition level — "corpus as of v3" never
+        touches later versions' files."""
+        df = self._read(spark)
+        if up_to is not None:
+            df = df.filter(F.col("version") <= up_to)
+        return df

@@ -1,0 +1,58 @@
+"""CorpusStore: versioned snapshots with cross-version incremental dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_backup_spark.corpus_store import CorpusStore
+
+
+def _docs(spark, sf_dir, pred):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").filter(pred)
+
+
+def test_versions_dedup_across_and_within(spark, sf_dir, tmp_path):
+    store = CorpusStore(str(tmp_path / "corpus"))
+    d = F.col("doc_id")
+
+    # v0: docs 0..199, with doc 0's text duplicated under a fake id (within-
+    # batch dup — exactly one copy may survive)
+    base = _docs(spark, sf_dir, d < 200)
+    clone = base.filter(d == 0).withColumn("doc_id", F.lit(999_999))
+    e0 = store.write_version(base.unionByName(clone))
+    assert e0["version"] == 0 and e0["parent"] is None
+    assert e0["n_input"] == 201 and e0["n_new"] == 200  # within-batch dedup
+
+    # v1: half overlap (100..299) → only 200..299 are new
+    e1 = store.write_version(_docs(spark, sf_dir, (d >= 100) & (d < 300)))
+    assert e1["version"] == 1 and e1["parent"] == 0
+    assert e1["n_new"] == 100
+
+    # v2: full overlap → nothing new
+    e2 = store.write_version(_docs(spark, sf_dir, d < 300))
+    assert e2["n_new"] == 0
+
+    corpus = store.read_corpus(spark)
+    assert corpus.count() == 300
+    # the corpus text set equals the source's first 300 docs exactly
+    assert corpus.select("h").distinct().count() == 300
+    # as-of reads prune to the version chain
+    assert store.read_corpus(spark, up_to=0).count() == 200
+    assert store.read_version(spark, 1).count() == 100
+    assert [v["version"] for v in store.versions()] == [0, 1, 2]
+
+
+def test_prior_scan_prunes_to_hash_column(spark, sf_dir, tmp_path):
+    """The anti-join's prior side must read ONLY the hash column — at scale
+    the text payload of every earlier version must never load."""
+    store = CorpusStore(str(tmp_path / "corpus"))
+    store.write_version(_docs(spark, sf_dir, F.col("doc_id") < 100))
+    seen = store.read_corpus(spark).select("h").distinct()
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        seen.explain("formatted")
+    read_schema = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l][0]
+    assert "h" in read_schema and "text" not in read_schema
