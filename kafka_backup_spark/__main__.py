@@ -340,6 +340,22 @@ def cmd_metrics_runtime(args, _doc) -> int:
     return 0
 
 
+def cmd_corpus(args, _doc) -> int:
+    """Versioned corpus snapshots (pipeline extension — corpus_store.py):
+    ``corpus add`` ingests a documents parquet as a new version keeping only
+    never-seen content; ``corpus list`` prints the lineage manifest."""
+    from kafka_backup_spark.corpus_store import CorpusStore
+
+    store = CorpusStore(args.store)
+    if args.action == "list":
+        _emit({"versions": store.versions()})
+        return 0
+    spark = get_spark("cli-corpus")
+    entry = store.write_version(spark.read.parquet(args.source_parquet))
+    _emit(entry)
+    return 0
+
+
 def _load_groups(spark, path: str):
     """Group offsets from a JSON file: [{group_id, topic, partition, offset}]."""
     import json as jsonmod
@@ -634,6 +650,7 @@ COMMANDS = {
     "evidence": cmd_evidence,
     "config": cmd_config,
     "metrics-runtime": cmd_metrics_runtime,
+    "corpus": cmd_corpus,
 }
 
 # commands that inspect local files only — no segment/manifest store needed
@@ -670,6 +687,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("offset-rollback requires an action: snapshot | plan")
     if args.command == "snapshot-groups" and args.action not in {"capture", "show"}:
         ap.error("snapshot-groups requires an action: capture | show")
+    if args.command == "corpus" and args.action not in {"add", "list"}:
+        ap.error("corpus requires an action: add | list")
     if args.command == "config":
         if args.action not in {"show", "validate"}:
             ap.error("config requires an action: show | validate")

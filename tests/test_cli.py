@@ -455,3 +455,15 @@ def test_cli_metrics_runtime_ticks(spark, capsys, store_dir):
     assert [l["tick"] for l in lines] == [0, 1]
     assert lines[0]["port"] > 0 and lines[0]["records"] > 0
     assert lines[0]["records"] == lines[1]["records"]
+
+
+def test_cli_corpus_add_and_list(spark, capsys, sf_dir, tmp_path):
+    root = str(tmp_path / "corpus")
+    src = str(tmp_path / "batch.parquet")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).write.parquet(src)
+    e0 = run(capsys, ["corpus", "add", "--store", root, "--source-parquet", src])
+    assert (e0["version"], e0["n_new"]) == (0, 50)
+    e1 = run(capsys, ["corpus", "add", "--store", root, "--source-parquet", src])
+    assert (e1["version"], e1["n_new"]) == (1, 0)  # full overlap: nothing new
+    listed = run(capsys, ["corpus", "list", "--store", root])
+    assert [v["version"] for v in listed["versions"]] == [0, 1]
