@@ -123,3 +123,28 @@ class CorpusStore:
         if up_to is not None:
             df = df.filter(F.col("version") <= up_to)
         return df
+
+
+def stream_into_corpus(
+    stream_docs: DataFrame, store: CorpusStore, checkpoint: str
+):
+    """Continuous corpus ingestion: each micro-batch becomes one deduped
+    version (T1-style incremental semantics over documents instead of Kafka
+    records).  ``foreachBatch`` is the right tool — the cross-version
+    anti-join needs a batch view of all prior versions, which no stateful
+    streaming operator provides; the checkpoint makes ingestion restart-safe
+    (a replayed batch re-dedups to n_new=0, so at-least-once delivery still
+    yields an exactly-once corpus).  Returns the StreamingQuery; callers
+    ``awaitTermination`` it."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.write_version(batch_df)
+
+    return (
+        stream_docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -56,3 +56,34 @@ def test_prior_scan_prunes_to_hash_column(spark, sf_dir, tmp_path):
         seen.explain("formatted")
     read_schema = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l][0]
     assert "h" in read_schema and "text" not in read_schema
+
+
+def test_stream_into_corpus_dedups_per_batch(spark, sf_dir, tmp_path):
+    """File-source stream → one deduped version per micro-batch; replaying
+    identical content adds a version with n_new=0 (exactly-once corpus from
+    at-least-once delivery)."""
+    from kafka_backup_spark.corpus_store import CorpusStore, stream_into_corpus
+
+    src = str(tmp_path / "incoming")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    docs.write.parquet(src)
+    store = CorpusStore(str(tmp_path / "corpus"))
+    schema = spark.read.parquet(src).schema
+
+    q = stream_into_corpus(
+        spark.readStream.schema(schema).parquet(src),
+        store,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert store.read_corpus(spark).count() == 40
+    # second stream over the SAME content (fresh checkpoint = full replay):
+    # every doc already known → versions advance, corpus does not grow
+    q2 = stream_into_corpus(
+        spark.readStream.schema(schema).parquet(src),
+        store,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert store.read_corpus(spark).count() == 40
+    assert store.versions()[-1]["n_new"] == 0
