@@ -1286,6 +1286,66 @@ FROM q
 """
 
 
+VOCAB_TOPK = 200  # vocabulary size candidate for the coverage metric
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep metric: per language, what fraction of all token
+    occurrences the top-``VOCAB_TOPK`` words cover.  Vocabulary design
+    (BPE seed lists, coverage targets) starts from this table.
+
+    Shape at 100 TB: explode→(lang, word) counts with map-side combine —
+    the shuffle carries distinct words per partition, not tokens — then a
+    per-lang top-K via a window over the (lang, word) count frame (rows =
+    vocabulary size, partitioned by lang; NOT a corpus-scale sort) and one
+    tiny join of per-lang totals.  Ties at rank K break by word so the
+    k-set is deterministic on both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("lang").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("w"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= VOCAB_TOPK)
+        .groupBy("lang")
+        .agg(F.sum("c").alias("top_c"))
+    )
+    return top.join(totals, "lang").select(
+        "lang",
+        "n_distinct",
+        "total",
+        F.round(F.col("top_c").cast("double") / F.col("total"), 4).alias("coverage"),
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH words AS (
+    SELECT lang, w FROM (
+        SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ) WHERE w <> ''
+),
+counts AS (SELECT lang, w, count(*) AS c FROM words GROUP BY lang, w),
+totals AS (
+    SELECT lang, sum(c) AS total, count(*) AS n_distinct FROM counts GROUP BY lang
+),
+top AS (
+    SELECT lang, sum(c) AS top_c FROM (
+        SELECT lang, c, row_number() OVER (
+            PARTITION BY lang ORDER BY c DESC, w) AS rank
+        FROM counts
+    ) WHERE rank <= {VOCAB_TOPK} GROUP BY lang
+)
+SELECT t.lang, tt.n_distinct, tt.total,
+       round(CAST(t.top_c AS DOUBLE) / tt.total, 4) AS coverage
+FROM top t JOIN totals tt ON t.lang = tt.lang
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
@@ -1315,4 +1375,5 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "repetition_metrics": (q_repetition_metrics, SQL_REPETITION_METRICS),
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
     "filtered_mixture": (q_filtered_mixture, SQL_FILTERED_MIXTURE),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
 }

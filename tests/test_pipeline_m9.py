@@ -86,3 +86,23 @@ def test_filtered_mixture_sums_and_subset(spark, sf_dir):
         assert r["n_tokens"] <= full[s]["n_tokens"]
     total = sum(r["share_ppm"] for r in rows.values())
     assert 1_000_000 - len(rows) <= total <= 1_000_000
+
+
+def test_vocab_coverage_bounds_and_python_crosscheck(spark, sf_dir):
+    from kafka_backup_spark.queries.pipeline import VOCAB_TOPK
+
+    rows = {r["lang"]: r for r in _q("vocab_coverage", spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("lang", "text").collect()
+    from collections import Counter, defaultdict
+
+    by_lang: dict[str, Counter] = defaultdict(Counter)
+    for d in docs:
+        by_lang[d["lang"]].update(w for w in d["text"].lower().split(" ") if w)
+    assert set(rows) == set(by_lang)
+    for lang, wc in by_lang.items():
+        r = rows[lang]
+        assert r["n_distinct"] == len(wc)
+        assert r["total"] == sum(wc.values())
+        top = sum(c for _, c in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_TOPK])
+        assert r["coverage"] == round(top / sum(wc.values()), 4)
+        assert 0.0 < r["coverage"] <= 1.0
