@@ -132,3 +132,31 @@ def test_legacy_segment_serde_roundtrip_property(recs):
         assert (None if p["value"] is None else base64.b64decode(p["value"])) == v
         assert [(h["key"], base64.b64decode(h["value"])) for h in p["headers"]] == list(hs)
         assert p["timestamp"] == 1704067200000 + off
+
+
+@given(texts=st.lists(st.text(min_size=0, max_size=60), min_size=1, max_size=40))
+@SET
+def test_fast_hash64_matches_python_and_duckdb(spark, texts):
+    """56-bit hash definition holds for arbitrary unicode: Spark expression
+    == pure-Python md5 bytes 8..14 BE == DuckDB twin, and the value always
+    fits [0, 2^56)."""
+    import hashlib
+
+    import duckdb
+
+    from kafka_backup_spark.functions import hashing
+
+    texts = list(dict.fromkeys(texts))  # unique, preserves order
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", hashing.fast_hash64(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    duck = dict(con.sql(f"SELECT s, {hashing.fast_hash64_duckdb('s')} FROM t").fetchall())
+    for t in texts:
+        exp = int.from_bytes(hashlib.md5(t.encode()).digest()[8:15], "big")
+        assert got[t] == exp == duck[t], repr(t)
+        assert 0 <= got[t] < 1 << 56
