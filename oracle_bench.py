@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Oracle-ratio report: time the DuckDB twins of the bench headline at
+$SPARK_GRAFT_SF_DIR and print per-query spark/oracle ratios against a bench
+JSON (default: the most recent BENCH_r*.json, else a fresh `bench.py` line
+piped in via --bench-json).
+
+The ratio is floor-adjusted on the Spark side (bench's measured noop floor)
+because sub-second Spark entries are dominated by fixed plan/codegen/schedule
+cost that amortizes at scale — see SCALE.md's measured 1×→50× scaling smoke.
+
+Usage:
+    python oracle_bench.py                 # newest BENCH_r*.json
+    python oracle_bench.py --bench-json bench_out.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb
+
+from kafka_backup_spark import catalog
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench-json", help="bench.py output JSON (file path)")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.bench_json:
+        bench = json.load(open(args.bench_json))
+    else:
+        files = sorted(glob.glob("BENCH_r*.json"))
+        if not files:
+            print("no BENCH_r*.json found; pass --bench-json", file=sys.stderr)
+            return 2
+        bench = json.load(open(files[-1]))
+    timings: dict[str, float] = bench["queries"]
+    floor = float(bench.get("noop_floor_sec", 0.0))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    sqls = catalog.oracle_sql()
+
+    rows = []
+    tot_s = tot_o = 0.0
+    for name, spark_s in timings.items():
+        sql = sqls.get(name)
+        if sql is None:
+            continue
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        net = max(spark_s - floor, 0.001)
+        rows.append((name, round(best, 3), spark_s, round(net / max(best, 0.001), 2)))
+        tot_s += spark_s
+        tot_o += best
+    rows.sort(key=lambda r: -r[3])
+    print(f"{'query':26s} {'oracle_s':>8s} {'spark_s':>8s} {'net_ratio':>9s}")
+    for name, o, s, r in rows:
+        print(f"{name:26s} {o:8.3f} {s:8.3f} {r:9.2f}")
+    print(
+        json.dumps(
+            {
+                "metric": "oracle_ratio",
+                "spark_total_sec": round(tot_s, 3),
+                "oracle_total_sec": round(tot_o, 3),
+                "ratio": round(tot_s / tot_o, 2) if tot_o else None,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
