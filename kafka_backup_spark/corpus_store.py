@@ -58,52 +58,98 @@ class CorpusStore:
             json.dump(entries, fh, indent=2)
         os.replace(tmp, self._manifest_path())  # atomic merge-on-write
 
+    def _writer_lock(self):
+        """Single-writer guard: versions are numbered off the manifest, so
+        two concurrent write_version calls would both claim version N (one
+        manifest entry lost, both batches merged into one partition).  An
+        O_EXCL lock file serializes writers; read paths never take it."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def lock():
+            os.makedirs(self.root, exist_ok=True)
+            path = os.path.join(self.root, ".corpus.lock")
+            deadline = time.monotonic() + 60
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"corpus writer lock held too long: {path}"
+                        ) from None
+                    time.sleep(0.1)
+            try:
+                yield
+            finally:
+                os.close(fd)
+                os.unlink(path)
+
+        return lock()
+
     # ── write path ────────────────────────────────────────────────────────
     def write_version(self, docs: DataFrame) -> dict:
         """Materialize a new version holding only never-seen documents.
 
         ``docs``: (doc_id, lang, source, text, ...) — any schema with a
-        ``text`` column; the content hash is md5(text).  Returns the new
-        manifest entry {version, n_input, n_new, created_at}."""
-        spark = docs.sparkSession
-        prior = self.versions()
-        version = prior[-1]["version"] + 1 if prior else 0
-        hashed = docs.withColumn("h", F.md5(F.col("text").cast("binary")))
-        if prior:
-            # prior side: ONLY the hash column loads (pruned scan), distinct
-            # collapses it map-side; anti-join shuffles 16-byte keys
-            seen = self.read_corpus(spark).select("h").distinct()
-            fresh = hashed.join(seen, "h", "left_anti")
-        else:
-            # first version still dedups WITHIN the batch below
-            fresh = hashed
-        # within-batch dedup: first writer wins per hash (min doc_id), the
-        # same min(struct) shape as dedup_keep_best — no window
-        fresh = (
-            fresh.withColumn("_all", F.struct(*[c for c in fresh.columns if c != "h"]))
-            .groupBy("h")
-            .agg(F.min("_all").alias("_all"))
-            .select("h", "_all.*")
-        )
-        n_input = docs.count()
-        (
-            fresh.withColumn("version", F.lit(version))
-            .repartition("version")
-            .write.option("maxRecordsPerFile", 1_000_000)
-            .partitionBy("version")
-            .mode("append")
-            .parquet(self.corpus_path())
-        )
-        n_new = self.read_version(spark, version).count()
-        entry = {
-            "version": version,
-            "n_input": n_input,
-            "n_new": n_new,
-            "parent": prior[-1]["version"] if prior else None,
-            "created_at": int(time.time() * 1000),
-        }
-        self._append_manifest(entry)
-        return entry
+        ``text`` column; the content hash is md5(coalesce(text, '')) — NULL
+        text is CONTENT-EQUAL to empty text (a NULL md5 key would both
+        collapse distinct null docs unpredictably and pass every anti-join
+        forever, re-admitting one null doc per version).  Returns the new
+        manifest entry {version, n_input, n_new, created_at}.
+
+        Crash-safe: the parquet write targets its version partition with
+        dynamic partition OVERWRITE, so a replay after a crash between the
+        data write and the manifest append rewrites version N instead of
+        appending duplicates into it — the manifest commit is the version's
+        point of existence.  A writer lock serializes concurrent callers
+        (version numbers come from the manifest read)."""
+        with self._writer_lock():
+            spark = docs.sparkSession
+            prior = self.versions()
+            version = prior[-1]["version"] + 1 if prior else 0
+            hashed = docs.withColumn(
+                "h", F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+            )
+            if prior:
+                # prior side: ONLY the hash column loads (pruned scan),
+                # distinct collapses it map-side; anti-join ships 16-byte keys
+                seen = self.read_corpus(spark).select("h").distinct()
+                fresh = hashed.join(seen, "h", "left_anti")
+            else:
+                # first version still dedups WITHIN the batch below
+                fresh = hashed
+            # within-batch dedup: first writer wins per hash (min doc_id),
+            # the same min(struct) shape as dedup_keep_best — no window
+            fresh = (
+                fresh.withColumn(
+                    "_all", F.struct(*[c for c in fresh.columns if c != "h"])
+                )
+                .groupBy("h")
+                .agg(F.min("_all").alias("_all"))
+                .select("h", "_all.*")
+            )
+            n_input = docs.count()
+            (
+                fresh.withColumn("version", F.lit(version))
+                .repartition("version")
+                .write.option("maxRecordsPerFile", 1_000_000)
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("version")
+                .mode("overwrite")
+                .parquet(self.corpus_path())
+            )
+            n_new = self.read_version(spark, version).count()
+            entry = {
+                "version": version,
+                "n_input": n_input,
+                "n_new": n_new,
+                "parent": prior[-1]["version"] if prior else None,
+                "created_at": int(time.time() * 1000),
+            }
+            self._append_manifest(entry)
+            return entry
 
     # ── read paths ────────────────────────────────────────────────────────
     def _read(self, spark: SparkSession) -> DataFrame:

@@ -790,17 +790,20 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, bucket) — parallelism = #buckets, output identical to the
     single-window formulation the oracle computes.
 
-    The bucket width ADAPTS to corpus size: width = max(PACK_BUCKET,
-    ceil(n/MAX_PACK_BUCKETS)), so the offsets frame is never more than
-    ~MAX_PACK_BUCKETS rows per lang — always broadcastable — while
-    parallelism stays in the thousands at any scale (a FIXED width would
-    grow the broadcast frame linearly with the corpus: 10⁹ docs / 256 ≈ 4M
-    rows — dead on arrival).  Output is invariant to the width, so the
-    oracle needs no knowledge of it; n comes from the parquet footer (no
-    scan)."""
+    The bucket width ADAPTS to the doc_id RANGE: width = max(PACK_BUCKET,
+    ceil((max_id - min_id + 1)/MAX_PACK_BUCKETS)), so the offsets frame is
+    never more than ~MAX_PACK_BUCKETS rows per lang — always broadcastable
+    — while parallelism stays in the thousands at any scale.  The range
+    (not the row count) is what bounds ``floor(doc_id/width)`` cardinality:
+    sparse ids (post-filter corpora, hash-derived ids) would blow a
+    count-derived width past the cap, and a FIXED width grows the broadcast
+    frame linearly with the corpus (10⁹ ids / 256 ≈ 4M rows — dead on
+    arrival).  Output is invariant to the width, so the oracle needs no
+    knowledge of it; min/max answer from parquet column statistics."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_docs = docs.count()  # parquet footer metadata, no data scan
-    width = max(PACK_BUCKET, -(-(n_docs) // MAX_PACK_BUCKETS))
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    id_range = (hi - lo + 1) if hi is not None else 1
+    width = max(PACK_BUCKET, -(-id_range // MAX_PACK_BUCKETS))
     tok = F.size(F.split(F.col("text"), " ")).cast("long")
     t = docs.select(
         "doc_id", "lang", tok.alias("tok")

@@ -48,6 +48,9 @@ def main() -> int:
             print("no BENCH_r*.json found; pass --bench-json", file=sys.stderr)
             return 2
         bench = json.load(open(files[-1]))
+    # driver BENCH_r*.json wraps the bench line under "parsed"; raw bench.py
+    # output is the dict itself
+    bench = bench.get("parsed", bench)
     timings: dict[str, float] = bench["queries"]
     floor = float(bench.get("noop_floor_sec", 0.0))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,7 +61,7 @@ def main() -> int:
     sqls = catalog.oracle_sql()
 
     rows = []
-    tot_s = tot_o = 0.0
+    tot_s = tot_o = tot_net = 0.0
     for name, spark_s in timings.items():
         sql = sqls.get(name)
         if sql is None:
@@ -72,6 +75,7 @@ def main() -> int:
         rows.append((name, round(best, 3), spark_s, round(net / max(best, 0.001), 2)))
         tot_s += spark_s
         tot_o += best
+        tot_net += net
     rows.sort(key=lambda r: -r[3])
     print(f"{'query':26s} {'oracle_s':>8s} {'spark_s':>8s} {'net_ratio':>9s}")
     for name, o, s, r in rows:
@@ -83,6 +87,7 @@ def main() -> int:
                 "spark_total_sec": round(tot_s, 3),
                 "oracle_total_sec": round(tot_o, 3),
                 "ratio": round(tot_s / tot_o, 2) if tot_o else None,
+                "net_ratio": round(tot_net / tot_o, 2) if tot_o else None,
                 "sf_dir": sf_dir,
             }
         )

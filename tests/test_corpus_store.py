@@ -87,3 +87,21 @@ def test_stream_into_corpus_dedups_per_batch(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     assert store.read_corpus(spark).count() == 40
     assert store.versions()[-1]["n_new"] == 0
+
+
+def test_null_text_is_content_equal_to_empty(spark, sf_dir, tmp_path):
+    """NULL text hashes like empty text: no unpredictable collapse within a
+    batch, and no forever-readmitted null doc across versions."""
+    from pyspark.sql import functions as F
+
+    store = CorpusStore(str(tmp_path / "corpus"))
+    base = _docs(spark, sf_dir, F.col("doc_id") < 10)
+    nulled = base.filter(F.col("doc_id") < 2).withColumn(
+        "text", F.lit(None).cast("string")
+    ).withColumn("doc_id", F.col("doc_id") + 500)
+    e0 = store.write_version(base.unionByName(nulled))
+    # 10 real texts + ONE representative of the null/empty content class
+    assert e0["n_new"] == 11
+    # replaying nulls in a later version admits nothing new
+    e1 = store.write_version(nulled)
+    assert e1["n_new"] == 0
