@@ -1289,6 +1289,34 @@ FROM q
 """
 
 
+# ── TPC-H Q12-shaped: conditional aggregation over a join ─────────────────
+# The shipmode columns don't exist in this testdata, so the Q12 PATTERN —
+# join a fact to its dimension and split one COUNT into CASE-WHEN buckets —
+# runs over (orders ⋈ lineitem) bucketing line counts by return flag per
+# order priority.  Same plan shape as Q12: one equi-join (lineitem side
+# shuffles, orders side aggregates) + a single conditional-agg groupBy with
+# map-side combine; the CASE folds into the aggregate buffer, no extra pass.
+
+_Q12_BODY = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_lines,
+       SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_lines,
+       COUNT(*) AS total_lines
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q12_BODY)
+
+
+SQL_TPCH_Q12 = _Q12_BODY
+
+
 VOCAB_TOPK = 200  # vocabulary size candidate for the coverage metric
 
 
@@ -1360,6 +1388,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "tpch_q6_forecast": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q10_returns": (q_tpch_q10, SQL_TPCH_Q10),
     "tpch_q18_large_orders": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q12_priority_lines": (q_tpch_q12, SQL_TPCH_Q12),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

@@ -249,3 +249,16 @@ def test_sequence_packing_window_parallelism(spark, sf_dir):
     # and the big side is never range/single-partitioned for a global sort
     assert "Exchange rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_tpch_q12_conditional_agg_single_hash_agg(spark):
+    """The CASE-WHEN buckets must fold into ONE hash aggregate over the
+    join, and the bucket counts must partition the total."""
+    df = catalog.queries()["tpch_q12_priority_lines"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "HashAggregate" in plan and "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert rows and all(
+        r["returned_lines"] + r["kept_lines"] == r["total_lines"] for r in rows
+    )
