@@ -1317,6 +1317,33 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q12 = _Q12_BODY
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality rollup per language: bin count, mean fill fraction
+    (bin_tokens/budget, the number that justifies a budget choice), and the
+    overflow share (concat-then-chunk lets exactly the boundary-crossing doc
+    spill, so fill > 1.0 is expected for non-last bins).  Pure composition:
+    the per-bin frame from ``sequence_packing`` (already #bins rows — tiny)
+    rolled up once more; adds nothing to the corpus-scale cost."""
+    bins = q_sequence_packing(spark, sf_dir)
+    fill = F.col("bin_tokens").cast("double") / F.lit(float(PACK_BUDGET))
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.round(F.avg(fill), 4).alias("mean_fill"),
+        F.sum(F.when(fill > 1.0, 1).otherwise(0)).alias("overflow_bins"),
+    )
+
+
+SQL_PACKING_EFFICIENCY = f"""
+WITH bins AS ({SQL_SEQUENCE_PACKING})
+SELECT lang, count(*) AS n_bins, sum(n_docs) AS n_docs,
+       round(avg(CAST(bin_tokens AS DOUBLE) / {PACK_BUDGET}), 4) AS mean_fill,
+       sum(CASE WHEN CAST(bin_tokens AS DOUBLE) / {PACK_BUDGET} > 1.0
+                THEN 1 ELSE 0 END) AS overflow_bins
+FROM bins GROUP BY lang
+"""
+
+
 VOCAB_TOPK = 200  # vocabulary size candidate for the coverage metric
 
 
@@ -1408,4 +1435,5 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "token_histogram": (q_token_histogram, SQL_TOKEN_HISTOGRAM),
     "filtered_mixture": (q_filtered_mixture, SQL_FILTERED_MIXTURE),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFFICIENCY),
 }

@@ -106,3 +106,27 @@ def test_vocab_coverage_bounds_and_python_crosscheck(spark, sf_dir):
         top = sum(c for _, c in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_TOPK])
         assert r["coverage"] == round(top / sum(wc.values()), 4)
         assert 0.0 < r["coverage"] <= 1.0
+
+
+def test_packing_efficiency_consistent_with_bins(spark, sf_dir):
+    from kafka_backup_spark.queries.pipeline import PACK_BUDGET
+
+    bins = _q("sequence_packing", spark, sf_dir).collect()
+    eff = {r["lang"]: r for r in _q("packing_efficiency", spark, sf_dir).collect()}
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for b in bins:
+        by_lang[b["lang"]].append(b)
+    assert set(eff) == set(by_lang)
+    for lang, bs in by_lang.items():
+        r = eff[lang]
+        assert r["n_bins"] == len(bs)
+        assert r["n_docs"] == sum(b["n_docs"] for b in bs)
+        fills = [b["bin_tokens"] / PACK_BUDGET for b in bs]
+        assert r["mean_fill"] == round(sum(fills) / len(fills), 4)
+        assert r["overflow_bins"] == sum(1 for f in fills if f > 1.0)
+        # NB: a non-last bin need NOT overflow — when its predecessor's
+        # boundary-crossing doc spills deep into this bin's token range,
+        # this bin can close under budget; only the rollup consistency
+        # above is an invariant.
