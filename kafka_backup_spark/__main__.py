@@ -351,6 +351,20 @@ def cmd_corpus(args, _doc) -> int:
         _emit({"versions": store.versions()})
         return 0
     spark = get_spark("cli-corpus")
+    if args.action == "stats":
+        from pyspark.sql import functions as F
+
+        rollup = (
+            store.read_corpus(spark)
+            .groupBy("version", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text")).alias("n_chars"),
+            )
+            .orderBy("version", "lang")
+        )
+        _emit({"stats": _rows(rollup)})
+        return 0
     entry = store.write_version(spark.read.parquet(args.source_parquet))
     _emit(entry)
     return 0
@@ -687,8 +701,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("offset-rollback requires an action: snapshot | plan")
     if args.command == "snapshot-groups" and args.action not in {"capture", "show"}:
         ap.error("snapshot-groups requires an action: capture | show")
-    if args.command == "corpus" and args.action not in {"add", "list"}:
-        ap.error("corpus requires an action: add | list")
+    if args.command == "corpus" and args.action not in {"add", "list", "stats"}:
+        ap.error("corpus requires an action: add | list | stats")
     if args.command == "config":
         if args.action not in {"show", "validate"}:
             ap.error("config requires an action: show | validate")

@@ -467,3 +467,13 @@ def test_cli_corpus_add_and_list(spark, capsys, sf_dir, tmp_path):
     assert (e1["version"], e1["n_new"]) == (1, 0)  # full overlap: nothing new
     listed = run(capsys, ["corpus", "list", "--store", root])
     assert [v["version"] for v in listed["versions"]] == [0, 1]
+
+
+def test_cli_corpus_stats(spark, capsys, sf_dir, tmp_path):
+    root = str(tmp_path / "corpus")
+    src = str(tmp_path / "batch.parquet")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30).write.parquet(src)
+    run(capsys, ["corpus", "add", "--store", root, "--source-parquet", src])
+    out = run(capsys, ["corpus", "stats", "--store", root])
+    assert sum(r["n_docs"] for r in out["stats"]) == 30
+    assert all(r["version"] == 0 and r["n_chars"] > 0 for r in out["stats"])
