@@ -856,7 +856,8 @@ b AS (
                / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
     FROM t
 )
-SELECT lang, bin_id, count(*) AS n_docs, sum(tok) AS bin_tokens,
+SELECT lang, bin_id, count(*) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS bin_tokens,
        min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
 FROM b GROUP BY lang, bin_id
 """
@@ -1027,7 +1028,7 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MIXTURE_WEIGHTS = """
 WITH per AS (
     SELECT source, count(*) AS n_docs,
-           sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens
+           CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
     FROM documents GROUP BY source
 ),
 q AS (
@@ -1175,7 +1176,7 @@ WITH words AS (
     ) WHERE w <> ''
 ),
 tok AS (
-    SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c
     FROM (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
     GROUP BY doc_id
 ),
@@ -1184,7 +1185,7 @@ warr AS (
     FROM documents
 ),
 bi AS (
-    SELECT doc_id, sum(c) AS n_bi, count(*) AS n_bi_distinct
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi, count(*) AS n_bi_distinct
     FROM (
         SELECT doc_id, g, count(*) AS c FROM (
             SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g
@@ -1271,7 +1272,7 @@ WITH kept AS (
 ),
 per AS (
     SELECT d.source, count(*) AS n_docs,
-           sum(CAST(len(string_split(d.text, ' ')) AS BIGINT)) AS n_tokens
+           CAST(sum(CAST(len(string_split(d.text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
     FROM documents d JOIN kept k ON d.doc_id = k.doc_id
     GROUP BY d.source
 ),
@@ -1299,8 +1300,8 @@ FROM q
 
 _Q12_BODY = """
 SELECT o_orderpriority,
-       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_lines,
-       SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS kept_lines,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_lines,
+       CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
        COUNT(*) AS total_lines
 FROM orders, lineitem
 WHERE o_orderkey = l_orderkey
@@ -1336,10 +1337,10 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PACKING_EFFICIENCY = f"""
 WITH bins AS ({SQL_SEQUENCE_PACKING})
-SELECT lang, count(*) AS n_bins, sum(n_docs) AS n_docs,
+SELECT lang, count(*) AS n_bins, CAST(sum(n_docs) AS BIGINT) AS n_docs,
        round(avg(CAST(bin_tokens AS DOUBLE) / {PACK_BUDGET}), 4) AS mean_fill,
-       sum(CASE WHEN CAST(bin_tokens AS DOUBLE) / {PACK_BUDGET} > 1.0
-                THEN 1 ELSE 0 END) AS overflow_bins
+       CAST(sum(CASE WHEN CAST(bin_tokens AS DOUBLE) / {PACK_BUDGET} > 1.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS overflow_bins
 FROM bins GROUP BY lang
 """
 
@@ -1389,7 +1390,7 @@ WITH words AS (
 ),
 counts AS (SELECT lang, w, count(*) AS c FROM words GROUP BY lang, w),
 totals AS (
-    SELECT lang, sum(c) AS total, count(*) AS n_distinct FROM counts GROUP BY lang
+    SELECT lang, CAST(sum(c) AS BIGINT) AS total, count(*) AS n_distinct FROM counts GROUP BY lang
 ),
 top AS (
     SELECT lang, sum(c) AS top_c FROM (

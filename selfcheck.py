@@ -87,9 +87,27 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             dcols = [c for c in rel.columns]
+            dtypes = [str(t).upper() for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        # The driver fetches oracle results via pandas: HUGEINT/DECIMAL
+        # become float64 there ("7.0" vs Spark's "7") while fetchall()
+        # yields Python ints — so this script would print OK on a query the
+        # driver hashes red (exactly the round-4 sequence_packing/
+        # mixture_weights reds). Hard-fail those types up front.
+        banned = [
+            (c, t)
+            for c, t in zip(dcols, dtypes)
+            if any(k in t for k in ("HUGEINT", "DECIMAL"))
+        ]
+        if banned:
+            print(
+                f"FAIL {name}: oracle emits driver-unsafe types {banned}; "
+                "wrap in CAST(... AS BIGINT/DOUBLE)"
+            )
             failures += 1
             continue
         problems = []

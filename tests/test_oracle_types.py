@@ -1,0 +1,64 @@
+"""Guard every DuckDB oracle against driver-unsafe result types.
+
+The round-4 correctness gate went red on ``sequence_packing`` and
+``mixture_weights`` even though selfcheck printed ALL OK: DuckDB types an
+uncast ``sum(BIGINT)`` as HUGEINT, selfcheck's ``fetchall()`` renders that
+as a Python int, but the DRIVER fetches through pandas where HUGEINT (and
+DECIMAL) coerce to float64 — ``7.0`` vs Spark's ``7`` — so the value hash
+diverges.  This test makes the whole class unrepresentable: every
+``oracle_sql()`` entry must type-check clean before it can ship.
+
+No Spark session needed — DuckDB alone types the result relations.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# Types whose pandas representation diverges from fetchall()'s: the driver
+# compares through pandas, so any of these in an oracle output column can
+# hash-mismatch against Spark while selfcheck-style fetchall() agrees.
+BANNED_TYPE_FRAGMENTS = ("HUGEINT", "DECIMAL")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _oracle_items():
+    return sorted(entry.oracle_sql().items())
+
+
+@pytest.mark.parametrize("name,sql", _oracle_items(), ids=[n for n, _ in _oracle_items()])
+def test_oracle_result_types_are_driver_safe(con, name, sql):
+    rel = con.sql(sql)
+    offenders = [
+        (col, str(typ))
+        for col, typ in zip(rel.columns, rel.types)
+        if any(k in str(typ).upper() for k in BANNED_TYPE_FRAGMENTS)
+    ]
+    assert not offenders, (
+        f"oracle {name!r} emits driver-unsafe column types {offenders}: the "
+        "driver's pandas fetch coerces HUGEINT/DECIMAL to float64 and the "
+        "value hash diverges from Spark's integer rendering. Wrap the "
+        "expression in CAST(... AS BIGINT) (or AS DOUBLE for ratios)."
+    )
+
+
+def test_all_catalog_oracles_covered():
+    # queries() entries without an oracle are the documented rows-only set;
+    # this just pins that the parametrized test above saw every oracle.
+    assert len(entry.oracle_sql()) >= 80
