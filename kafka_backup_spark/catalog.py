@@ -46,6 +46,9 @@ _CHECKED_LLM = [
     "ngram_topk",
     "mixture_weights",
     "incremental_dedup",
+    # M9 representatives, driver-gated per VERDICT r4 #3:
+    "repetition_metrics",  # Gopher-quality repetition filters — the staple
+    "dup_clusters",  # connected components — the only graph-shaped operator
 ]
 # past-the-window by choice: redundant with a checked entry's semantics.
 # Displaced in r3 for the three pipeline staples (VERDICT r2 #2):
@@ -61,6 +64,11 @@ _CHECKED_LLM = [
 #                          checked pitr_window/describe_rollup + pytest
 #   round_robin_repartition — R2/R3 fan-out twin of checked
 #                          murmur2_repartition; dispersal pytest-asserted
+# Displaced in r5 for the M9 representatives (VERDICT r4 #3):
+#   offset_interpolation — J1/F10 extrapolation twin of checked
+#                          asof_offset_lookup (same operators/asof.py family)
+#   topic_regex_filter   — P2 twin of checked topic_glob_filter; both run
+#                          through the same filters.topic_filter code path
 # All stay in the catalog tail, so selfcheck still verifies every one.
 _BEYOND_WINDOW = {
     "offset_gap_scan",  # lag-window twin; integrity_scan holds the A11 slot
@@ -72,6 +80,8 @@ _BEYOND_WINDOW = {
     "semi_join_topics",
     "time_format",
     "round_robin_repartition",
+    "offset_interpolation",
+    "topic_regex_filter",
 }
 _FIRST = [
     *(n for n in CORE_QUERIES if n not in _BEYOND_WINDOW),
