@@ -144,6 +144,49 @@ def test_mixture_weights_normalize_and_smooth(spark, sf_dir):
     assert ws == sorted(ws)
 
 
+def test_incremental_dedup_null_text_parity(spark, tmp_path):
+    # NULL text must survive the anti-join on BOTH engines: Spark's
+    # left_anti never matches a NULL key, and the oracle's NOT EXISTS
+    # (p.h = md5(b.text) is UNKNOWN for NULL) keeps the row too.  A NOT IN
+    # oracle would silently return ZERO batch rows the moment any prior
+    # hash were NULL — the exact divergence this fixture pins down.
+    import duckdb
+
+    from kafka_backup_spark.queries.pipeline import (
+        SQL_INCREMENTAL_DEDUP,
+        q_incremental_dedup,
+    )
+
+    rows = [
+        # prior snapshot: doc_id % 3 == 0, including a NULL-text prior row
+        (0, "en", "alpha beta"),
+        (3, "en", None),
+        (6, "de", "gamma delta"),
+        # batch: doc_id % 3 != 0, including NULL-text batch rows
+        (1, "en", "epsilon zeta"),
+        (2, "en", None),
+        (4, "de", "alpha beta"),  # dup of prior 0 — must be dropped
+        (5, "de", None),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, lang string, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = {
+        (r["lang"], r["n_new"], r["first_new_doc_id"])
+        for r in q_incremental_dedup(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    want = {(r[0], r[1], r[2]) for r in con.sql(SQL_INCREMENTAL_DEDUP).fetchall()}
+    assert got == want
+    # NULL-text batch rows (2 and 5) survive on both engines; the md5 dups
+    # (4 and the planted copies 2000000/2000006) are dropped.
+    assert got == {("en", 2, 1), ("de", 1, 5)}
+
+
 def test_incremental_dedup_drops_every_planted_copy(spark, sf_dir):
     rows = _q("incremental_dedup", spark, sf_dir).collect()
     # planted copies of prior-snapshot docs carry doc_id >= 2_000_000 and
