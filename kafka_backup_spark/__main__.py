@@ -354,9 +354,15 @@ def cmd_corpus(args, _doc) -> int:
     if args.action == "stats":
         from pyspark.sql import functions as F
 
+        try:
+            corpus = store.read_corpus(spark)
+        except Exception:
+            # never-written store: no corpus dir yet — empty rollup, not a
+            # traceback
+            _emit({"stats": []})
+            return 0
         rollup = (
-            store.read_corpus(spark)
-            .groupBy("version", "lang")
+            corpus.groupBy("version", "lang")
             .agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum(F.length("text")).alias("n_chars"),

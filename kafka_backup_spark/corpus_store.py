@@ -112,13 +112,14 @@ class CorpusStore:
             hashed = docs.withColumn(
                 "h", F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
             )
-            if prior:
+            if prior and self._has_data():
                 # prior side: ONLY the hash column loads (pruned scan),
                 # distinct collapses it map-side; anti-join ships 16-byte keys
                 seen = self.read_corpus(spark).select("h").distinct()
                 fresh = hashed.join(seen, "h", "left_anti")
             else:
-                # first version still dedups WITHIN the batch below
+                # first version (or all prior versions empty — no partition
+                # dir exists yet) still dedups WITHIN the batch below
                 fresh = hashed
             # within-batch dedup: first writer wins per hash (min doc_id),
             # the same min(struct) shape as dedup_keep_best — no window
@@ -131,16 +132,24 @@ class CorpusStore:
                 .select("h", "_all.*")
             )
             n_input = docs.count()
+            # no repartition("version"): the column is constant per write, so
+            # shuffling on it would collapse the whole version into ONE task;
+            # partitionBy alone routes every task's rows to the partition dir
+            # and maxRecordsPerFile bounds file sizes within each task.
             (
                 fresh.withColumn("version", F.lit(version))
-                .repartition("version")
                 .write.option("maxRecordsPerFile", 1_000_000)
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("version")
                 .mode("overwrite")
                 .parquet(self.corpus_path())
             )
-            n_new = self.read_version(spark, version).count()
+            # an all-duplicate (or empty) batch writes no partition dir at
+            # all — the version still exists in the manifest with n_new=0
+            try:
+                n_new = self.read_version(spark, version).count()
+            except Exception:
+                n_new = 0
             entry = {
                 "version": version,
                 "n_input": n_input,
@@ -152,6 +161,17 @@ class CorpusStore:
             return entry
 
     # ── read paths ────────────────────────────────────────────────────────
+    def _has_data(self) -> bool:
+        """True once at least one version partition dir exists.  Empty
+        versions (all-duplicate batches) write no files, so a manifest entry
+        does not imply a readable path."""
+        try:
+            return any(
+                e.startswith("version=") for e in os.listdir(self.corpus_path())
+            )
+        except FileNotFoundError:
+            return False
+
     def _read(self, spark: SparkSession) -> DataFrame:
         return spark.read.option("basePath", self.corpus_path()).parquet(
             f"{self.corpus_path()}/version=*"

@@ -404,7 +404,16 @@ def _shared_gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     warnings) and (b) bounds pinned executor storage to one copy instead of
     one per query.  The frame is one row per doc of 8-byte hash arrays —
     MEMORY_AND_DISK default, so at scale it spills rather than evicting.
-    ``release_gram_cache`` frees it explicitly."""
+    ``release_gram_cache`` frees it explicitly.
+
+    Staleness contract: the cache is keyed on (session, sf_dir) with NO
+    file-modification check — parquet under a queried sf_dir is treated as
+    immutable for the session's lifetime (true for the testdata tiers and
+    for any sanely-versioned corpus layout, where rewrites land in NEW
+    version directories).  A writer that mutates files under sf_dir in
+    place must call ``release_gram_cache(spark)`` afterwards, or
+    lsh_candidates / near_dup_pipeline keep serving the pre-mutation gram
+    arrays."""
     app = spark.sparkContext.applicationId
     for k in [k for k in _GRAM_CACHE if k[0] != app]:
         _GRAM_CACHE.pop(k, None)  # drop handles left by dead sessions

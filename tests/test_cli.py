@@ -469,6 +469,11 @@ def test_cli_corpus_add_and_list(spark, capsys, sf_dir, tmp_path):
     assert [v["version"] for v in listed["versions"]] == [0, 1]
 
 
+def test_cli_corpus_stats_empty_store(spark, capsys, tmp_path):
+    out = run(capsys, ["corpus", "stats", "--store", str(tmp_path / "nothing")])
+    assert out == {"stats": []}
+
+
 def test_cli_corpus_stats(spark, capsys, sf_dir, tmp_path):
     root = str(tmp_path / "corpus")
     src = str(tmp_path / "batch.parquet")
