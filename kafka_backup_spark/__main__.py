@@ -23,6 +23,7 @@ from kafka_backup_spark.engine import BackupEngine, RestoreConfig, RestoreEngine
 from kafka_backup_spark.manifest_store import ManifestStore
 from kafka_backup_spark.session import get_spark
 from kafka_backup_spark.sources.segments import SegmentStore
+from kafka_backup_spark.storage_path import store_from_path
 
 
 def _rows(df) -> list[dict]:
@@ -63,7 +64,7 @@ def cmd_backup(args, doc) -> int:
     from kafka_backup_spark.schema import events_as_records
 
     records = events_as_records(spark.read.parquet(args.source_parquet))
-    store = SegmentStore(args.store)
+    store = store_from_path(spark, args.store)
     bcfg = cfgmod.backup_config(doc)
     engine = BackupEngine(store, bcfg)
     manifest = engine.run(records)
@@ -79,7 +80,7 @@ def cmd_backup(args, doc) -> int:
 
 def cmd_restore(args, doc) -> int:
     spark = get_spark("cli-restore")
-    store = SegmentStore(args.store)
+    store = store_from_path(spark, args.store)
     engine = RestoreEngine(store, cfgmod.restore_config(doc))
     out = engine.plan(spark)
     out.write.mode("overwrite").parquet(args.out)
@@ -140,7 +141,7 @@ def cmd_validate(args, doc) -> int:
     span = (mstore.load_doc() or {}).get("segment_span")
     if span is None and doc is not None:
         span = cfgmod.backup_config(doc).segment_span
-    rescan = mani.build_manifest(SegmentStore(args.store).read(spark), span or 1000)
+    rescan = mani.build_manifest(store_from_path(spark, args.store).read(spark), span or 1000)
     observed = rescan.select("key", "record_count", "start_offset", "end_offset")
     scan = integrity_scan(m, observed)
     summary = validation_summary(scan.withColumnRenamed("status", "status"))
@@ -255,7 +256,7 @@ def cmd_status(args, _doc) -> int:
 
         from kafka_backup_spark.functions.formatting import format_bytes, format_number
 
-        store = SegmentStore(args.store)
+        store = store_from_path(spark, args.store)
         prev_records = prev_bytes = prev_t = None
         for _tick in range(args.iterations):
             records, nbytes = _store_totals(spark, store)
@@ -308,7 +309,7 @@ def cmd_metrics_runtime(args, _doc) -> int:
     from kafka_backup_spark.metrics_export import MetricsServer, backup_registry
 
     spark = get_spark("cli-metrics")
-    store = SegmentStore(args.store)
+    store = store_from_path(spark, args.store)
     registry = backup_registry()
     registry.register("kafka_backup_store_records", "records in the segment store")
     registry.register("kafka_backup_store_bytes", "key+value bytes in the segment store")
@@ -498,7 +499,7 @@ def cmd_three_phase_restore(args, doc) -> int:
 
     rcfg = cfgmod.restore_config(doc) if doc is not None else RestoreConfig()
     rcfg.inject_headers = True  # phase 1 provenance is the point
-    engine = RestoreEngine(SegmentStore(args.store), rcfg)
+    engine = RestoreEngine(store_from_path(spark, args.store), rcfg)
     out = engine.plan(spark)
     out.write.mode("overwrite").parquet(args.out)
     target = spark.read.parquet(args.out)
@@ -609,7 +610,7 @@ def cmd_evidence(args, doc) -> int:
         return 1
     m = mstore.load(spark)
     span = docjson.get("segment_span") or 1000
-    rescan = mani.build_manifest(SegmentStore(args.store).read(spark), span)
+    rescan = mani.build_manifest(store_from_path(spark, args.store).read(spark), span)
     scan = integrity_scan(m, rescan.select("key", "record_count", "start_offset", "end_offset"))
     summary = _rows(validation_summary(scan))[0]
     check = m.select(

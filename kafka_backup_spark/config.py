@@ -101,6 +101,16 @@ def validate(doc: dict[str, Any]) -> None:
     if r.get("repartition_to") is not None and int(r["repartition_to"]) < 1:
         raise ConfigError("repartition_to must be >= 1")
 
+    # SASL wiring runs immediately after parse, like the reference CLI's
+    # populate_sasl_plugin (commands/sasl_plugin.rs:23-28): a bad mechanism
+    # or missing Kerberos state errors HERE, not mid-connect
+    from kafka_backup_spark.security import SecurityError, populate_sasl_options
+
+    try:
+        populate_sasl_options((doc.get("source", {}) or {}).get("security"))
+    except SecurityError as e:
+        raise ConfigError(str(e)) from e
+
 
 def backup_config(doc: dict[str, Any]) -> BackupConfig:
     b = doc.get("backup", {}) or {}
@@ -147,6 +157,8 @@ def effective_config(doc: dict[str, Any]) -> dict[str, Any]:
     ``config show`` prints so users see exactly what a run would use."""
     import dataclasses
 
+    from kafka_backup_spark.security import populate_sasl_options
+
     return {
         "mode": doc.get("mode"),
         "backup_id": doc.get("backup_id"),
@@ -154,4 +166,10 @@ def effective_config(doc: dict[str, Any]) -> dict[str, Any]:
         "storage": dict(doc.get("storage", {}) or {}),
         "backup": dataclasses.asdict(backup_config(doc)),
         "restore": dataclasses.asdict(restore_config(doc)),
+        # the compiled kafka.* connector options the run would pass to
+        # spark.read.format("kafka") — secrets and all, matching the
+        # reference's config show of the resolved document
+        "kafka_options": populate_sasl_options(
+            (doc.get("source", {}) or {}).get("security")
+        ),
     }

@@ -36,20 +36,96 @@ def records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.withColumn("ts_ms", F.unix_millis("timestamp"))
 
 
-def manifest_df(spark: SparkSession, sf_dir: str, span: int = SEGMENT_SPAN) -> DataFrame:
+# Session-scoped cache for the derived METADATA frames (manifest, live
+# watermarks, offset mapping).  In the reference these are persisted
+# artifacts, not per-query derivations: the manifest is a JSON file the
+# backup run writes once (manifest.rs), offset mappings are files restore
+# emits (offset_mapping.rs), and `validate` fetches cluster watermarks ONCE
+# and runs every check against them (commands/validate.rs).  Re-deriving
+# them from the record stream on every catalog call — the previous shape —
+# paid an events-scan plus two shuffles per query for frames whose size is
+# bounded by segment/partition counts, not data volume (a 100 TB backup's
+# manifest is ~millions of rows of metadata — MEMORY_AND_DISK persists it
+# on one executor-cluster comfortably, and every validation/describe/reset
+# query starts from it instead of the raw stream).
+#
+# Staleness contract (same as textops._shared_gram_arrays): keyed on
+# (applicationId, sf_dir, kind) with NO file-modification check — parquet
+# under sf_dir is immutable for the session.  In-place writers must call
+# release_meta_cache(spark).
+_META_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _shared_meta(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _META_CACHE if k[0] != app]:
+        _META_CACHE.pop(k, None)  # drop handles left by dead sessions
+    key = (app, sf_dir, kind)
+    if key not in _META_CACHE:
+        _META_CACHE[key] = build().persist()
+    return _META_CACHE[key]
+
+
+def release_meta_cache(spark: SparkSession | None = None) -> None:
+    """Unpersist every metadata frame this module pinned (one session's, or
+    all).  Dead-session handles are dropped without the unpersist call."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for k in list(_META_CACHE):
+        if app is None or k[0] == app:
+            df = _META_CACHE.pop(k)
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped; nothing left to free
+
+
+def build_manifest_df(spark: SparkSession, sf_dir: str, span: int = SEGMENT_SPAN) -> DataFrame:
+    """Uncached manifest derivation (one events scan + one groupBy shuffle).
+    Plan-shape tests pin THIS builder; catalog queries go through the cached
+    ``manifest_df``."""
     return mani.build_manifest(records_df(spark, sf_dir), span)
 
 
-def detailed_mapping_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Detailed offset-mapping fixture: every 10th record, target = offset + 100000."""
-    r = records_df(spark, sf_dir)
-    return r.filter(F.col("offset") % 10 == 0).select(
-        "topic",
-        "partition",
-        F.col("offset").alias("source_offset"),
-        (F.col("offset") + 100000).alias("target_offset"),
-        F.col("ts_ms").alias("timestamp"),
+def manifest_df(spark: SparkSession, sf_dir: str, span: int = SEGMENT_SPAN) -> DataFrame:
+    return _shared_meta(
+        spark, sf_dir, f"manifest:{span}", lambda: build_manifest_df(spark, sf_dir, span)
     )
+
+
+def watermarks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic live-cluster watermarks: earliest/latest per partition, with
+    even partitions shifted to plant count discrepancies (FIXTURES.md §3).
+    Cached — `validate` fetches watermarks once per run, every check reuses
+    them (commands/validate.rs)."""
+
+    def build() -> DataFrame:
+        r = records_df(spark, sf_dir)
+        return r.groupBy("topic", "partition").agg(
+            F.min("offset").alias("earliest"),
+            F.when(F.col("partition") % 2 == 0, F.min("offset") + F.count(F.lit(1)))
+            .otherwise(F.max("offset") + 1)
+            .alias("latest"),
+        )
+
+    return _shared_meta(spark, sf_dir, "watermarks", build)
+
+
+def detailed_mapping_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detailed offset-mapping fixture: every 10th record, target = offset +
+    100000.  Cached — the reference persists offset mappings to files at
+    restore time and reset plans re-read them (offset_mapping.rs)."""
+
+    def build() -> DataFrame:
+        r = records_df(spark, sf_dir)
+        return r.filter(F.col("offset") % 10 == 0).select(
+            "topic",
+            "partition",
+            F.col("offset").alias("source_offset"),
+            (F.col("offset") + 100000).alias("target_offset"),
+            F.col("ts_ms").alias("timestamp"),
+        )
+
+    return _shared_meta(spark, sf_dir, "mapping", build)
 
 
 # ── DuckDB side (kept textually in sync with the Spark builders above) ────

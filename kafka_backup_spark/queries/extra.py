@@ -23,6 +23,7 @@ from kafka_backup_spark.queries.common import (
     manifest_cte,
     manifest_df,
     records_df,
+    watermarks_df,
 )
 from kafka_backup_spark.validation.checks import (
     consumer_group_check,
@@ -194,19 +195,17 @@ watermarks AS (
 
 
 def _watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    r = records_df(spark, sf_dir)
-    return r.groupBy("topic", "partition").agg(
-        F.min("offset").alias("earliest"),
-        F.when(F.col("partition") % 2 == 0, F.min("offset") + F.count(F.lit(1)))
-        .otherwise(F.max("offset") + 1)
-        .alias("latest"),
-    )
+    return watermarks_df(spark, sf_dir)
 
 
 def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = manifest_df(spark, sf_dir)
-    w = _watermarks(spark, sf_dir)
-    return validation_summary(message_count_check(m, w), offset_range_check(m, w))
+    # summarize over the CACHED check results (validation/mod.rs:121-192
+    # composes over completed check outputs; each check ran once per run)
+    from kafka_backup_spark.queries.core import message_count_result, offset_range_result
+
+    return validation_summary(
+        message_count_result(spark, sf_dir), offset_range_result(spark, sf_dir)
+    )
 
 
 SQL_VALIDATION_SUMMARY = f"""
@@ -352,9 +351,9 @@ FROM manifest
 
 def q_evidence_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_backup_spark.evidence import integrity_digest
+    from kafka_backup_spark.queries.core import message_count_result
 
-    check = message_count_check(manifest_df(spark, sf_dir), _watermarks(spark, sf_dir))
-    return integrity_digest(check)
+    return integrity_digest(message_count_result(spark, sf_dir))
 
 
 SQL_EVIDENCE_DIGEST = f"""

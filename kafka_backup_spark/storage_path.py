@@ -1,0 +1,111 @@
+"""Storage-path resolution: CLI path/URL → Hadoop filesystem URI + conf.
+
+Reference: crates/kafka-backup-cli/src/commands/storage_path.rs:1-15
+(``backend_from_path``: bare paths become a FilesystemBackend, ``://`` URLs
+go through ``StorageBackendConfig::from_url``) and
+crates/kafka-backup-core/src/storage/config.rs:119-202 (the URL grammar:
+``s3://bucket/prefix?region=&endpoint=&path_style=``, ``azure://account/``
+``container``, ``gcs://bucket``, ``file:///path``, ``memory://``).
+
+The Spark-first translation: there is no backend object to construct —
+every Spark read/write already goes through the Hadoop FileSystem layer, so
+"resolving a storage path" means (a) rewriting the reference's scheme
+grammar onto the Hadoop connector schemes (s3 → s3a, azure → abfss,
+gcs → gs) and (b) translating the query-string/env credentials into the
+connector's ``fs.*`` Hadoop conf keys.  The returned URI drops straight
+into ``SegmentStore(root)`` / ``manifest_store`` — one code path for local
+disk, S3, Azure and GCS, which is exactly the X2 StorageBackend surface.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from urllib.parse import parse_qs, urlparse
+
+
+class StoragePathError(ValueError):
+    pass
+
+
+def resolve_storage_path(path: str) -> tuple[str, dict[str, str]]:
+    """path/URL → ``(hadoop_uri, hadoop_conf)``.
+
+    Bare paths (no ``://``) resolve as local filesystem directories —
+    storage_path.rs:9-14's FilesystemBackend arm.
+    """
+    if "://" not in path:
+        return os.path.abspath(path), {}
+    u = urlparse(path)
+    q = {k: v[-1] for k, v in parse_qs(u.query).items()}
+    scheme = u.scheme.lower()
+    if scheme in ("s3", "s3a"):
+        bucket = u.netloc
+        if not bucket:
+            raise StoragePathError(f"S3 URL {path!r} has no bucket")
+        prefix = u.path.strip("/")
+        conf: dict[str, str] = {}
+        if "region" in q:
+            conf["fs.s3a.endpoint.region"] = q["region"]
+        if "endpoint" in q:
+            conf["fs.s3a.endpoint"] = q["endpoint"]
+        if q.get("path_style") == "true":
+            conf["fs.s3a.path.style.access"] = "true"
+        # env-credential fallback mirrors config.rs:150-151; the s3a default
+        # chain reads the same variables, set explicitly only if present so
+        # IAM-role/instance-profile chains still work when unset
+        if os.environ.get("AWS_ACCESS_KEY_ID"):
+            conf["fs.s3a.access.key"] = os.environ["AWS_ACCESS_KEY_ID"]
+        if os.environ.get("AWS_SECRET_ACCESS_KEY"):
+            conf["fs.s3a.secret.key"] = os.environ["AWS_SECRET_ACCESS_KEY"]
+        uri = f"s3a://{bucket}" + (f"/{prefix}" if prefix else "")
+        return uri, conf
+    if scheme in ("azure", "az", "abfss"):
+        account = u.netloc.split(".")[0]
+        container = u.path.strip("/").split("/")[0]
+        if not account or not container:
+            raise StoragePathError(
+                f"Azure URL {path!r} needs azure://<account>/<container>"
+            )
+        rest = "/".join(u.path.strip("/").split("/")[1:])
+        conf = {}
+        key = os.environ.get("AZURE_STORAGE_KEY") or os.environ.get(
+            "AZURE_STORAGE_ACCOUNT_KEY"
+        )
+        if key:
+            conf[f"fs.azure.account.key.{account}.dfs.core.windows.net"] = key
+        uri = f"abfss://{container}@{account}.dfs.core.windows.net"
+        return uri + (f"/{rest}" if rest else ""), conf
+    if scheme in ("gcs", "gs"):
+        bucket = u.netloc
+        if not bucket:
+            raise StoragePathError(f"GCS URL {path!r} has no bucket")
+        conf = {}
+        if os.environ.get("GOOGLE_APPLICATION_CREDENTIALS"):
+            conf["fs.gs.auth.service.account.json.keyfile"] = os.environ[
+                "GOOGLE_APPLICATION_CREDENTIALS"
+            ]
+        prefix = u.path.strip("/")
+        return f"gs://{bucket}" + (f"/{prefix}" if prefix else ""), conf
+    if scheme == "file":
+        return u.path or "/", {}
+    if scheme == "memory":
+        # the reference's in-memory test backend (config.rs:196); Hadoop has
+        # no RAM filesystem, so the closest single-node twin is a fresh
+        # process-local temp dir — contents die with the machine, like the
+        # reference's Memory backend dies with the process
+        return tempfile.mkdtemp(prefix="kbs-memory-"), {}
+    raise StoragePathError(f"Unknown storage scheme: {scheme}")
+
+
+def store_from_path(spark, path: str):
+    """``backend_from_path`` twin (storage_path.rs:8-15): resolve the
+    path/URL, apply connector conf to the live session's Hadoop
+    configuration, and return a :class:`SegmentStore` rooted there."""
+    from kafka_backup_spark.sources.segments import SegmentStore
+
+    uri, conf = resolve_storage_path(path)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        hconf.set(k, v)
+    return SegmentStore(uri)

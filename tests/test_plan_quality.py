@@ -69,11 +69,20 @@ def test_simhash_is_single_exchange_hash_agg(spark):
 
 
 def test_manifest_agg_is_single_exchange(spark, sf_dir):
-    df = catalog.queries()["describe_rollup"](spark, sf_dir)
+    from kafka_backup_spark import manifest as mani
+    from kafka_backup_spark.queries.common import build_manifest_df
+
+    # the uncached derivation: partial + final hash aggregate with exactly
+    # one shuffle for the rollup on top of the one manifest-build shuffle
+    df = mani.describe(build_manifest_df(spark, sf_dir))
     plan = _plan(df)
-    # partial + final hash aggregate with exactly one shuffle for the rollup
-    assert plan.count("Exchange hashpartitioning") <= 2  # rollup expand + agg
+    assert plan.count("Exchange hashpartitioning") <= 3  # build + expand + agg
     assert "HashAggregate" in plan
+    # the catalog query itself must START from the shared cached manifest
+    # (one persisted metadata frame feeds every describe/validate/reset
+    # query — commands/validate.rs loads the manifest once per run)
+    cached = _plan(catalog.queries()["describe_rollup"](spark, sf_dir))
+    assert "InMemoryTableScan" in cached
 
 
 def test_load_table_survives_vanilla_session(spark, sf_dir):

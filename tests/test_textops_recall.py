@@ -58,23 +58,33 @@ def test_shared_gram_cache_single_entry_and_release(spark, sf_dir):
     assert not [k for k in textops._GRAM_CACHE if k[0] == app]
 
 
-def test_tagged_persist_releases_previous_handle(spark, sf_dir):
-    """Each ANN call re-persists under its tag; the prior handle must be
-    unpersisted (no storage accumulation across calls)."""
+def test_ann_index_built_once_and_released(spark, sf_dir):
+    """The ANN index (corpus + quantizer + cell assignments) is a build-once
+    artifact: repeated calls reuse ONE registry entry per index tag, results
+    are identical across calls (deterministic build), and release empties
+    the registry and unpersists the frames."""
     from kafka_backup_spark.queries import textops
 
+    textops.release_gram_cache()
     q = catalog.queries()
-    q["embedding_near_dup"](spark, sf_dir).count()
+    first_rows = set(map(tuple, q["embedding_near_dup"](spark, sf_dir).collect()))
     app = spark.sparkContext.applicationId
-    first = {k: v for k, v in textops._TAGGED.items() if k[0] == app}
-    q["embedding_near_dup"](spark, sf_dir).count()
-    second = {k: v for k, v in textops._TAGGED.items() if k[0] == app}
-    assert set(first) == set(second)  # same tags, no growth
-    for k, old in first.items():
-        if second[k] is not old:
-            # the replaced frame must have been unpersisted
-            assert old.storageLevel.useMemory is False or not old.is_cached
+    entries = {k: v for k, v in textops._ANN_INDEX.items() if k[0] == app}
+    assert len(entries) == 1  # one index, not one per call
+    (key, entry) = next(iter(entries.items()))
+    corpus_before = entry["corpus"]
+    second_rows = set(map(tuple, q["embedding_near_dup"](spark, sf_dir).collect()))
+    assert second_rows == first_rows  # cached index ≡ fresh build
+    entries2 = {k: v for k, v in textops._ANN_INDEX.items() if k[0] == app}
+    assert set(entries2) == {key}  # no growth
+    assert entries2[key]["corpus"] is corpus_before  # same persisted frame
+    assert entry["corpus"].storageLevel.useMemory
+    assert entry["member"].storageLevel.useMemory
+    q["ivf_topk"](spark, sf_dir).count()
+    assert len([k for k in textops._ANN_INDEX if k[0] == app]) == 2  # own tag
     textops.release_gram_cache(spark)
+    assert not [k for k in textops._ANN_INDEX if k[0] == app]
+    assert not entry["corpus"].is_cached
 
 
 def test_dup_clusters_consistent_with_pairs(spark, sf_dir):
