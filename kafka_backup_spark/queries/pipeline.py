@@ -1422,6 +1422,131 @@ FROM top t JOIN totals tt ON t.lang = tt.lang
 """
 
 
+# ── M9: token-budget corpus selection ─────────────────────────────────────
+# "Fill each source's training-token budget with its highest-quality docs."
+# The naive shape — rank every doc per source by quality and take a running
+# sum — is a per-source global sort (unbounded window frames at 100 TB).
+# The scalable shape used here quantizes quality into ≤1001 buckets, runs
+# the cumulative fill over the per-(source, bucket) AGGREGATE frame (≤1001
+# rows per source at ANY corpus size), and reports the quality cutoff at
+# which the budget crosses.  Whole buckets are taken until the budget
+# boundary falls inside one (that boundary bucket is included — the
+# concat-then-chunk convention sequence_packing also uses), so doc-level
+# selection is then a map-side filter `bucket >= cutoff`.  Budget = half of
+# each source's total tokens, so the cutoff bites at every sf tier.
+
+
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    # quality = distinct-token ratio (the q_quality_score staple), quantized
+    # to 1/1000 buckets; round(x, 6) first so the bucket edge is identical
+    # across engines (same 6dp value both sides, then one floor)
+    qb = F.floor(F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6) * 1000).cast("long")
+    per_bucket = docs.select(
+        "source", qb.alias("qb"), n.cast("long").alias("tok")
+    ).groupBy("source", "qb").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("bucket_tokens")
+    )
+    w_src = Window.partitionBy("source")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("qb").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_bucket.withColumn(
+        "budget", F.floor(F.sum("bucket_tokens").over(w_src) / 2)
+    ).withColumn("cum_tokens", F.sum("bucket_tokens").over(w_cum))
+    # a bucket is selected iff the fill starts BEFORE the budget boundary
+    sel = cum.filter(F.col("cum_tokens") - F.col("bucket_tokens") < F.col("budget"))
+    return sel.groupBy("source").agg(
+        F.min("qb").alias("cutoff_quality_milli"),
+        F.sum("n_docs").alias("n_selected"),
+        F.sum("bucket_tokens").alias("selected_tokens"),
+        F.max("budget").alias("token_budget"),
+    )
+
+
+SQL_TOKEN_BUDGET_SELECTION = """
+WITH scored AS (
+    SELECT source,
+           CAST(floor(round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                            / len(string_split(lower(text), ' ')), 6) * 1000) AS BIGINT) AS qb,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok
+    FROM documents
+),
+per_bucket AS (
+    SELECT source, qb, count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS bucket_tokens
+    FROM scored GROUP BY source, qb
+),
+cum AS (
+    SELECT source, qb, n_docs, bucket_tokens,
+           CAST(floor(sum(bucket_tokens) OVER (PARTITION BY source) / 2) AS BIGINT) AS budget,
+           CAST(sum(bucket_tokens) OVER (
+               PARTITION BY source ORDER BY qb DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+    FROM per_bucket
+)
+SELECT source,
+       min(qb) AS cutoff_quality_milli,
+       CAST(sum(n_docs) AS BIGINT) AS n_selected,
+       CAST(sum(bucket_tokens) AS BIGINT) AS selected_tokens,
+       max(budget) AS token_budget
+FROM cum
+WHERE cum_tokens - bucket_tokens < budget
+GROUP BY source
+"""
+
+
+# ── M9: per-language quantile quality gate ────────────────────────────────
+# FineWeb-style percentile filtering: keep documents above their language's
+# median quality instead of a global absolute threshold (absolute cutoffs
+# systematically starve low-resource languages).  Exact `percentile` here so
+# the DuckDB `quantile_cont` twin hash-matches (the same interpolation
+# definition — parity proven by reset_percentiles); the 100 TB path swaps in
+# `percentile_approx` (t-digest, map-side combinable) exactly as
+# reset_latency_percentiles documents.
+
+
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.lower(F.col("text")), " ")
+    q = F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6)
+    scored = docs.select("lang", q.alias("q"))
+    med = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(q, 0.5)"), 6).alias("median_q")
+    )
+    j = scored.join(F.broadcast(med), "lang")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("q") > F.col("median_q"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.max("median_q").alias("median_q"),
+    )
+
+
+SQL_QUALITY_QUANTILE_FILTER = """
+WITH scored AS (
+    SELECT lang,
+           round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                 / len(string_split(lower(text), ' ')), 6) AS q
+    FROM documents
+),
+med AS (
+    SELECT lang, round(quantile_cont(q, 0.5), 6) AS median_q
+    FROM scored GROUP BY lang
+)
+SELECT s.lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.q > m.median_q THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       max(m.median_q) AS median_q
+FROM scored s JOIN med m ON s.lang = m.lang
+GROUP BY s.lang
+"""
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
@@ -1454,4 +1579,6 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "filtered_mixture": (q_filtered_mixture, SQL_FILTERED_MIXTURE),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFFICIENCY),
+    "token_budget_selection": (q_token_budget_selection, SQL_TOKEN_BUDGET_SELECTION),
+    "quality_quantile_filter": (q_quality_quantile_filter, SQL_QUALITY_QUANTILE_FILTER),
 }

@@ -130,3 +130,72 @@ def test_packing_efficiency_consistent_with_bins(spark, sf_dir):
         # boundary-crossing doc spills deep into this bin's token range,
         # this bin can close under budget; only the rollup consistency
         # above is an invariant.
+
+
+def test_token_budget_selection_fills_half_budget(spark, sf_dir):
+    """Bucketed budget fill: selection crosses the budget boundary exactly
+    once per source (whole buckets until the boundary bucket, inclusive),
+    cross-checked against a pure-Python recompute over the scored docs."""
+    rows = {r["source"]: r for r in _q("token_budget_selection", spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    qb = F.floor(
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6) * 1000
+    ).cast("long")
+    scored = docs.select("source", qb.alias("qb"), n.cast("long").alias("tok")).collect()
+    by_src: dict[str, list] = {}
+    for r in scored:
+        by_src.setdefault(r["source"], []).append((r["qb"], r["tok"]))
+    assert set(rows) == set(by_src)
+    for src, docs_src in by_src.items():
+        total = sum(t for _, t in docs_src)
+        budget = total // 2
+        # bucket-cumulative fill in descending quality order
+        buckets: dict[int, list] = {}
+        for q, t in docs_src:
+            buckets.setdefault(q, []).append(t)
+        cum = 0
+        selected_docs = selected_tokens = 0
+        cutoff = None
+        for q in sorted(buckets, reverse=True):
+            if cum >= budget:
+                break
+            bt = sum(buckets[q])
+            cum += bt
+            selected_docs += len(buckets[q])
+            selected_tokens += bt
+            cutoff = q
+        r = rows[src]
+        assert (
+            r["cutoff_quality_milli"],
+            r["n_selected"],
+            r["selected_tokens"],
+            r["token_budget"],
+        ) == (cutoff, selected_docs, selected_tokens, budget), src
+        # the fill crossed the boundary (or consumed the whole source)
+        assert selected_tokens >= budget or selected_docs == len(docs_src)
+
+
+def test_quality_quantile_filter_median_semantics(spark, sf_dir):
+    """Per-language median gate: strictly-above-median keeps at most half the
+    docs, and the median matches a Python interpolated percentile."""
+    rows = {r["lang"]: r for r in _q("quality_quantile_filter", spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.lower(F.col("text")), " ")
+    q = F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6)
+    scored = docs.select("lang", q.alias("q")).collect()
+    by_lang: dict[str, list] = {}
+    for r in scored:
+        by_lang.setdefault(r["lang"], []).append(r["q"])
+    assert set(rows) == set(by_lang)
+    for lang, qs in by_lang.items():
+        qs.sort()
+        k = (len(qs) - 1) * 0.5
+        lo, hi = int(k), min(int(k) + 1, len(qs) - 1)
+        med = round(qs[lo] + (qs[hi] - qs[lo]) * (k - lo), 6)
+        r = rows[lang]
+        assert r["n_docs"] == len(qs)
+        assert abs(r["median_q"] - med) < 1e-9, lang
+        assert r["n_kept"] == sum(1 for x in qs if x > r["median_q"])
+        assert r["n_kept"] <= len(qs) / 2
