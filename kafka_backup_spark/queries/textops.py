@@ -974,26 +974,23 @@ def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run the whole shingle+hash lineage for each side
     arrs = _shared_gram_arrays(spark, sf_dir)
     cand = _band_candidates(arrs)
-    # |gram set| is just the array length — no groupBy shuffle
-    sizes = arrs.select("doc_id", F.size("hs").cast("long").alias("n"))
-    grams = arrs.select("doc_id", F.explode("hs").alias("h"))
-    ga = grams.select(F.col("doc_id").alias("doc_a"), "h")
-    gb = grams.select(F.col("doc_id").alias("doc_b"), "h")
-    inter = (
-        cand.join(ga, "doc_a")
-        .join(gb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # verify by joining the NARROW candidate pairs back to the per-doc
+    # arrays (two hash joins shuffling O(candidates) rows) and intersecting
+    # the distinct-hash arrays with the native array_intersect — per-pair
+    # O(|a|+|b|) hash-set work inside codegen.  The previous shape exploded
+    # EVERY doc's grams (~200× row blowup corpus-wide) and double-joined the
+    # exploded stream; this one touches gram data only for candidate pairs,
+    # which is also the shape that survives 100 TB (candidates ≈ O(n) by
+    # LSH construction, never all-pairs).  Results bit-identical (arrays are
+    # distinct hashes, so size(array_intersect) = the intersection count).
+    pa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    pb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    union = F.size("ha") + F.size("hb") - inter
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
-        )
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 4))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
