@@ -538,10 +538,12 @@ BAND_SIZE = 4
 
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the shared cached per-doc hash arrays: both sides of the band
-    # self-join read them, and the shingle+hash lineage (HOF lambdas run
-    # interpreted, not codegen) is the expensive part of the query
-    return _band_candidates(_shared_gram_arrays(spark, sf_dir))
+    # both sides of the band self-join probe the shared persisted band
+    # table (the LSH index — see _shared_band_table); the interpreted
+    # seeded-min signature lambdas run once per session, not per call
+    return _band_candidates(
+        _shared_gram_arrays(spark, sf_dir), _shared_band_table(spark, sf_dir)
+    )
 
 
 def _lsh_sql() -> str:
@@ -927,11 +929,11 @@ SELECT vec_a, vec_b, cosine_sim FROM pairs WHERE cosine_sim >= {COSINE_DUP_THRES
 # near_dup_jaccard query is the brute-force oracle baseline for recall.
 
 
-def _band_candidates(arrs: DataFrame) -> DataFrame:
-    """LSH band-bucket candidate pairs from per-doc gram-hash arrays
-    (doc_id, hs).  Signatures are ``array_min`` over affine transforms of the
-    array — a projection, so the first shuffle in the whole LSH pipeline is
-    the band self-join itself."""
+def _band_table(arrs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band table from per-doc gram-hash arrays.
+    Signatures are ``array_min`` over affine transforms of the array — a
+    projection, so the first shuffle in the whole LSH pipeline is the band
+    self-join itself."""
     from kafka_backup_spark.functions.hashing import seeded_hash
 
     sigs = arrs.filter(F.size("hs") > 0).select(
@@ -950,9 +952,32 @@ def _band_candidates(arrs: DataFrame) -> DataFrame:
         )
         for b in range(N_SEEDS // BAND_SIZE)
     ]
-    bands = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bs")).select(
+    return sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bs")).select(
         "doc_id", "bs.band", "bs.sig"
     )
+
+
+def _shared_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted band table per (session, sf_dir) — the minhash band table
+    IS the LSH index (production dedup stores signatures once and probes
+    them), so lsh_candidates and near_dup_pipeline share one build.  At
+    sf0.1 the win is architectural rather than measured (the band
+    self-join, not the interpreted seeded-min lambdas over the cached gram
+    frame, dominates); at corpus scale the ~N_SEEDS×|grams| lambda evals
+    per document amortize across every consumer instead of re-running.
+    Staleness/release contract: ``_shared_gram_arrays``."""
+    app = spark.sparkContext.applicationId
+    key = (app, f"bands:{sf_dir}")
+    if key not in _GRAM_CACHE:
+        _GRAM_CACHE[key] = _band_table(_shared_gram_arrays(spark, sf_dir)).persist()
+    return _GRAM_CACHE[key]
+
+
+def _band_candidates(arrs: DataFrame, bands: DataFrame | None = None) -> DataFrame:
+    """LSH band-bucket candidate pairs: self-join the band table on
+    (band, sig), keep ordered pairs, dedup."""
+    if bands is None:
+        bands = _band_table(arrs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -973,7 +998,7 @@ def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins all derive from it, and without materialization Spark would
     # re-run the whole shingle+hash lineage for each side
     arrs = _shared_gram_arrays(spark, sf_dir)
-    cand = _band_candidates(arrs)
+    cand = _band_candidates(arrs, _shared_band_table(spark, sf_dir))
     # verify by joining the NARROW candidate pairs back to the per-doc
     # arrays (two hash joins shuffling O(candidates) rows) and intersecting
     # the distinct-hash arrays with the native array_intersect — per-pair

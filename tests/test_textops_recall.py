@@ -52,8 +52,11 @@ def test_shared_gram_cache_single_entry_and_release(spark, sf_dir):
     q["lsh_candidates"](spark, sf_dir).count()
     app = spark.sparkContext.applicationId
     grams = [k for k in textops._GRAM_CACHE if k[0] == app]
-    assert len(grams) == 1  # one shared frame, not one per call
-    assert textops._GRAM_CACHE[grams[0]].storageLevel.useMemory
+    # exactly TWO shared frames — the gram arrays and the LSH band table —
+    # regardless of how many calls ran
+    assert len(grams) == 2
+    for k in grams:
+        assert textops._GRAM_CACHE[k].storageLevel.useMemory
     textops.release_gram_cache(spark)
     assert not [k for k in textops._GRAM_CACHE if k[0] == app]
 
