@@ -81,7 +81,11 @@ def main() -> int:
     # repeat each query and keep the fastest run: this VM shows sporadic
     # 10-30x neighbor-load spikes (see SCALE.md) and the min is the honest
     # engine cost; repeats share nothing (noop sink, no caching)
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # 5 interleaved passes: this VM's noise episodes last tens of seconds and
+    # can blanket a whole pass (observed: identical code measuring 0.25 s and
+    # 0.45 s for the same query in runs an hour apart); min-of-5 across
+    # spread-out passes rejects an episode min-of-3 can land entirely inside
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
     # repeats INTERLEAVE (full pass over all queries, then repeat the pass):
     # the VM's noise spikes last seconds-to-minutes, so back-to-back repeats
     # of one query can all land inside a single spike — spreading a query's
