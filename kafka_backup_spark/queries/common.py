@@ -56,13 +56,24 @@ def records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _META_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _shared_meta(spark: SparkSession, sf_dir: str, kind: str, build) -> DataFrame:
+def _shared_meta(
+    spark: SparkSession, sf_dir: str, kind: str, build, parts: int | None = 1
+) -> DataFrame:
+    """``parts=1`` (default) stores the frame as ONE cached partition: these
+    are manifest/watermark/check frames of at most ~10⁶ rows at 100 TB (the
+    reference keeps the manifest in a single JSON file), and a 32-partition
+    layout makes every downstream stage schedule 32 near-empty tasks.  Pass
+    ``parts=None`` for data-proportional frames (the offset mapping) to keep
+    the build's natural partitioning."""
     app = spark.sparkContext.applicationId
     for k in [k for k in _META_CACHE if k[0] != app]:
         _META_CACHE.pop(k, None)  # drop handles left by dead sessions
     key = (app, sf_dir, kind)
     if key not in _META_CACHE:
-        _META_CACHE[key] = build().persist()
+        df = build()
+        if parts is not None:
+            df = df.coalesce(parts)
+        _META_CACHE[key] = df.persist()
     return _META_CACHE[key]
 
 
@@ -125,7 +136,9 @@ def detailed_mapping_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts_ms").alias("timestamp"),
         )
 
-    return _shared_meta(spark, sf_dir, "mapping", build)
+    # mapping size is data-proportional (one row per restored-sample record),
+    # so keep the natural partitioning rather than funneling to one partition
+    return _shared_meta(spark, sf_dir, "mapping", build, parts=None)
 
 
 # ── DuckDB side (kept textually in sync with the Spark builders above) ────
