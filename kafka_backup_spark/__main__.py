@@ -398,6 +398,23 @@ def _reset_plan(spark, args):
     return run_phase3(groups, detailed, mapping_ranges(detailed))
 
 
+def _cli_client_conf(args) -> dict[str, str]:
+    """Shared SASL/SSL flags → librdkafka admin-client conf
+    (commands/security_args.rs twin: one flag set for the whole
+    offset-reset family, env-var credential conventions preserved)."""
+    from kafka_backup_spark.security import rdkafka_options, security_from_cli
+
+    return rdkafka_options(
+        security_from_cli(
+            security_protocol=getattr(args, "security_protocol", None),
+            sasl_mechanism=getattr(args, "sasl_mechanism", None),
+            sasl_keytab=getattr(args, "sasl_keytab", None),
+            sasl_krb5_config=getattr(args, "sasl_krb5_config", None),
+            sasl_kerberos_service_name=getattr(args, "sasl_kerberos_service_name", None),
+        )
+    )
+
+
 def cmd_offset_reset(args, _doc) -> int:
     """offset-reset plan|script|execute|bulk (main.rs:560-615;
     commands/offset_reset_bulk.rs:38).
@@ -410,12 +427,14 @@ def cmd_offset_reset(args, _doc) -> int:
     """
     spark = get_spark("cli-offset-reset")
     plan, summary = _reset_plan(spark, args)
+    client_conf = _cli_client_conf(args)
     if args.action == "bulk":
         from kafka_backup_spark.offset_reset_bulk import (
             BulkResetConfig,
             bulk_reset_offsets,
             performance_stats,
         )
+        from kafka_backup_spark.sources.kafka_io import _admin
 
         mappings = [
             (r["group_id"], r["topic"], r["partition"], r["target_offset"])
@@ -426,7 +445,12 @@ def cmd_offset_reset(args, _doc) -> int:
             max_concurrent_requests=args.max_concurrent,
             max_retry_attempts=args.max_retries,
         )
-        report = bulk_reset_offsets(args.bootstrap_servers, mappings, cfg)
+        report = bulk_reset_offsets(
+            args.bootstrap_servers,
+            mappings,
+            cfg,
+            admin_factory=lambda bs: _admin(bs, client_conf),
+        )
         report["performance"] = performance_stats(spark, report)
         del report["latencies_ms"]  # raw samples fold into the percentiles
         _emit(report)
@@ -485,6 +509,7 @@ def cmd_offset_reset(args, _doc) -> int:
             for r in plan.collect()
             if r["target_offset"] is not None
         ],
+        client_conf=client_conf,
     )
     _emit({"committed": results})
     return 0
@@ -561,7 +586,12 @@ def cmd_snapshot_groups(args, _doc) -> int:
             print("no manifest found", file=sys.stderr)
             return 1
         backed = {r["topic"] for r in m.select("topic").distinct().collect()}
-        rows = gs.capture_group_offsets(args.bootstrap_servers, backed)
+        from kafka_backup_spark.sources.kafka_io import _admin
+
+        conf = _cli_client_conf(args)
+        rows = gs.capture_group_offsets(
+            args.bootstrap_servers, backed, admin_factory=lambda bs: _admin(bs, conf)
+        )
         doc = gs.build_snapshot_doc(rows, int(_time.time() * 1000))
         path = gs.write_snapshot(args.store, args.backup_id, doc)
         _emit({"snapshot": path, "groups": len(doc["groups"]),
@@ -700,6 +730,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--bootstrap-servers", help="offset-reset script/execute/bulk: target cluster")
     ap.add_argument("--max-concurrent", type=int, default=50, help="offset-reset bulk: parallel group commits")
     ap.add_argument("--max-retries", type=int, default=3, help="offset-reset bulk: per-partition retry attempts")
+    # shared SASL/SSL flags for the admin-client commands (security_args.rs
+    # twin; env fallbacks KAFKA_SASL_MECHANISM / KAFKA_SASL_KEYTAB /
+    # KAFKA_KRB5_CONFIG / KAFKA_SASL_KERBEROS_SERVICE_NAME, credentials via
+    # KAFKA_USERNAME / KAFKA_PASSWORD, CA via KAFKA_SSL_CA_CERT)
+    ap.add_argument("--security-protocol", help="PLAINTEXT | SSL | SASL_SSL | SASL_PLAINTEXT")
+    ap.add_argument("--sasl-mechanism", help="PLAIN | SCRAM-SHA256 | SCRAM-SHA512 | GSSAPI")
+    ap.add_argument("--sasl-keytab", help="GSSAPI: keytab path (else kinit ticket cache)")
+    ap.add_argument("--sasl-krb5-config", help="GSSAPI: krb5.conf path")
+    ap.add_argument("--sasl-kerberos-service-name", help="GSSAPI: broker service name (default kafka)")
     args = ap.parse_args(argv)
 
     if args.command == "offset-reset" and args.action not in {"plan", "script", "execute", "bulk"}:

@@ -136,6 +136,112 @@ def _populate_gssapi(security: dict[str, Any], opts: dict[str, str]) -> None:
         opts["kafka.sasl.jaas.config"] = f"{_KRB5_JAAS} required useTicketCache=true;"
 
 
+# ── Shared CLI security flags (security_args.rs twin) ─────────────────────
+# The offset-reset family (`offset-reset execute|bulk`, `offset-rollback`)
+# needs an ADMIN client on the target cluster; the reference shares one
+# flag set + env-credential convention across those commands
+# (security_args.rs:32-58) and compiles it to a SecurityConfig
+# (security_args.rs:67-112).  The Spark twin compiles the same flags to the
+# librdkafka/AdminClient conf keys instead of JAAS (that client speaks
+# librdkafka spelling, not the JVM connector's kafka.* options).
+
+_MECH_NORMALIZE = {
+    "PLAIN": "PLAIN",
+    "SCRAM-SHA256": "SCRAM-SHA-256",
+    "SCRAM-SHA-256": "SCRAM-SHA-256",
+    "SCRAM-SHA512": "SCRAM-SHA-512",
+    "SCRAM-SHA-512": "SCRAM-SHA-512",
+    "GSSAPI": "GSSAPI",
+}
+
+
+def security_from_cli(
+    security_protocol: str | None = None,
+    sasl_mechanism: str | None = None,
+    sasl_keytab: str | None = None,
+    sasl_krb5_config: str | None = None,
+    sasl_kerberos_service_name: str | None = None,
+    env: dict[str, str] | None = None,
+) -> dict[str, Any]:
+    """CLI flags + env → the ``security:`` config-dict shape.
+
+    Reference parse semantics carried over (security_args.rs:116-149):
+    unknown/absent protocol falls back to PLAINTEXT; a mechanism is only
+    meaningful under SASL_* (else ignored); a SASL protocol with no
+    mechanism defaults to PLAIN (pre-GSSAPI script compatibility);
+    ``SCRAM-SHA256``/``SCRAM-SHA-256`` spellings both accepted.  Env
+    conventions preserved: ``KAFKA_SASL_MECHANISM``, ``KAFKA_SASL_KEYTAB``,
+    ``KAFKA_KRB5_CONFIG``, ``KAFKA_SASL_KERBEROS_SERVICE_NAME`` back the
+    flags; ``KAFKA_USERNAME``/``KAFKA_PASSWORD`` supply SASL credentials;
+    ``KAFKA_SSL_CA_CERT`` supplies the CA under SSL protocols.  Missing
+    credentials do NOT error here (matching the reference, which constructs
+    the config and lets the broker reject) — only the YAML→JAAS path is
+    strict, because a JAAS string cannot be built without values.
+    """
+    e = os.environ if env is None else env
+    proto = (security_protocol or "").upper()
+    if proto not in ("SSL", "SASL_SSL", "SASL_PLAINTEXT"):
+        proto = "PLAINTEXT"
+    sec: dict[str, Any] = {"security_protocol": proto}
+    if proto in ("SASL_PLAINTEXT", "SASL_SSL"):
+        raw = (sasl_mechanism or e.get("KAFKA_SASL_MECHANISM") or "PLAIN").upper()
+        mech = _MECH_NORMALIZE.get(raw)
+        if mech is None:
+            raise SecurityError(
+                f"unsupported sasl_mechanism {raw!r} — expected one of: "
+                "PLAIN, SCRAM-SHA256, SCRAM-SHA512, GSSAPI"
+            )
+        sec["sasl_mechanism"] = mech
+        if mech == "GSSAPI":
+            sec["sasl_kerberos_service_name"] = (
+                sasl_kerberos_service_name
+                or e.get("KAFKA_SASL_KERBEROS_SERVICE_NAME")
+                or "kafka"
+            )
+            kt = sasl_keytab or e.get("KAFKA_SASL_KEYTAB")
+            if kt:
+                sec["sasl_keytab_path"] = kt
+            krb5 = sasl_krb5_config or e.get("KAFKA_KRB5_CONFIG")
+            if krb5:
+                sec["sasl_krb5_config_path"] = krb5
+        else:
+            if e.get("KAFKA_USERNAME") is not None:
+                sec["sasl_username"] = e["KAFKA_USERNAME"]
+            if e.get("KAFKA_PASSWORD") is not None:
+                sec["sasl_password"] = e["KAFKA_PASSWORD"]
+    if proto in ("SSL", "SASL_SSL") and e.get("KAFKA_SSL_CA_CERT"):
+        sec["ssl_ca_location"] = e["KAFKA_SSL_CA_CERT"]
+    return sec
+
+
+def rdkafka_options(security: dict[str, Any] | None) -> dict[str, str]:
+    """security dict → librdkafka (confluent-kafka AdminClient) conf keys.
+
+    Only present fields map; absent credentials stay absent so connect-time
+    failure surfaces from the broker, exactly like the reference's
+    constructed-but-unauthenticated client."""
+    if not security:
+        return {}
+    out: dict[str, str] = {}
+    mapping = {
+        "security_protocol": "security.protocol",
+        "sasl_mechanism": "sasl.mechanism",
+        "sasl_username": "sasl.username",
+        "sasl_password": "sasl.password",
+        "ssl_ca_location": "ssl.ca.location",
+        "sasl_kerberos_service_name": "sasl.kerberos.service.name",
+        "sasl_keytab_path": "sasl.kerberos.keytab",
+        "sasl_kerberos_principal": "sasl.kerberos.principal",
+    }
+    for src, dst in mapping.items():
+        v = security.get(src)
+        if v is not None:
+            out[dst] = str(v)
+    if out.get("security.protocol") == "PLAINTEXT":
+        out.pop("security.protocol")  # librdkafka default; keep conf minimal
+    return out
+
+
 def _populate_tls(security: dict[str, Any], opts: dict[str, str]) -> None:
     """TLS locations (config.rs:210-220).  The JVM client takes PEM via
     ssl.truststore/keystore *.type=PEM on Kafka ≥2.7, the broker-side names

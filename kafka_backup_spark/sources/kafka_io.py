@@ -130,7 +130,10 @@ def set_admin_factory(factory) -> None:
     _admin_factory = factory
 
 
-def _admin(bootstrap_servers: str):
+def _admin(bootstrap_servers: str, client_conf: dict[str, str] | None = None):
+    """``client_conf``: extra librdkafka keys (security.protocol, sasl.*,
+    ssl.* — see security.rdkafka_options), merged over the bootstrap conf.
+    Injected fakes receive only the bootstrap string, as before."""
     if _admin_factory is not None:
         return _admin_factory(bootstrap_servers)
     try:
@@ -141,7 +144,8 @@ def _admin(bootstrap_servers: str):
             "(confluent-kafka); not available in this environment "
             "(inject one with set_admin_factory)"
         ) from e
-    return AdminClient({"bootstrap.servers": bootstrap_servers})  # pragma: no cover
+    conf = {"bootstrap.servers": bootstrap_servers, **(client_conf or {})}
+    return AdminClient(conf)  # pragma: no cover
 
 
 class _PlainTP:
@@ -262,14 +266,18 @@ def purge_topics(
 
 
 def commit_group_offsets(
-    bootstrap_servers: str, commits: list[tuple[str, str, int, int]]
+    bootstrap_servers: str,
+    commits: list[tuple[str, str, int, int]],
+    client_conf: dict[str, str] | None = None,
 ) -> dict[str, int]:
     """Phase-3 apply: alter committed offsets per consumer group
     (offset_reset.rs execute path).  ``commits``: (group_id, topic,
-    partition, target_offset).  Returns {group_id: partitions_committed}."""
+    partition, target_offset).  ``client_conf``: librdkafka security keys
+    from the shared CLI flags (security_args.rs twin).  Returns
+    {group_id: partitions_committed}."""
     from collections import defaultdict
 
-    admin = _admin(bootstrap_servers)
+    admin = _admin(bootstrap_servers, client_conf)
     by_group: dict[str, list] = defaultdict(list)
     for group, topic, part, offset in commits:
         by_group[group].append(_tp(topic, part, offset))

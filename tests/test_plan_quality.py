@@ -271,3 +271,25 @@ def test_tpch_q12_conditional_agg_single_hash_agg(spark):
     assert rows and all(
         r["returned_lines"] + r["kept_lines"] == r["total_lines"] for r in rows
     )
+
+
+def test_shared_meta_cache_single_entry_and_release(spark, sf_dir):
+    """Metadata frames (manifest/watermarks/checks) build once per
+    (session, sf_dir, kind), store as ONE cached partition, equal the
+    uncached derivation, and release empties the registry."""
+    from kafka_backup_spark import manifest as mani
+    from kafka_backup_spark.queries import common
+
+    common.release_meta_cache()
+    m1 = common.manifest_df(spark, sf_dir)
+    m2 = common.manifest_df(spark, sf_dir)
+    assert m1 is m2  # one shared frame, not one per call
+    app = spark.sparkContext.applicationId
+    keys = [k for k in common._META_CACHE if k[0] == app]
+    assert keys == [(app, sf_dir, "manifest:1000")]
+    assert m1.rdd.getNumPartitions() == 1  # metadata = one partition
+    fresh = mani.build_manifest(common.records_df(spark, sf_dir), 1000)
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, fresh.collect()))
+    common.release_meta_cache(spark)
+    assert not [k for k in common._META_CACHE if k[0] == app]
+    assert not m1.is_cached

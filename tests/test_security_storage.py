@@ -208,3 +208,116 @@ def test_store_from_path_roundtrip(spark, sf_dir, tmp_path):
     store = store_from_path(spark, f"file://{tmp_path}/seg")
     store.write(recs)
     assert store.read(spark).count() == 100
+
+
+# ── shared CLI security flags (security_args.rs twin) ─────────────────────
+
+
+def test_cli_flags_plaintext_default():
+    # security_args.rs:116-121 — unknown/absent protocol → PLAINTEXT, no SASL
+    from kafka_backup_spark.security import rdkafka_options, security_from_cli
+
+    sec = security_from_cli(env={})
+    assert sec == {"security_protocol": "PLAINTEXT"}
+    assert rdkafka_options(sec) == {}  # librdkafka default; minimal conf
+
+
+def test_cli_flags_sasl_defaults_to_plain_and_env_creds():
+    # security_args.rs:134-138 — SASL protocol without mechanism → PLAIN;
+    # KAFKA_USERNAME/KAFKA_PASSWORD env convention preserved
+    from kafka_backup_spark.security import rdkafka_options, security_from_cli
+
+    sec = security_from_cli(
+        security_protocol="SASL_PLAINTEXT",
+        env={"KAFKA_USERNAME": "svc", "KAFKA_PASSWORD": "pw"},
+    )
+    assert sec["sasl_mechanism"] == "PLAIN"
+    conf = rdkafka_options(sec)
+    assert conf["security.protocol"] == "SASL_PLAINTEXT"
+    assert conf["sasl.mechanism"] == "PLAIN"
+    assert conf["sasl.username"] == "svc" and conf["sasl.password"] == "pw"
+
+
+def test_cli_flags_scram_spellings_and_bad_mechanism():
+    from kafka_backup_spark.security import SecurityError, security_from_cli
+
+    for raw in ("SCRAM-SHA256", "scram-sha-256"):
+        sec = security_from_cli(security_protocol="SASL_SSL", sasl_mechanism=raw, env={})
+        assert sec["sasl_mechanism"] == "SCRAM-SHA-256"
+    with pytest.raises(SecurityError, match="unsupported sasl_mechanism"):
+        security_from_cli(security_protocol="SASL_SSL", sasl_mechanism="OAUTH", env={})
+
+
+def test_cli_flags_mechanism_ignored_without_sasl_protocol():
+    # security_args.rs:128-133 — mechanism only meaningful under SASL_*
+    from kafka_backup_spark.security import security_from_cli
+
+    sec = security_from_cli(security_protocol="SSL", sasl_mechanism="PLAIN", env={})
+    assert "sasl_mechanism" not in sec
+
+
+def test_cli_flags_gssapi_env_fallbacks_and_ca():
+    from kafka_backup_spark.security import rdkafka_options, security_from_cli
+
+    sec = security_from_cli(
+        security_protocol="SASL_SSL",
+        env={
+            "KAFKA_SASL_MECHANISM": "GSSAPI",
+            "KAFKA_SASL_KEYTAB": "/etc/svc.keytab",
+            "KAFKA_KRB5_CONFIG": "/etc/krb5.conf",
+            "KAFKA_SSL_CA_CERT": "/etc/ca.pem",
+        },
+    )
+    assert sec["sasl_kerberos_service_name"] == "kafka"  # default
+    conf = rdkafka_options(sec)
+    assert conf["sasl.kerberos.keytab"] == "/etc/svc.keytab"
+    assert conf["ssl.ca.location"] == "/etc/ca.pem"
+    # missing credentials never error at construction (broker rejects later)
+    assert "sasl.username" not in conf
+
+
+def test_cli_execute_passes_security_through_to_admin(spark, capsys, tmp_path, monkeypatch):
+    """End-to-end: offset-reset execute with security flags builds its
+    AdminClient via the shared flag set (fake admin records the calls)."""
+    import json as _json
+
+    from kafka_backup_spark import __main__ as cli
+    from kafka_backup_spark.sources import kafka_io
+    from tests.test_kafka_admin_fake import FakeAdmin
+
+    monkeypatch.setenv("KAFKA_USERNAME", "svc")
+    monkeypatch.setenv("KAFKA_PASSWORD", "pw")
+    # file-backed plan fixture: store + groups + restored target
+    from kafka_backup_spark.schema import events_as_records, load_table
+    from kafka_backup_spark.sources.segments import SegmentStore
+
+    recs = events_as_records(load_table(spark, "/root/testdata/sf0.001", "events"))
+    store_dir = str(tmp_path / "store")
+    SegmentStore(store_dir).write(recs.limit(500))
+    target = str(tmp_path / "target.parquet")
+    recs.limit(500).withColumn("offset", recs["offset"] + 7).write.parquet(target)
+    groups = [{"group_id": "g1", "topic": r["topic"], "partition": r["partition"], "offset": r["offset"]}
+              for r in recs.limit(1).collect()]
+    gj = tmp_path / "groups.json"
+    gj.write_text(_json.dumps(groups))
+
+    fakes = []
+
+    def factory(bs):
+        fake = FakeAdmin()
+        fake.bootstrap = bs
+        fakes.append(fake)
+        return fake
+
+    kafka_io.set_admin_factory(factory)
+    try:
+        rc = cli.main([
+            "offset-reset", "execute", "--store", store_dir,
+            "--groups-json", str(gj), "--target-parquet", target,
+            "--bootstrap-servers", "b:9092",
+            "--security-protocol", "SASL_SSL", "--sasl-mechanism", "PLAIN",
+        ])
+    finally:
+        kafka_io.set_admin_factory(None)
+    assert rc == 0
+    assert fakes and fakes[0].committed  # commits flowed through the fake
