@@ -1321,10 +1321,20 @@ CC_MAX_ROUNDS = 20
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_near_dup_pipeline(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(spark, pairs, f"dupc_edges:{sf_dir}")
+
+
+def _min_label_components(spark: SparkSession, pairs: DataFrame, tag: str) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected pair set (columns = the two node ids).  Per round: one hash
+    join + one min-agg; ``localCheckpoint`` truncates lineage; the driver
+    holds only a changed-count scalar.  Web-scale variant (large-star /
+    small-star) uses the same join primitives — see the module notes."""
+    a, b = pairs.columns[0], pairs.columns[1]
     edges = _tagged_persist(
         spark,
-        f"dupc_edges:{sf_dir}",
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("s", "d"),
+        tag,
+        pairs.union(pairs.select(F.col(b), F.col(a))).toDF("s", "d"),
     )
     labels = (
         edges.select(F.col("s").alias("node"))
@@ -1367,6 +1377,38 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("label").alias("cluster_id"), "n_members", "max_doc")
 
 
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup groups: connected components over the verified
+    embedding near-dup pairs (the ANN twin of ``dup_clusters``) — the
+    operator that turns pairwise cosine matches into the keep-one-per-group
+    decision a corpus dedup pass actually applies.  Same scalable label
+    propagation; the pair set comes from the shared ANN index."""
+    pairs = q_embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
+    return _min_label_components(spark, pairs, f"edupc_edges:{sf_dir}")
+
+
+def _embedding_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE p AS (
+    SELECT vec_a, vec_b FROM ({SQL_EMBEDDING_NEAR_DUP})
+),
+edges AS (SELECT vec_a AS s, vec_b AS d FROM p
+          UNION ALL SELECT vec_b AS s, vec_a AS d FROM p),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node AS r FROM nodes
+    UNION
+    SELECT e.d AS node, r.r FROM reach r JOIN edges e ON e.s = r.node
+),
+labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, count(*) AS n_members, max(node) AS max_doc
+FROM labels GROUP BY cluster_id
+"""
+
+
+SQL_EMBEDDING_DUP_CLUSTERS = _embedding_dup_clusters_sql()
+
+
 def _dup_clusters_sql() -> str:
     """DuckDB twin: min-reachable-id per node via WITH RECURSIVE over the
     same near-dup pair set (subquery carries its own WITH chain)."""
@@ -1405,4 +1447,5 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "lsh_candidates": (q_lsh_candidates, SQL_LSH_CANDIDATES),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
+    "embedding_dup_clusters": (q_embedding_dup_clusters, SQL_EMBEDDING_DUP_CLUSTERS),
 }

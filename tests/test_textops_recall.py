@@ -118,3 +118,30 @@ def test_dup_clusters_consistent_with_pairs(spark, sf_dir):
     assert got == expect
     assert all(r["n_members"] >= 2 for r in rows)
     assert all(r["cluster_id"] <= r["max_doc"] for r in rows)
+
+
+def test_embedding_dup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Semantic-dedup groups mirror a pure-Python union-find over the
+    verified embedding near-dup pairs; every planted copy clusters with its
+    original."""
+    q = catalog.queries()
+    pairs = [(r["vec_a"], r["vec_b"]) for r in q["embedding_near_dup"](spark, sf_dir).collect()]
+    rows = q["embedding_dup_clusters"](spark, sf_dir).collect()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from collections import Counter
+
+    sizes = Counter(find(x) for x in parent)
+    assert {(r["cluster_id"], r["n_members"]) for r in rows} == set(sizes.items())
+    assert all(r["n_members"] >= 2 for r in rows)
