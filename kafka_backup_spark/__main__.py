@@ -372,7 +372,9 @@ def cmd_corpus(args, _doc) -> int:
         )
         _emit({"stats": _rows(rollup)})
         return 0
-    entry = store.write_version(spark.read.parquet(args.source_parquet))
+    entry = store.write_version(
+        spark.read.parquet(args.source_parquet), near_dedup=args.near_dedup
+    )
     _emit(entry)
     return 0
 
@@ -739,6 +741,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sasl-keytab", help="GSSAPI: keytab path (else kinit ticket cache)")
     ap.add_argument("--sasl-krb5-config", help="GSSAPI: krb5.conf path")
     ap.add_argument("--sasl-kerberos-service-name", help="GSSAPI: broker service name (default kafka)")
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="corpus add: also drop LSH band-matches of any stored doc (persistent signature index)")
     args = ap.parse_args(argv)
 
     if args.command == "offset-reset" and args.action not in {"plan", "script", "execute", "bulk"}:

@@ -89,7 +89,25 @@ class CorpusStore:
         return lock()
 
     # ── write path ────────────────────────────────────────────────────────
-    def write_version(self, docs: DataFrame) -> dict:
+    def signatures_path(self) -> str:
+        return f"{self.root}/signatures"
+
+    def _has_signatures(self) -> bool:
+        try:
+            return any(
+                e.startswith("version=") for e in os.listdir(self.signatures_path())
+            )
+        except FileNotFoundError:
+            return False
+
+    def _read_signatures(self, spark: SparkSession) -> DataFrame:
+        """The persistent LSH index: (h, band, sig) per stored document —
+        ~4 tiny rows per doc, probed by every near-dedup ingest."""
+        return spark.read.option("basePath", self.signatures_path()).parquet(
+            f"{self.signatures_path()}/version=*"
+        )
+
+    def write_version(self, docs: DataFrame, near_dedup: bool = False) -> dict:
         """Materialize a new version holding only never-seen documents.
 
         ``docs``: (doc_id, lang, source, text, ...) — any schema with a
@@ -98,6 +116,17 @@ class CorpusStore:
         collapse distinct null docs unpredictably and pass every anti-join
         forever, re-admitting one null doc per version).  Returns the new
         manifest entry {version, n_input, n_new, created_at}.
+
+        ``near_dedup=True`` additionally drops documents that LSH-band-match
+        ANY prior document: each version persists the band signatures of its
+        surviving docs under ``signatures/version=N`` (the on-disk LSH index
+        — ~4 rows of (h, band, sig) per doc), and the next ingest anti-joins
+        its batch signatures against that index.  Band-match-only filtering
+        is deliberately conservative (high recall, no exact-Jaccard verify:
+        storing gram arrays for verification would cost ~the text payload
+        again); within-batch near-dups are retained — the contract is
+        "nothing we have (nearly) seen in the CORPUS", matching the
+        cross-version exact-dedup semantics.
 
         Crash-safe: the parquet write targets its version partition with
         dynamic partition OVERWRITE, so a replay after a crash between the
@@ -121,6 +150,22 @@ class CorpusStore:
                 # first version (or all prior versions empty — no partition
                 # dir exists yet) still dedups WITHIN the batch below
                 fresh = hashed
+            if near_dedup and prior and self._has_signatures():
+                # a doc is near-seen iff ANY of its band signatures appears
+                # in the index: semi-join the batch bands, collect matched
+                # hashes, anti-join them away.  Shuffles carry (h, band, sig)
+                # rows — never text.
+                near_seen = (
+                    self._band_signatures(fresh)
+                    .join(
+                        self._read_signatures(spark).select("band", "sig"),
+                        ["band", "sig"],
+                        "left_semi",
+                    )
+                    .select("h")
+                    .distinct()
+                )
+                fresh = fresh.join(near_seen, "h", "left_anti")
             # within-batch dedup: first writer wins per hash (min doc_id),
             # the same min(struct) shape as dedup_keep_best — no window
             fresh = (
@@ -150,6 +195,19 @@ class CorpusStore:
                 n_new = self.read_version(spark, version).count()
             except Exception:
                 n_new = 0
+            if near_dedup and n_new > 0:
+                # persist the survivors' band signatures — the index future
+                # ingests probe.  Re-derived from the WRITTEN version so a
+                # crash replay regenerates identical rows under the same
+                # dynamic-overwrite discipline as the data itself.
+                (
+                    self._band_signatures(self.read_version(spark, version))
+                    .withColumn("version", F.lit(version))
+                    .write.option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("version")
+                    .mode("overwrite")
+                    .parquet(self.signatures_path())
+                )
             entry = {
                 "version": version,
                 "n_input": n_input,
@@ -159,6 +217,23 @@ class CorpusStore:
             }
             self._append_manifest(entry)
             return entry
+
+    @staticmethod
+    def _band_signatures(docs: DataFrame) -> DataFrame:
+        """(h, band, sig) LSH band signatures for a document frame — the
+        same 16-seed / 4-band minhash family the catalog's
+        ``lsh_candidates`` uses (textops._band_table), keyed on the content
+        hash so signatures stay valid across versions regardless of doc_id
+        reuse.  Text is lowercased to match the catalog's near-dup
+        normalization."""
+        from kafka_backup_spark.queries.textops import _band_table, _hashed_gram_arrays
+
+        keyed = docs.select(
+            F.col("h").alias("doc_id"), F.lower(F.col("text")).alias("text")
+        )
+        return _band_table(_hashed_gram_arrays(keyed)).select(
+            F.col("doc_id").alias("h"), "band", "sig"
+        )
 
     # ── read paths ────────────────────────────────────────────────────────
     def _has_data(self) -> bool:
@@ -192,7 +267,7 @@ class CorpusStore:
 
 
 def stream_into_corpus(
-    stream_docs: DataFrame, store: CorpusStore, checkpoint: str
+    stream_docs: DataFrame, store: CorpusStore, checkpoint: str, near_dedup: bool = False
 ):
     """Continuous corpus ingestion: each micro-batch becomes one deduped
     version (T1-style incremental semantics over documents instead of Kafka
@@ -206,7 +281,7 @@ def stream_into_corpus(
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.write_version(batch_df)
+        store.write_version(batch_df, near_dedup=near_dedup)
 
     return (
         stream_docs.writeStream.foreachBatch(_sink)

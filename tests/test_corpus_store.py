@@ -150,3 +150,75 @@ def test_null_text_is_content_equal_to_empty(spark, sf_dir, tmp_path):
     # replaying nulls in a later version admits nothing new
     e1 = store.write_version(nulled)
     assert e1["n_new"] == 0
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_near_dedup_drops_cross_version_near_copies(spark, tmp_path):
+    """near_dedup=True: a later batch's lightly-perturbed copy of a stored
+    doc band-matches the persistent signature index and is dropped; genuinely
+    new text survives.  Exact-dup filtering still applies first."""
+    store = CorpusStore(str(tmp_path / "c"))
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    e1 = store.write_version(
+        _mk(spark, [(0, "en", base), (1, "en", "completely different text about spark and kafka pipelines at scale")]),
+        near_dedup=True,
+    )
+    assert e1["n_new"] == 2
+    import os
+
+    assert any(e.startswith("version=") for e in os.listdir(store.signatures_path()))
+    # batch 2: near-copy (tail-perturbed), exact copy, and a new doc
+    e2 = store.write_version(
+        _mk(
+            spark,
+            [
+                (10, "en", base + " zz"),  # near-dup: shares almost all shingles
+                (11, "en", base),  # exact dup — removed by the hash anti-join
+                (12, "en", "an entirely unrelated report on manifest validation and offset recovery"),
+            ],
+        ),
+        near_dedup=True,
+    )
+    assert e2["n_new"] == 1
+    survivors = {r["doc_id"] for r in store.read_version(spark, 1).collect()}
+    assert survivors == {12}
+    # the new survivor's signatures joined the index (probed by version 3)
+    e3 = store.write_version(
+        _mk(spark, [(20, "en", "an entirely unrelated report on manifest validation and offset recovery plus")]),
+        near_dedup=True,
+    )
+    assert e3["n_new"] == 0  # near-dup of the version-1 survivor
+
+
+def test_near_dedup_off_keeps_near_copies(spark, tmp_path):
+    store = CorpusStore(str(tmp_path / "c"))
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    store.write_version(_mk(spark, [(0, "en", base)]))
+    e2 = store.write_version(_mk(spark, [(1, "en", base + " zz")]))
+    assert e2["n_new"] == 1  # exact-only mode admits near-copies
+
+
+def test_near_dedup_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay: rewriting the same version under dynamic overwrite
+    regenerates identical data AND signature partitions (no duplicates)."""
+    store = CorpusStore(str(tmp_path / "c"))
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    store.write_version(_mk(spark, [(0, "en", base)]), near_dedup=True)
+    # simulate replay of version 1: same batch written twice via the
+    # manifest-less path (drop the manifest entry, rewrite)
+    batch = _mk(spark, [(1, "en", "fresh content that belongs to version one only right here")])
+    store.write_version(batch, near_dedup=True)
+    sigs_v1 = store._read_signatures(spark).filter(F.col("version") == 1)
+    n_sigs = sigs_v1.count()
+    # manifest rollback + rewrite (the crash-replay shape)
+    entries = store.versions()
+    import json
+
+    with open(store._manifest_path(), "w") as fh:
+        json.dump(entries[:-1], fh)
+    store.write_version(batch, near_dedup=True)
+    assert store._read_signatures(spark).filter(F.col("version") == 1).count() == n_sigs
+    assert store.read_version(spark, 1).count() == 1
