@@ -49,7 +49,15 @@ def q_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the raw-row shuffle measured net-negative.
     from kafka_backup_spark.queries.common import spread
 
-    r = spread(records_df(spark, sf_dir))
+    # prune BEFORE the spread shuffle: the codec chain reads only
+    # (partition, offset, timestamp, headers) and emits a narrow projection
+    # — shuffling the key/value payload bytes would be pure waste (the
+    # payload is ~90% of the record)
+    r = spread(
+        records_df(spark, sf_dir).select(
+            "topic", "partition", "offset", "timestamp", "headers"
+        )
+    )
     injected = projections.inject_restore_headers(r)
     reassigned = injected.withColumn("offset", F.col("offset") + 999)
     out = projections.extract_source_offset(reassigned)
