@@ -80,7 +80,12 @@ def main() -> int:
     qs = catalog.queries()
     # repeat each query and keep the fastest run: this VM shows sporadic
     # 10-30x neighbor-load spikes (see SCALE.md) and the min is the honest
-    # engine cost; repeats share nothing (noop sink, no caching)
+    # engine cost.  Repeats DO share the session-scoped artifact caches
+    # (metadata frames, ANN/LSH indexes, view registration — the round-5
+    # build-once architecture), so min-of-N reports the warm-index query
+    # cost by design; index BUILD cost is measured separately in SCALE.md's
+    # tier smoke.  The DuckDB oracle comparison is symmetric: its repeats
+    # reuse OS page cache and its own buffers the same way.
     # 5 interleaved passes: this VM's noise episodes last tens of seconds and
     # can blanket a whole pass (observed: identical code measuring 0.25 s and
     # 0.45 s for the same query in runs an hour apart); min-of-5 across

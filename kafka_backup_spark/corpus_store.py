@@ -33,7 +33,14 @@ MANIFEST_NAME = "corpus_manifest.json"
 
 class CorpusStore:
     def __init__(self, root: str) -> None:
-        self.root = root
+        # the version counter comes from a manifest guarded by an O_EXCL
+        # writer lock and commit state is inferred from directory listings —
+        # filesystem semantics with no object-store equivalent here.  Remote
+        # URIs fail loudly instead of silently writing a local directory
+        # named like the URI.
+        from kafka_backup_spark import fsio
+
+        self.root = fsio.require_local(root, "CorpusStore")
 
     def corpus_path(self) -> str:
         return f"{self.root}/corpus"
@@ -150,6 +157,12 @@ class CorpusStore:
                 # first version (or all prior versions empty — no partition
                 # dir exists yet) still dedups WITHIN the batch below
                 fresh = hashed
+            if near_dedup and prior:
+                # the contract is "band-match ANY prior document" — versions
+                # ingested without near_dedup have no signature partition,
+                # so backfill them first (one-time cost per such version;
+                # signatures derive from the stored docs themselves)
+                self._backfill_signatures(spark, prior)
             if near_dedup and prior and self._has_signatures():
                 # a doc is near-seen iff ANY of its band signatures appears
                 # in the index: semi-join the batch bands, collect matched
@@ -217,6 +230,31 @@ class CorpusStore:
             }
             self._append_manifest(entry)
             return entry
+
+    def _backfill_signatures(self, spark: SparkSession, prior: list[dict]) -> None:
+        """Write the signature partition for any non-empty prior version
+        that lacks one (versions ingested with ``near_dedup=False``).  Runs
+        under the writer lock; idempotent per version (dynamic partition
+        overwrite)."""
+        try:
+            have = {
+                int(e.split("=", 1)[1])
+                for e in os.listdir(self.signatures_path())
+                if e.startswith("version=")
+            }
+        except FileNotFoundError:
+            have = set()
+        for entry in prior:
+            v = entry["version"]
+            if entry.get("n_new", 0) > 0 and v not in have:
+                (
+                    self._band_signatures(self.read_version(spark, v))
+                    .withColumn("version", F.lit(v))
+                    .write.option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("version")
+                    .mode("overwrite")
+                    .parquet(self.signatures_path())
+                )
 
     @staticmethod
     def _band_signatures(docs: DataFrame) -> DataFrame:

@@ -48,21 +48,20 @@ def build_snapshot_doc(
 
 
 def write_snapshot(store_root: str, backup_id: str, doc: dict) -> str:
+    from kafka_backup_spark import fsio
+
     path = snapshot_path(store_root, backup_id)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(doc, fh, indent=2, sort_keys=True)
-    os.replace(tmp, path)
+    fsio.write_text(path, json.dumps(doc, indent=2, sort_keys=True))
     return path
 
 
 def read_snapshot(store_root: str, backup_id: str) -> dict | None:
+    from kafka_backup_spark import fsio
+
     path = snapshot_path(store_root, backup_id)
-    if not os.path.exists(path):
+    if not fsio.exists(path):
         return None
-    with open(path) as fh:
-        return json.load(fh)
+    return json.loads(fsio.read_text(path))
 
 
 def flatten_snapshot(doc: dict) -> list[tuple[str, str, int, int]]:

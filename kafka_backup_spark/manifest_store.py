@@ -16,7 +16,6 @@ makes the same single-writer assumption for the manifest object.
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import Any
 
@@ -110,10 +109,14 @@ class ManifestStore:
         return f"{self.root}/{self.backup_id}/manifest.json"
 
     def load_doc(self) -> dict[str, Any] | None:
-        if not os.path.exists(self.path()):
+        # fsio routes remote store roots (s3a://…) through the Hadoop
+        # filesystem — the manifest must live NEXT TO the segments, not on
+        # the driver's local disk under a directory named like the URI
+        from kafka_backup_spark import fsio
+
+        if not fsio.exists(self.path()):
             return None
-        with open(self.path()) as fh:
-            return json.load(fh)
+        return json.loads(fsio.read_text(self.path()))
 
     def load(self, spark: SparkSession) -> DataFrame | None:
         doc = self.load_doc()
@@ -142,9 +145,7 @@ class ManifestStore:
             created_at_ms=created_at_ms,
             segment_span=segment_span,
         )
-        os.makedirs(os.path.dirname(self.path()), exist_ok=True)
-        tmp = self.path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh, sort_keys=True)
-        os.replace(tmp, self.path())
+        from kafka_backup_spark import fsio
+
+        fsio.write_text(self.path(), json.dumps(doc, sort_keys=True))
         return doc

@@ -54,6 +54,10 @@ def records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under sf_dir is immutable for the session.  In-place writers must call
 # release_meta_cache(spark).
 _META_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# ~8 metadata kinds per sf_dir → room for ~4 concurrently-hot sf_dirs before
+# oldest entries unpersist (the frames are tiny; the cap guards pathological
+# many-directory sessions, not normal use)
+_META_CACHE_CAP = 32
 
 
 def _shared_meta(
@@ -70,6 +74,14 @@ def _shared_meta(
         _META_CACHE.pop(k, None)  # drop handles left by dead sessions
     key = (app, sf_dir, kind)
     if key not in _META_CACHE:
+        # bounded registry: a long-lived session touching many sf_dirs must
+        # not pin storage monotonically — evict oldest-inserted first
+        while len(_META_CACHE) >= _META_CACHE_CAP:
+            old = _META_CACHE.pop(next(iter(_META_CACHE)))
+            try:
+                old.unpersist()
+            except Exception:
+                pass
         df = build()
         if parts is not None:
             df = df.coalesce(parts)

@@ -376,6 +376,26 @@ def _hashed_gram_sets(c: DataFrame) -> DataFrame:
 
 _GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
 _TAGGED: dict[tuple[str, str], DataFrame] = {}
+# registry bounds: 2 gram-stage frames per sf_dir, 2 ANN index tags per
+# sf_dir — room for ~4 concurrently-hot sf_dirs before oldest-inserted
+# entries unpersist (guards long-lived many-directory sessions)
+_GRAM_CACHE_CAP = 8
+_ANN_INDEX_CAP = 8
+
+
+def _evict_oldest(store: dict, cap: int) -> None:
+    """Evict oldest-inserted entries (dict order) until below ``cap``,
+    unpersisting any DataFrame values (entries may be frames or dicts of
+    frames)."""
+    while len(store) >= cap:
+        old = store.pop(next(iter(store)))
+        vals = old.values() if isinstance(old, dict) else [old]
+        for v in vals:
+            if isinstance(v, DataFrame):
+                try:
+                    v.unpersist()
+                except Exception:
+                    pass
 
 
 def _tagged_persist(spark: SparkSession, tag: str, df: DataFrame) -> DataFrame:
@@ -419,6 +439,7 @@ def _shared_gram_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         _GRAM_CACHE.pop(k, None)  # drop handles left by dead sessions
     key = (app, sf_dir)
     if key not in _GRAM_CACHE:
+        _evict_oldest(_GRAM_CACHE, _GRAM_CACHE_CAP)
         _GRAM_CACHE[key] = _hashed_gram_arrays(_near_corpus(spark, sf_dir)).cache()
     return _GRAM_CACHE[key]
 
@@ -663,6 +684,7 @@ def _shared_ann_index(
         _ANN_INDEX.pop(k, None)  # drop entries left by dead sessions
     key = (app, tag)
     if key not in _ANN_INDEX:
+        _evict_oldest(_ANN_INDEX, _ANN_INDEX_CAP)
         corpus = build_corpus().persist()
         k_cells = math.ceil(math.sqrt(n))
         cells, cent_mat = _kmeans_cells(corpus, dim, k_cells)
@@ -969,6 +991,7 @@ def _shared_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     key = (app, f"bands:{sf_dir}")
     if key not in _GRAM_CACHE:
+        _evict_oldest(_GRAM_CACHE, _GRAM_CACHE_CAP)
         _GRAM_CACHE[key] = _band_table(_shared_gram_arrays(spark, sf_dir)).persist()
     return _GRAM_CACHE[key]
 

@@ -244,19 +244,41 @@ def rdkafka_options(security: dict[str, Any] | None) -> dict[str, str]:
 
 def _populate_tls(security: dict[str, Any], opts: dict[str, str]) -> None:
     """TLS locations (config.rs:210-220).  The JVM client takes PEM via
-    ssl.truststore/keystore *.type=PEM on Kafka ≥2.7, the broker-side names
-    Spark passes straight through."""
+    ssl.truststore/keystore *.type=PEM (Kafka ≥2.7).  There is NO
+    ``ssl.key.location`` in the JVM client (that's librdkafka spelling):
+    a separate private key must be INLINED as ``ssl.keystore.key`` (KIP-651
+    accepts the PEM text as the config value), with the cert chain inlined
+    alongside it — so both files must be readable where the config is
+    compiled.  The alternative the error message offers: concatenate key +
+    cert into ONE PEM and pass it as ssl_certificate_location only."""
     ca = security.get("ssl_ca_location")
     cert = security.get("ssl_certificate_location")
     key = security.get("ssl_key_location")
     if ca is not None:
         opts["kafka.ssl.truststore.type"] = "PEM"
         opts["kafka.ssl.truststore.location"] = str(ca)
-    if cert is not None or key is not None:
-        if cert is None or key is None:
-            raise SecurityError(
-                "mTLS needs BOTH ssl_certificate_location and ssl_key_location"
-            )
+    if cert is not None and key is None:
+        # combined key+cert PEM: a plain keystore location works as-is
         opts["kafka.ssl.keystore.type"] = "PEM"
         opts["kafka.ssl.keystore.location"] = str(cert)
-        opts["kafka.ssl.key.location"] = str(key)
+    elif cert is not None or key is not None:
+        if cert is None or key is None:
+            raise SecurityError(
+                "ssl_key_location without ssl_certificate_location: the key's "
+                "cert chain is required. Provide both, or concatenate key+cert "
+                "into one PEM and pass it as ssl_certificate_location."
+            )
+        try:
+            key_pem = open(str(key)).read()
+            cert_pem = open(str(cert)).read()
+        except OSError as e:
+            raise SecurityError(
+                f"mTLS with a separate key file requires reading it at config "
+                f"time ({e}). The JVM client has no ssl.key.location — the key "
+                "must be inlined as ssl.keystore.key. Make both PEM files "
+                "readable here, or concatenate key+cert into one PEM and pass "
+                "it as ssl_certificate_location alone."
+            ) from e
+        opts["kafka.ssl.keystore.type"] = "PEM"
+        opts["kafka.ssl.keystore.key"] = key_pem
+        opts["kafka.ssl.keystore.certificate.chain"] = cert_pem

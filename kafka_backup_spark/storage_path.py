@@ -91,11 +91,20 @@ def resolve_storage_path(path: str) -> tuple[str, dict[str, str]]:
         return u.path or "/", {}
     if scheme == "memory":
         # the reference's in-memory test backend (config.rs:196); Hadoop has
-        # no RAM filesystem, so the closest single-node twin is a fresh
-        # process-local temp dir — contents die with the machine, like the
-        # reference's Memory backend dies with the process
-        return tempfile.mkdtemp(prefix="kbs-memory-"), {}
+        # no RAM filesystem, so the closest single-node twin is a
+        # process-local temp dir — contents die with the process, like the
+        # reference's Memory backend.  One dir PER URL per process: the
+        # reference resolves memory://x to the same shared store every time,
+        # so a backup through memory://x must be visible to a later
+        # validate/status resolving memory://x in the same process.
+        key = path
+        if key not in _MEMORY_STORES:
+            _MEMORY_STORES[key] = tempfile.mkdtemp(prefix="kbs-memory-")
+        return _MEMORY_STORES[key], {}
     raise StoragePathError(f"Unknown storage scheme: {scheme}")
+
+
+_MEMORY_STORES: dict[str, str] = {}
 
 
 def store_from_path(spark, path: str):

@@ -222,3 +222,15 @@ def test_near_dedup_replay_is_idempotent(spark, tmp_path):
     store.write_version(batch, near_dedup=True)
     assert store._read_signatures(spark).filter(F.col("version") == 1).count() == n_sigs
     assert store.read_version(spark, 1).count() == 1
+
+
+def test_near_dedup_backfills_exact_only_versions(spark, tmp_path):
+    """A near-dedup ingest must see near-copies of versions written WITHOUT
+    the flag: missing signature partitions backfill from the stored docs."""
+    store = CorpusStore(str(tmp_path / "c"))
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    store.write_version(_mk(spark, [(0, "en", base)]))  # exact-only ingest
+    e = store.write_version(_mk(spark, [(1, "en", base + " zz")]), near_dedup=True)
+    assert e["n_new"] == 0  # near-copy of the exact-only version is dropped
+    sigs = store._read_signatures(spark)
+    assert sigs.filter(F.col("version") == 0).count() > 0  # backfilled
