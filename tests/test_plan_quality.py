@@ -293,3 +293,24 @@ def test_shared_meta_cache_single_entry_and_release(spark, sf_dir):
     common.release_meta_cache(spark)
     assert not [k for k in common._META_CACHE if k[0] == app]
     assert not m1.is_cached
+
+
+def test_meta_cache_bounded_eviction(spark, sf_dir):
+    """Registry cap: inserting past _META_CACHE_CAP evicts (and unpersists)
+    the oldest entry instead of pinning storage forever."""
+    from kafka_backup_spark.queries import common
+
+    common.release_meta_cache()
+    frames = {}
+    for i in range(common._META_CACHE_CAP + 3):
+        kind = f"__evict_test_{i}"
+        frames[kind] = common._shared_meta(
+            spark, sf_dir, kind, lambda i=i: spark.range(i + 1)
+        )
+    app = spark.sparkContext.applicationId
+    live = [k for k in common._META_CACHE if k[0] == app]
+    assert len(live) <= common._META_CACHE_CAP
+    assert (app, sf_dir, "__evict_test_0") not in common._META_CACHE  # oldest out
+    assert not frames["__evict_test_0"].is_cached  # and unpersisted
+    assert frames[f"__evict_test_{common._META_CACHE_CAP + 2}"].is_cached
+    common.release_meta_cache(spark)
