@@ -100,6 +100,11 @@ def validate(doc: dict[str, Any]) -> None:
         raise ConfigError(f"repartition_strategy must be one of {VALID_STRATEGIES}")
     if r.get("repartition_to") is not None and int(r["repartition_to"]) < 1:
         raise ConfigError("repartition_to must be >= 1")
+    if r.get("repartition_to") is not None and pm:
+        raise ConfigError(
+            "partition_mapping and repartition_to are mutually exclusive "
+            "(hash repartitioning would override the explicit mapping)"
+        )
 
     # SASL wiring runs immediately after parse, like the reference CLI's
     # populate_sasl_plugin (commands/sasl_plugin.rs:23-28): a bad mechanism

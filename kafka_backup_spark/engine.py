@@ -77,18 +77,31 @@ class BackupEngine:
         return out
 
     def run(self, records: DataFrame) -> DataFrame:
-        """Execute the backup; returns the manifest DataFrame."""
+        """Execute the backup; returns the manifest DataFrame.
+
+        The manifest must describe the data actually WRITTEN: the plan is
+        persisted across the write and the manifest aggregation (one source
+        scan, and a non-deterministic source — a Kafka read whose
+        endingOffsets resolve differently on re-evaluation, a directory
+        gaining files — cannot make the manifest disagree with the store),
+        then the manifest is localCheckpoint-materialized so it stays valid
+        after the plan is unpersisted."""
         missing = filters.missing_literal_includes(records, self.config.include_topics)
         if missing:
             raise ValueError(f"include topics missing from stream: {missing}")
-        out = self.plan(records)
-        self.store.write(
-            out,
-            max_records_per_file=self.config.max_records_per_file(),
-            compression=self.config.compression,
-            zstd_level=self.config.zstd_level,
-        )
-        return mani.build_manifest(out, self.config.segment_span)
+        out = self.plan(records).persist()
+        try:
+            self.store.write(
+                out,
+                max_records_per_file=self.config.max_records_per_file(),
+                compression=self.config.compression,
+                zstd_level=self.config.zstd_level,
+            )
+            return mani.build_manifest(out, self.config.segment_span).localCheckpoint(
+                eager=True
+            )
+        finally:
+            out.unpersist()
 
 
 class RestoreEngine:
@@ -121,6 +134,15 @@ class RestoreEngine:
             out = projections.inject_restore_headers(out)
         out = projections.rename_topics(out, cfg.topic_mapping)
         if cfg.repartition_to is not None:
+            if cfg.partition_mapping:
+                # the two knobs route records by CONTRADICTORY rules (explicit
+                # per-partition placement vs key-hash); silently ignoring the
+                # mapping — the old behavior — put records on unintended
+                # partitions with no warning
+                raise ValueError(
+                    "partition_mapping and repartition_to are mutually exclusive: "
+                    "hash repartitioning would override the explicit mapping"
+                )
             out = repartition.repartition_records(out, cfg.repartition_to, cfg.repartition_strategy)
         else:
             out = projections.remap_partitions(out, cfg.partition_mapping)

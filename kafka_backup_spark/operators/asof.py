@@ -91,6 +91,15 @@ def lookup_target_offsets(
         asof = asof.join(F.broadcast(r), KEYS, "left")
         src_range = F.col("source_last_offset") - F.col("source_first_offset")
         tgt_range = F.col("target_last_offset") - F.col("target_first_offset")
+        # DELIBERATE f64 division + truncation, NOT exact integer math:
+        # the reference interpolates as
+        #   position = (so - first) as f64 / src_range as f64;
+        #   target_first + (position * tgt_range as f64) as i64
+        # (manifest.rs:662-663), so e.g. range 0..22 → 5000..5022 probe 15
+        # yields 5014 (15/22*22 = 14.999… truncates to 14) — an exact
+        # integer formula would "fix" this to 5015 and silently diverge
+        # from every reference deployment's reset plans.  Pinned by
+        # test_asof.py::test_interpolation_matches_reference_float_semantics.
         pos = (F.col("_so") - F.col("source_first_offset")) / src_range
         interp = F.when(
             F.col("target_first_offset").isNotNull() & F.col("target_last_offset").isNotNull(),

@@ -53,6 +53,9 @@ def stream_backup(
     store: SegmentStore,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    compression: str | None = "zstd",
+    zstd_level: int | None = None,
+    max_records_per_file: int | None = None,
 ) -> StreamingQuery:
     """T1/T3/T4: continuous backup of a record stream into the segment store.
 
@@ -60,14 +63,34 @@ def stream_backup(
     ``{"availableNow": True}`` = incremental one-shot (drain everything new,
     then stop: the reference's resume-from-checkpoint one-shot run);
     ``{"processingTime": "..."}`` = continuous mode.
+
+    The sink honors the SAME store discipline as the batch path
+    (``SegmentStore.write``): zstd by default (a streaming-backed store must
+    not silently end up snappy next to zstd batch segments, which would
+    falsify the manifest's compressed_size model), bounded file sizes via
+    ``maxRecordsPerFile``, and the canonical column projection.
     """
+    from kafka_backup_spark.schema import RECORD_COLUMNS
+    from kafka_backup_spark.sources.segments import DEFAULT_MAX_RECORDS_PER_FILE
+
+    if zstd_level is not None:
+        records.sparkSession.sparkContext._jsc.hadoopConfiguration().set(
+            "parquet.compression.codec.zstd.level", str(int(zstd_level))
+        )
     writer = (
-        records.writeStream.format("parquet")
+        records.select(*[c for c in RECORD_COLUMNS if c in records.columns])
+        .writeStream.format("parquet")
         .option("path", store.topics_path())
         .option("checkpointLocation", checkpoint_dir)
+        .option(
+            "maxRecordsPerFile",
+            max_records_per_file if max_records_per_file is not None else DEFAULT_MAX_RECORDS_PER_FILE,
+        )
         .partitionBy("topic", "partition")
         .outputMode("append")
     )
+    if compression is not None:
+        writer = writer.option("compression", compression)
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
 
@@ -110,26 +133,38 @@ GAP_EVENT_SCHEMA = (
 _GAP_STATE_SCHEMA = "next_expected long"
 
 
-def offset_gap_monitor(records: DataFrame) -> DataFrame:
+def offset_gap_monitor(
+    records: DataFrame, noncontiguous_topics: set[str] | None = None
+) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-partition
     offset-continuity monitor across micro-batches.
 
-    Kafka offsets within a partition are contiguous; a backup stream that
-    skips ahead has LOST records (emit ``gap``), one that revisits offsets is
-    re-fetching under at-least-once (emit ``overlap`` — benign with T8 dedup
-    downstream, but worth metering).  The expected-next-offset lives in the
-    state store, so detection spans micro-batches and survives restarts via
-    the checkpoint — semantics no built-in operator (watermark dedup,
-    windowed agg) can express, hence the custom state.  The streaming twin of
-    the batch integrity scan (A11, validation/checks.integrity_scan).
+    For append-only topics, offsets within a partition are contiguous, so a
+    stream that skips ahead has LOST records (emit ``gap``); revisited
+    offsets are at-least-once re-fetches (emit ``overlap`` — benign with T8
+    dedup downstream, but worth metering).  Log-COMPACTED topics and topics
+    with transactional producers are legitimately non-contiguous (compaction
+    removes offsets; commit/abort control markers occupy offsets that are
+    never delivered) — name those in ``noncontiguous_topics`` and their
+    skips emit ``kind='skip'`` instead of ``gap``, so alerting built on gap
+    events doesn't fire continuously on healthy streams while the
+    overlap/continuity accounting keeps working.
+
+    The expected-next-offset lives in the state store, so detection spans
+    micro-batches and survives restarts via the checkpoint — semantics no
+    built-in operator (watermark dedup, windowed agg) can express, hence the
+    custom state.  The streaming twin of the batch integrity scan (A11).
 
     State per (topic, partition): one long — bounded regardless of
     throughput, so 10⁶ partitions cost MBs of state at any scale.
     """
     import pandas as pd
 
+    expected_skips = frozenset(noncontiguous_topics or ())
+
     def monitor(key, pdfs, state):
         topic, partition = key
+        gap_kind = "skip" if topic in expected_skips else "gap"
         next_expected = state.get[0] if state.exists else None
         out = []
         # a group's rows can span several Arrow chunks in arbitrary order —
@@ -143,7 +178,7 @@ def offset_gap_monitor(records: DataFrame) -> DataFrame:
                 continue
             if off > next_expected:
                 out.append(
-                    (topic, partition, "gap", next_expected, off - 1, off - next_expected)
+                    (topic, partition, gap_kind, next_expected, off - 1, off - next_expected)
                 )
             elif off < next_expected:
                 out.append((topic, partition, "overlap", off, off, 1))

@@ -27,19 +27,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_backup_spark.offset_reset import generate_group_plan, plan_summary
-from kafka_backup_spark.operators.projections import extract_source_offset
+from kafka_backup_spark.operators.projections import H_ORIGINAL_OFFSET, extract_source_offset
 
 
-def build_offset_mapping(target_records: DataFrame) -> DataFrame:
+def build_offset_mapping(
+    target_records: DataFrame, restored_only: bool | str = "auto"
+) -> DataFrame:
     """Phase-2 mapping capture: (topic, partition, source_offset,
     target_offset, timestamp) from re-reading the restored stream.
 
     ``target_records``: canonical-schema records as they exist on the target
     (their ``offset`` is the broker-assigned one; their headers carry the
-    original). Records without a parseable header fall back to their own
-    offset (P10 semantics) — for an identity mapping that is still correct.
+    original).
+
+    ``restored_only`` controls what happens to records WITHOUT a parseable
+    ``x-original-offset`` header:
+
+    - ``True`` — drop them.  On a live/shared target topic, pre-existing
+      records have no header, and an identity fallback would mint bogus
+      pairs (foreign record at offset 50 → mapping 50→50) that the as-of
+      lookup then prefers over the correct restored pair — resetting
+      consumer groups onto foreign records.
+    - ``False`` — identity-map them (P10 fallback).  Correct only when the
+      target holds exclusively restored records written WITHOUT header
+      injection.
+    - ``"auto"`` (default) — if ANY record carries the header, behave like
+      ``True`` (the restore injected headers, so header-less records are
+      foreign); if none do, behave like ``False`` (a header-less restore —
+      the whole target IS the mapping).  Costs one ``limit(1)`` probe.
     """
+    hv = F.try_element_at(
+        F.filter(F.col("headers"), lambda h: h["key"] == F.lit(H_ORIGINAL_OFFSET)),
+        F.lit(1),
+    )["value"]
     recovered = extract_source_offset(target_records, "source_offset")
+    if restored_only == "auto":
+        restored_only = recovered.filter(hv.isNotNull()).limit(1).count() > 0
+    if restored_only:
+        recovered = recovered.filter(hv.isNotNull())
     return recovered.select(
         "topic",
         "partition",

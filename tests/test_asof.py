@@ -101,3 +101,30 @@ def test_timestamp_asof(spark):
     assert got[1700000000500] == (1, 5001)
     assert got[1699999999000] == (0, 5000)
     assert got[1800000000000] == (2, 5002)
+
+
+def test_interpolation_matches_reference_float_semantics(spark):
+    """The range-interpolation fallback must reproduce the reference's f64
+    truncation (manifest.rs:662-663) bit-for-bit — including the cases where
+    exact integer math would differ: 15/22*22 = 14.999… truncates to 14, so
+    probe 15 on range 0..22 → 5000..5022 maps to 5014, NOT 5015."""
+    from kafka_backup_spark.operators.asof import lookup_target_offsets
+
+    ranges = spark.createDataFrame(
+        [("t", 0, 0, 22, 5000, 5022)],
+        "topic string, partition int, source_first_offset long, "
+        "source_last_offset long, target_first_offset long, target_last_offset long",
+    )
+    probes = spark.createDataFrame(
+        [("t", 0, so) for so in range(23)], "topic string, partition int, source_offset long"
+    )
+    got = {
+        r["source_offset"]: r["target_offset"]
+        for r in lookup_target_offsets(probes, None, ranges).collect()
+    }
+    # the reference formula in pure Python (f64 is IEEE double in both)
+    for so in range(23):
+        pos = (so - 0) / 22.0
+        want = 5000 + int(pos * 22.0)
+        assert got[so] == want, (so, got[so], want)
+    assert got[15] == 5014  # the truncation case an integer formula would miss

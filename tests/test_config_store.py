@@ -151,3 +151,17 @@ def test_expand_env_vars_semantics(monkeypatch):
         warnings.simplefilter("always")
         assert expand_env_vars("pass: ${KBS_UNSET_XYZ}") == "pass: "
     assert any("KBS_UNSET_XYZ" in str(x.message) for x in w)
+
+
+def test_partition_mapping_and_repartition_to_are_mutually_exclusive():
+    import pytest
+
+    from kafka_backup_spark import config as cfgmod
+
+    doc = {
+        "mode": "restore",
+        "backup_id": "b1",
+        "restore": {"partition_mapping": {"0": "5"}, "repartition_to": 8},
+    }
+    with pytest.raises(cfgmod.ConfigError, match="mutually exclusive"):
+        cfgmod.load_config(doc)

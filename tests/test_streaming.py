@@ -170,3 +170,65 @@ def test_rate_limited_stream_bounds_batch_size(spark, records, tmp_path):
     assert store.read(spark).count() == records.count()
     batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(batches) >= 4  # one file per micro-batch, not one big gulp
+
+
+def test_stream_backup_honors_store_codec_and_projection(spark, tmp_path):
+    """The streaming sink must follow the same store discipline as
+    SegmentStore.write: zstd-compressed files (not silent snappy) and the
+    canonical column projection."""
+    import glob as globmod
+
+    from kafka_backup_spark.schema import events_as_records, load_table
+    from kafka_backup_spark.sources.segments import SegmentStore
+    from kafka_backup_spark.streaming.backup_stream import run_incremental_backup
+
+    src = str(tmp_path / "src")
+    events_as_records(load_table(spark, "/root/testdata/sf0.001", "events")).limit(
+        200
+    ).write.parquet(src)
+    store = SegmentStore(str(tmp_path / "store"))
+    run_incremental_backup(spark, src, store, str(tmp_path / "ckpt"), timeout_sec=120)
+    files = globmod.glob(f"{store.topics_path()}/**/*.parquet", recursive=True)
+    assert files
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(files[0]).metadata
+    codecs = {meta.row_group(i).column(0).compression for i in range(meta.num_row_groups)}
+    assert codecs == {"ZSTD"}
+    assert store.read(spark).count() == 200
+
+
+def test_offset_gap_monitor_classifies_expected_noncontiguity(spark, tmp_path):
+    """Compacted/transactional topics are legitimately non-contiguous: their
+    skips emit kind='skip', not the data-loss 'gap' alarm."""
+    from kafka_backup_spark.schema import RECORD_SCHEMA
+    from kafka_backup_spark.streaming.backup_stream import offset_gap_monitor
+
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    # RECORD_SCHEMA order: key, value, topic, partition, offset, timestamp,
+    # timestampType, headers
+    rows = [
+        (None, None, "compacted", 0, o, ts, 0, [])
+        for o in (0, 1, 5, 9)  # compaction removed 2-4 and 6-8
+    ] + [
+        (None, None, "plain", 0, o, ts, 0, [])
+        for o in (0, 1, 7)  # genuine loss
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, RECORD_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(RECORD_SCHEMA).parquet(src)
+    out = offset_gap_monitor(stream, noncontiguous_topics={"compacted"})
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gapmon")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    events = {(r["topic"], r["kind"]) for r in spark.sql("select * from gapmon").collect()}
+    assert ("compacted", "skip") in events
+    assert ("compacted", "gap") not in events
+    assert ("plain", "gap") in events

@@ -61,3 +61,34 @@ def test_phase3_plan_complete_over_captured_mapping(spark, records):
     assert srow["mapped"] == srow["offsets"]
     bad = plan.filter(F.col("target_offset") != F.col("source_offset") + 100)
     assert bad.count() == 0
+
+
+def test_mapping_excludes_foreign_records(spark):
+    """A live/shared target topic holds records the restore never wrote (no
+    x-original-offset header); they must NOT become identity pairs in the
+    mapping, or group resets land on foreign records."""
+    from kafka_backup_spark.operators.projections import inject_restore_headers
+    from kafka_backup_spark.three_phase import build_offset_mapping
+
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("t", 0, i, None, None, []) for i in range(5)],
+        "topic string, partition int, offset long, key binary, value binary, "
+        "headers array<struct<key:string,value:binary>>",
+    ).withColumn("timestamp", F.timestamp_millis(F.lit(1704067200000)))
+
+    restored = inject_restore_headers(base).withColumn("offset", F.col("offset") + 100)
+    foreign = base  # pre-existing records without headers
+    target = foreign.unionByName(restored)
+    m = build_offset_mapping(target)
+    rows = {(r["source_offset"], r["target_offset"]) for r in m.collect()}
+    assert rows == {(i, i + 100) for i in range(5)}  # restored pairs only
+    # auto mode on a fully header-less target: identity fallback (the whole
+    # target IS the restore — written without injection)
+    m2 = build_offset_mapping(foreign)
+    assert {(r["source_offset"], r["target_offset"]) for r in m2.collect()} == {
+        (i, i) for i in range(5)
+    }
+    # strict mode drops everything header-less
+    assert build_offset_mapping(foreign, restored_only=True).count() == 0
