@@ -30,7 +30,7 @@ SEED_A = (3, 5, 7, 11, 13, 17, 19, 23)
 SEED_C = (12345, 67890, 13579, 24680, 11111, 22222, 33333, 44444)
 
 
-def fast_hash64(col: Column, as_string: bool = False) -> Column:
+def fast_hash64(col: Column) -> Column:
     """H(x) as defined above, over a string or binary column."""
     return F.conv(F.substring(F.md5(col.cast("binary")), 17, 14), 16, 10).cast("long")
 

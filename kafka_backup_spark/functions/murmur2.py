@@ -298,10 +298,20 @@ def murmur2_duckdb_sql(col: str) -> str:
         f"list_reduce(list_prepend(CAST(xor({KAFKA_SEED}, {length}) AS BIGINT), "
         f"[CAST(w AS BIGINT) for w in range(1, {nw}+1)]), {step})"
     )
-    t3 = f"(CASE WHEN {rem} = 3 THEN xor({body}, {_duck_byte(hx, n4 + '+2')}*65536) ELSE {body} END)"
-    t2 = f"(CASE WHEN {rem} >= 2 THEN xor({t3}, {_duck_byte(hx, n4 + '+1')}*256) ELSE {t3} END)"
-    t1 = f"(CASE WHEN {rem} >= 1 THEN (xor({t2}, {_duck_byte(hx, n4)}) * {_M}) % 4294967296 ELSE {t2} END)"
-    f1 = f"xor({t1}, {t1} >> 13)"
+    # let-bind every stage via single-element list_transform (DuckDB's
+    # lambda-binding idiom) so each stage evaluates ONCE per row.  Naive
+    # textual substitution — each stage splicing its predecessor into both
+    # CASE branches — expands the whole word fold ~96× per row (the exact
+    # antipattern murmur2_expr's let-bound Spark fold avoids), and DuckDB
+    # does not CSE the copies: the oracle ran ~8× slower than this form.
+    def let(val: str, template: str) -> str:
+        # template refers to the bound value as `_v`
+        return f"list_transform([{val}], _v -> {template})[1]"
+
+    t3 = let(body, f"CASE WHEN {rem} = 3 THEN xor(_v, {_duck_byte(hx, n4 + '+2')}*65536) ELSE _v END")
+    t2 = let(t3, f"CASE WHEN {rem} >= 2 THEN xor(_v, {_duck_byte(hx, n4 + '+1')}*256) ELSE _v END")
+    t1 = let(t2, f"CASE WHEN {rem} >= 1 THEN (xor(_v, {_duck_byte(hx, n4)}) * {_M}) % 4294967296 ELSE _v END")
+    f1 = let(t1, "xor(_v, _v >> 13)")
     f2 = f"(({f1} * {_M}) % 4294967296)"
-    f3 = f"xor({f2}, {f2} >> 15)"
-    return f"(CASE WHEN {f3} >= 2147483648 THEN {f3} - 4294967296 ELSE {f3} END)"
+    f3 = let(f2, "xor(_v, _v >> 15)")
+    return let(f3, "CASE WHEN _v >= 2147483648 THEN _v - 4294967296 ELSE _v END")

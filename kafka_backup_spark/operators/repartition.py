@@ -51,14 +51,20 @@ def assign_target_partitions(
     strategy: str = "murmur2",
     key_col: str = "key",
     out_col: str = "target_partition",
+    impl: str = "jvm",
 ) -> DataFrame:
+    """``impl``: "jvm" (pure-expression fold — zero Python dependency, the
+    portability default) or "pandas" (Arrow-batched numpy kernel — ~2× at
+    sf0.1, ~28× at volume per SCALE.md; the recommended hot-path impl when
+    the package is importable on executors).  Bit-identical outputs
+    (hypothesis cross-impl property + Kafka vectors)."""
     if strategy == "automatic":
         return df.withColumn(out_col, _round_robin_expr(num_partitions))
     if strategy == "dispersed":
         return df.withColumn(out_col, _dispersed_expr(num_partitions))
     if strategy != "murmur2":
         raise ValueError(f"unknown repartitioning strategy: {strategy}")
-    hashed = kafka_partition_expr(F.col(key_col), num_partitions)
+    hashed = kafka_partition_expr(F.col(key_col), num_partitions, impl=impl)
     # null-key fallback costs nothing: coalesce of two narrow expressions
     return df.withColumn(out_col, F.coalesce(hashed, _round_robin_expr(num_partitions)))
 

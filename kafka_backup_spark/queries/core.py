@@ -673,7 +673,11 @@ FROM documents
 
 def q_murmur2_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = records_df(spark, sf_dir)
-    out = assign_target_partitions(r, 5, strategy="murmur2")
+    # Arrow-batched numpy kernel — the recommended hot-path impl at volume
+    # (SCALE.md: ~28× the interpreted JVM fold at 20M keys; bit-identical,
+    # hypothesis-cross-checked).  The zero-Python JVM fold remains the
+    # portability default elsewhere and keeps its own plan-purity test.
+    out = assign_target_partitions(r, 5, strategy="murmur2", impl="pandas")
     return out.groupBy("target_partition").agg(
         F.count(F.lit(1)).alias("n_records"),
         F.count_distinct("key").alias("n_keys"),

@@ -287,8 +287,11 @@ observed AS (
 )
 SELECT m.key, m.topic, m."partition",
        CASE WHEN o.obs_count IS NULL THEN 'missing'
-            WHEN o.obs_count != m.record_count OR o.obs_start != m.start_offset
-                 OR o.obs_end != m.end_offset THEN 'corrupted'
+            -- IS DISTINCT FROM = the Spark side's null-safe <=> inequality:
+            -- a NULL observed offset is 'corrupted', never silently 'valid'
+            WHEN o.obs_count IS DISTINCT FROM m.record_count
+                 OR o.obs_start IS DISTINCT FROM m.start_offset
+                 OR o.obs_end IS DISTINCT FROM m.end_offset THEN 'corrupted'
             ELSE 'valid' END AS status
 FROM manifest m LEFT JOIN observed o ON m.key = o.key
 """

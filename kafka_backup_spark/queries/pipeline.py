@@ -665,8 +665,12 @@ WITH words AS (
     SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
 ),
 grams AS (
+    -- array_to_string joins ELEMENTS with spaces, matching Spark's
+    -- concat_ws over the slice byte-for-byte; concat_ws(' ', <list>) would
+    -- cast the LIST to its bracketed repr '[a, b, …]' — a different string
+    -- that only happens to hash injectively on space-free tokens
     SELECT doc_id,
-           concat_ws(' ', list_slice(ws, CAST(i AS INT), CAST(i AS INT) + {CONTAM_GRAM - 1})) AS gram
+           array_to_string(list_slice(ws, CAST(i AS INT), CAST(i AS INT) + {CONTAM_GRAM - 1}), ' ') AS gram
     FROM words, LATERAL unnest(range(1, greatest(len(ws) - {CONTAM_GRAM}, 0) + 2)) t(i)
 ),
 hashed AS (

@@ -254,20 +254,7 @@ def q_kgram_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint used for containment-style near-dup screens."""
     d = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.col("text")), " ")
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                ),
-            )
-        ).alias("g"),
-    )
+    grams = d.select("doc_id", F.explode(_word_3grams(toks)).alias("g"))
     hashed = grams.withColumn("h", rolling_hash32(F.col("g")))
     return hashed.groupBy("doc_id").agg(
         F.min("h").alias("min_fp"),
@@ -319,23 +306,33 @@ corpus AS (
 """
 
 
+def _word_3grams(toks: Column) -> Column:
+    """array<string> of word 3-grams, EMPTY for docs under 3 tokens.
+
+    The guard is load-bearing: ``sequence(1, size-2)`` with size < 3 builds
+    a DESCENDING [1, 0] array in Spark (step defaults to -1 when start >
+    stop), and ``element_at(_, 0)`` / out-of-range indexes then throw under
+    Spark 4's default ANSI mode — a 1-2-token document would kill every
+    near-dup/fingerprint query.  The DuckDB twins need no guard (their
+    ``range(1, n+1)`` is empty when n < 1)."""
+    body = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return F.when(F.size(toks) >= 3, body).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def _gram_sets(c: DataFrame) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return (
-        c.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(toks, i),
-                        F.element_at(toks, i + 1),
-                        F.element_at(toks, i + 2),
-                    ),
-                )
-            ).alias("g"),
-        )
+        c.select("doc_id", F.explode(_word_3grams(toks)).alias("g"))
         .distinct()
     )
 
@@ -353,15 +350,7 @@ def _hashed_gram_arrays(c: DataFrame) -> DataFrame:
     from kafka_backup_spark.functions.hashing import fast_hash64
 
     toks = F.split(F.col("text"), " ")
-    gram_arr = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
+    gram_arr = _word_3grams(toks)
     return c.select(
         "doc_id",
         F.array_distinct(F.transform(gram_arr, lambda g: fast_hash64(g))).alias("hs"),
@@ -567,7 +556,10 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_sql() -> str:
+def _bands_cte_chain() -> str:
+    """The shared corpus→grams→hashed→sigs→bands CTE chain — ONE definition
+    of the LSH candidate generator, so lsh_candidates and near_dup_pipeline
+    can never silently test different generators."""
     from kafka_backup_spark.functions.hashing import fast_hash64_duckdb, seeded_hash_duckdb
 
     mins = ",\n           ".join(
@@ -581,8 +573,7 @@ def _lsh_sql() -> str:
         + " AS sig FROM sigs"
         for b in range(N_SEEDS // BAND_SIZE)
     )
-    return f"""
-WITH {_NEAR_CORPUS_CTE}, {_RAW_GRAMS_CTE},
+    return f"""{_NEAR_CORPUS_CTE}, {_RAW_GRAMS_CTE},
 hashed AS (SELECT DISTINCT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams_raw),
 sigs AS (
     SELECT doc_id,
@@ -591,7 +582,12 @@ sigs AS (
 ),
 bands AS (
 {band_rows}
-)
+)"""
+
+
+def _lsh_sql() -> str:
+    return f"""
+WITH {_bands_cte_chain()}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -1045,30 +1041,8 @@ def q_near_dup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dup_pipeline_sql() -> str:
-    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb, seeded_hash_duckdb
-
-    mins = ",\n           ".join(
-        f"min({seeded_hash_duckdb('h', s)}) AS m{s}" for s in range(N_SEEDS)
-    )
-    band_rows = "\n    UNION ALL\n".join(
-        f"    SELECT doc_id, {b} AS band, "
-        + " || ':' || ".join(
-            f"CAST(m{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
-        )
-        + " AS sig FROM sigs"
-        for b in range(N_SEEDS // BAND_SIZE)
-    )
     return f"""
-WITH {_NEAR_CORPUS_CTE}, {_RAW_GRAMS_CTE},
-hashed AS (SELECT DISTINCT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams_raw),
-sigs AS (
-    SELECT doc_id,
-           {mins}
-    FROM hashed GROUP BY doc_id
-),
-bands AS (
-{band_rows}
-),
+WITH {_bands_cte_chain()},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
@@ -1287,15 +1261,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     norm = F.lower(F.replace(F.col("text"), F.lit(" "), F.lit("")))
     toks = F.split(F.lower(F.col("text")), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
+    grams = _word_3grams(toks)
     hashes = F.transform(grams, rolling_hash32)
     return d.select(
         "doc_id",

@@ -115,17 +115,21 @@ def integrity_scan(manifest: DataFrame, observed: DataFrame) -> DataFrame:
         "key",
         "left",
     )
+    # null-SAFE inequality (<=>): a NULL observed/manifest offset means the
+    # re-scan could not vouch for the segment — that is 'corrupted', not
+    # 'valid'.  Plain != evaluates to NULL against NULL and the WHEN falls
+    # through, silently under-reporting corruption.
+    differs = (
+        ~F.col("obs_count").eqNullSafe(F.col("record_count"))
+        | ~F.col("obs_start").eqNullSafe(F.col("start_offset"))
+        | ~F.col("obs_end").eqNullSafe(F.col("end_offset"))
+    )
     return j.select(
         "key",
         "topic",
         "partition",
         F.when(F.col("obs_count").isNull(), F.lit("missing"))
-        .when(
-            (F.col("obs_count") != F.col("record_count"))
-            | (F.col("obs_start") != F.col("start_offset"))
-            | (F.col("obs_end") != F.col("end_offset")),
-            F.lit("corrupted"),
-        )
+        .when(differs, F.lit("corrupted"))
         .otherwise(F.lit("valid"))
         .alias("status"),
     )

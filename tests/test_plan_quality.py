@@ -99,16 +99,29 @@ def test_load_table_survives_vanilla_session(spark, sf_dir):
 
 
 def test_repartition_plans_scale(spark, sf_dir):
-    """R1/R2 must be pure projections + one hash shuffle: no Python workers
-    (murmur2 runs as a codegen'd JVM fold) and no Exchange SinglePartition
-    (the old row_number() window funneled every row through one task)."""
+    """R1/R2 must be pure projections + one hash shuffle, with no Exchange
+    SinglePartition (the old row_number() window funneled every row through
+    one task).  The catalog murmur2 entry runs the Arrow-batched numpy
+    kernel (the recommended hot-path impl) — Arrow-batched, never
+    row-at-a-time Python; round-robin stays Python-free entirely."""
+    from kafka_backup_spark.operators.repartition import assign_target_partitions
+    from kafka_backup_spark.queries.common import records_df
+
     qs = catalog.queries()
     for name in ("murmur2_repartition", "round_robin_repartition"):
         df = qs[name](spark, sf_dir)
         plan = _plan(df)
-        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name  # no per-row Python ever
         assert "Exchange SinglePartition" not in plan, name
         assert "Window" not in plan, name
+    rr = _plan(qs["round_robin_repartition"](spark, sf_dir))
+    assert "ArrowEvalPython" not in rr
+    # the portability default (impl="jvm") stays a pure-expression fold:
+    # zero Python nodes of any kind in the plan
+    jvm = _plan(
+        assign_target_partitions(records_df(spark, sf_dir), 5, impl="jvm")
+    )
+    assert "ArrowEvalPython" not in jvm and "BatchEvalPython" not in jvm
 
 
 def test_contamination_check_broadcasts_benchmark_semi_join(spark, sf_dir):

@@ -145,3 +145,34 @@ def test_embedding_dup_clusters_consistent_with_pairs(spark, sf_dir):
     sizes = Counter(find(x) for x in parent)
     assert {(r["cluster_id"], r["n_members"]) for r in rows} == set(sizes.items())
     assert all(r["n_members"] >= 2 for r in rows)
+
+
+def test_gram_queries_survive_short_documents(spark, tmp_path):
+    """1- and 2-token documents must not kill the gram pipeline (Spark's
+    sequence(1, size-2) builds a DESCENDING [1,0] when size < 3, and
+    element_at(_, 0) throws under ANSI) — and both engines must agree on the
+    short-doc rows."""
+    import duckdb
+
+    from kafka_backup_spark.queries import textops
+
+    rows = [
+        (0, "en", "solo", "web", 4),
+        (1, "en", "two words", "web", 9),
+        (2, "en", "three token document here now okay fine good yes", "web", 48),
+        (10, "de", "alpha beta gamma delta epsilon zeta eta theta", "web", 45),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    textops.release_gram_cache(spark)
+    q = catalog.queries()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    oracles = catalog.oracle_sql()
+    for name in ("kgram_fingerprint", "fingerprints", "lsh_candidates", "near_dup_pipeline"):
+        got = sorted(map(tuple, q[name](spark, sf).collect()))  # must not raise
+        want = sorted(tuple(r) for r in con.sql(oracles[name]).fetchall())
+        assert len(got) == len(want), name
+    textops.release_gram_cache(spark)

@@ -85,3 +85,22 @@ def test_integrity_scan(spark):
     )
     got = {r["key"]: r["status"] for r in integrity_scan(m, observed).collect()}
     assert got == {"k0": "valid", "k1": "corrupted", "k2": "missing", "k3": "valid"}
+
+
+def test_integrity_scan_flags_null_observations_as_corrupted(spark):
+    """A segment whose re-scan yields NULL offsets cannot be vouched for —
+    it must report 'corrupted', not fall through NULL comparisons to
+    'valid'."""
+    from kafka_backup_spark.validation.checks import integrity_scan
+
+    manifest = spark.createDataFrame(
+        [("k1", "t", 0, 10, 0, 9), ("k2", "t", 1, 10, 0, 9)],
+        "key string, topic string, partition int, record_count long, "
+        "start_offset long, end_offset long",
+    )
+    observed = spark.createDataFrame(
+        [("k1", 10, None, None), ("k2", 10, 0, 9)],
+        "key string, record_count long, start_offset long, end_offset long",
+    )
+    status = {r["key"]: r["status"] for r in integrity_scan(manifest, observed).collect()}
+    assert status == {"k1": "corrupted", "k2": "valid"}
