@@ -95,8 +95,53 @@ ALL_QUERIES: dict[str, tuple] = {n: _MERGED[n] for n in _FIRST}
 ALL_QUERIES.update({n: v for n, v in _MERGED.items() if n not in ALL_QUERIES})
 
 
+# ── Plan cache (prepared statements) ──────────────────────────────────────
+# Some catalog entries spend real driver time CONSTRUCTING their DataFrame —
+# simhash builds 64 packed bit-lane expressions (~0.49 s of Column calls),
+# header_roundtrip materializes its segment fixture (~0.30 s) — and that
+# cost repeats on every invocation even though the logical plan is a pure
+# function of (session, sf_dir).  Cache the constructed DataFrame exactly
+# like a SQL engine caches prepared statements: DataFrames are immutable
+# and hold their *analyzed* plan, so reuse is safe even if a temp view is
+# later re-pointed elsewhere (the cached plan no longer consults the view).
+#
+# Staleness contract matches common._META_CACHE / textops' gram cache:
+# keyed on (applicationId, name, sf_dir), parquet under sf_dir is immutable
+# for the session; in-place writers call release_plan_cache(spark).
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_PLAN_CACHE_CAP = 1024  # ~90 queries × a handful of sf_dirs; guards runaway
+
+
+def _plan_cached(name: str, fn) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        app = spark.sparkContext.applicationId
+        for k in [k for k in _PLAN_CACHE if k[0] != app]:
+            _PLAN_CACHE.pop(k, None)  # entries left by dead sessions
+        key = (app, name, sf_dir)
+        df = _PLAN_CACHE.get(key)
+        if df is None:
+            while len(_PLAN_CACHE) >= _PLAN_CACHE_CAP:
+                _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+            df = fn(spark, sf_dir)
+            _PLAN_CACHE[key] = df
+        return df
+
+    wrapper.__name__ = f"cached:{name}"
+    wrapper.__wrapped__ = fn
+    return wrapper
+
+
+def release_plan_cache(spark: SparkSession | None = None) -> None:
+    """Drop cached plans (one session's, or all). Plans hold no executor
+    storage — this only frees driver-side plan objects."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for k in list(_PLAN_CACHE):
+        if app is None or k[0] == app:
+            _PLAN_CACHE.pop(k, None)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in ALL_QUERIES.items()}
+    return {name: _plan_cached(name, fn) for name, (fn, _sql) in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,9 +1,12 @@
 """General join/agg coverage (TPC-H-shaped) + training-data pipeline
 operators (M7: dedup, text analysis, similarity search) with DuckDB oracles.
 
-Money-like aggregates go through DECIMAL (exact) then cast to DOUBLE so both
-engines produce bit-identical values; similarity scores are rounded to 4dp
-before ranking so float summation order can't flip the hash.
+Money-like aggregates go through fixed-point BIGINT (exact — the 2dp inputs
+become integer cents, sums stay in the codegen long path, hi/lo-split where
+per-row products would otherwise near 2^63 at 100-TB row counts) and convert
+to dollars in one deterministic double expression both engines evaluate
+identically; similarity scores are rounded to 4dp before ranking so float
+summation order can't flip the hash.
 """
 
 from __future__ import annotations
@@ -20,75 +23,104 @@ _VIEWS: dict[tuple[str, str], str] = {}
 
 
 def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    from kafka_backup_spark.queries.common import hot_table
+
     app = spark.sparkContext.applicationId
     for k in [k for k in _VIEWS if k[0] != app]:
         _VIEWS.pop(k, None)  # entries left by dead sessions
     for n in names:
         if _VIEWS.get((app, n)) != sf_dir:
-            spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
+            hot_table(spark, sf_dir, n).createOrReplaceTempView(n)
             _VIEWS[(app, n)] = sf_dir
 
 
 # ── TPC-H Q1: pricing summary ─────────────────────────────────────────────
+# Money arithmetic is FIXED-POINT BIGINT, not DECIMAL: the 2dp inputs become
+# integer cents/hundredths (exact — every money column in the fixtures is
+# 2dp), every sum runs in the whole-stage-codegen long path, and the final
+# dollars conversion is one deterministic double expression both engines
+# evaluate with identical IEEE ops.  The previous DECIMAL formulation was
+# exact too, but Spark's sum over precision-promoted decimals (>18 digits)
+# leaves the long-backed fast path for boxed accumulation — measured ~3× on
+# Q1 (0.74 s vs 0.23 s for the product sums at sf0.1) — while DuckDB's
+# int128 sums don't slow down, so the tax fell entirely on the Spark side.
+# Product sums are split hi/lo around 1e6 so each BIGINT accumulator stays
+# overflow-safe at 100-TB row counts: per-row pc*(100-dc)*(100+tc) ≤ ~1.1e11
+# → hi ≤ 1.1e5/row, lo < 1e6/row → ~6e11 rows before either sum nears 2^63.
+# {IDIV} is the integer-division operator: Spark `div`, DuckDB `//`.
 
 _Q1_BODY = """
+WITH fx AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc,
+         CAST(round(l_tax * 100) AS BIGINT) AS tc
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+), t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(qc) AS BIGINT) AS sqc,
+         CAST(sum(pc) AS BIGINT) AS spc,
+         CAST(sum(dc) AS BIGINT) AS sdc,
+         CAST(sum((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
+         CAST(sum((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo,
+         CAST(sum((pc * (100 - dc) * (100 + tc)) {IDIV} 1000000) AS BIGINT) AS chg_hi,
+         CAST(sum((pc * (100 - dc) * (100 + tc)) % 1000000) AS BIGINT) AS chg_lo,
+         COUNT(*) AS count_order
+  FROM fx GROUP BY l_returnflag, l_linestatus
+)
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))
-                * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
-       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
-       COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-GROUP BY l_returnflag, l_linestatus
+       CAST(sqc AS DOUBLE) / 100 AS sum_qty,
+       CAST(spc AS DOUBLE) / 100 AS sum_base_price,
+       (CAST(rev_hi AS DOUBLE) * 1e6 + CAST(rev_lo AS DOUBLE)) / 1e4 AS sum_disc_price,
+       (CAST(chg_hi AS DOUBLE) * 1e6 + CAST(chg_lo AS DOUBLE)) / 1e6 AS sum_charge,
+       CAST(sqc AS DOUBLE) / 100 / count_order AS avg_qty,
+       CAST(spc AS DOUBLE) / 100 / count_order AS avg_price,
+       CAST(sdc AS DOUBLE) / 100 / count_order AS avg_disc,
+       count_order
+FROM t
 """
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q1 is a pure scan+agg: the sf0.1 fixture is ONE parquet row group, so
-    # without help a single task does all 600k rows of decimal arithmetic.
-    # Prune to the 7 referenced columns and spread — the exact-decimal agg
-    # then parallelizes (measured 1.11→0.78 s).  Joins elsewhere don't get
-    # this: their own exchange already provides post-scan parallelism, and
-    # at scale multi-row-group files split naturally (AQE coalesces the
-    # then-redundant narrow shuffle).
-    from kafka_backup_spark.queries.common import spread
-
-    # own view name: q1's pruned+spread projection must not shadow the full
-    # `lineitem` view the other TPC-H queries register through _view()
-    app = spark.sparkContext.applicationId
-    if _VIEWS.get((app, "lineitem_q1")) != sf_dir:
-        spread(
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-                "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-                "l_discount", "l_tax", "l_shipdate",
-            )
-        ).createOrReplaceTempView("lineitem_q1")
-        _VIEWS[(app, "lineitem_q1")] = sf_dir
-    return spark.sql(_Q1_BODY.replace("FROM lineitem", "FROM lineitem_q1"))
+    # a cold scan runs as a single task.  The hot_table view _view registers
+    # is already spread+pinned (common.hot_table), so the fixed-point agg
+    # parallelizes without a per-query exchange; at 100 TB the table exceeds
+    # the pin gate and the scan's own splits provide the parallelism.
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(_Q1_BODY.format(IDIV="div"))
 
 
-SQL_TPCH_Q1 = _Q1_BODY
+SQL_TPCH_Q1 = _Q1_BODY.format(IDIV="//")
 
 
 # ── TPC-H Q3-shaped: shipping priority ────────────────────────────────────
 
 _Q3_BODY = """
+WITH li AS (
+  SELECT l_orderkey, l_shipdate,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc
+  FROM lineitem
+), t AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
+         CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo
+  FROM customer, orders, li
+  WHERE c_mktsegment = 'BUILDING'
+    AND c_custkey = o_custkey
+    AND l_orderkey = o_orderkey
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       (CAST(rev_hi AS DOUBLE) * 1e6 + CAST(rev_lo AS DOUBLE)) / 1e4 AS revenue,
        {odate_ms} AS o_orderdate_ms,
        o_orderpriority
-FROM customer, orders, lineitem
-WHERE c_mktsegment = 'BUILDING'
-  AND c_custkey = o_custkey
-  AND l_orderkey = o_orderkey
-  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
+FROM t
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """
@@ -98,73 +130,109 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "customer", "orders", "lineitem")
     # orders.o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC so the
     # cast is an identity relabel and matches DuckDB's epoch_ms on naive ts
-    return spark.sql(_Q3_BODY.format(odate_ms="unix_millis(cast(o_orderdate as timestamp))"))
+    return spark.sql(
+        _Q3_BODY.format(
+            odate_ms="unix_millis(cast(o_orderdate as timestamp))", IDIV="div"
+        )
+    )
 
 
-SQL_TPCH_Q3 = _Q3_BODY.format(odate_ms="epoch_ms(o_orderdate)")
+SQL_TPCH_Q3 = _Q3_BODY.format(odate_ms="epoch_ms(o_orderdate)", IDIV="//")
 
 
 # ── TPC-H Q5-shaped: local supplier volume ────────────────────────────────
 
 _Q5_BODY = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc
+  FROM lineitem
+), t AS (
+  SELECT n_name,
+         CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
+         CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo
+  FROM customer, orders, li, supplier, nation, region
+  WHERE c_custkey = o_custkey
+    AND l_orderkey = o_orderkey
+    AND l_suppkey = s_suppkey
+    AND c_nationkey = s_nationkey
+    AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey
+    AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY n_name
+)
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-FROM customer, orders, lineitem, supplier, nation, region
-WHERE c_custkey = o_custkey
-  AND l_orderkey = o_orderkey
-  AND l_suppkey = s_suppkey
-  AND c_nationkey = s_nationkey
-  AND s_nationkey = n_nationkey
-  AND n_regionkey = r_regionkey
-  AND r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY n_name
+       (CAST(rev_hi AS DOUBLE) * 1e6 + CAST(rev_lo AS DOUBLE)) / 1e4 AS revenue
+FROM t
 """
 
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
-    return spark.sql(_Q5_BODY)
+    return spark.sql(_Q5_BODY.format(IDIV="div"))
 
 
-SQL_TPCH_Q5 = _Q5_BODY
+SQL_TPCH_Q5 = _Q5_BODY.format(IDIV="//")
 
 
 # ── TPC-H Q6-shaped: forecasting revenue (pure filter + agg; the pushdown
 #     showcase — every predicate reaches the parquet scan) ─────────────────
 
 _Q6_BODY = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_rows
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND l_discount BETWEEN 0.03 AND 0.07
-  AND l_quantity < 24
+WITH fx AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_discount BETWEEN 0.03 AND 0.07
+    AND l_quantity < 24
+), t AS (
+  SELECT CAST(SUM((pc * dc) {IDIV} 1000000) AS BIGINT) AS rev_hi,
+         CAST(SUM((pc * dc) % 1000000) AS BIGINT) AS rev_lo,
+         COUNT(*) AS n_rows
+  FROM fx
+)
+SELECT (CAST(rev_hi AS DOUBLE) * 1e6 + CAST(rev_lo AS DOUBLE)) / 1e4 AS revenue,
+       n_rows
+FROM t
 """
 
 
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem")
-    return spark.sql(_Q6_BODY)
+    return spark.sql(_Q6_BODY.format(IDIV="div"))
 
 
-SQL_TPCH_Q6 = _Q6_BODY
+SQL_TPCH_Q6 = _Q6_BODY.format(IDIV="//")
 
 
 # ── TPC-H Q10-shaped: returned-item reporting (top customers by lost
 #     revenue; broadcast dims + top-k) ─────────────────────────────────────
 
 _Q10_BODY = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+), t AS (
+  SELECT c_custkey, c_name, n_name,
+         CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
+         CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo
+  FROM customer, orders, li, nation
+  WHERE c_custkey = o_custkey
+    AND l_orderkey = o_orderkey
+    AND c_nationkey = n_nationkey
+  GROUP BY c_custkey, c_name, n_name
+)
 SELECT c_custkey, c_name, n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-FROM customer, orders, lineitem, nation
-WHERE c_custkey = o_custkey
-  AND l_orderkey = o_orderkey
-  AND l_returnflag = 'R'
-  AND c_nationkey = n_nationkey
-GROUP BY c_custkey, c_name, n_name
+       (CAST(rev_hi AS DOUBLE) * 1e6 + CAST(rev_lo AS DOUBLE)) / 1e4 AS revenue
+FROM t
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
@@ -172,21 +240,22 @@ LIMIT 20
 
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "customer", "orders", "lineitem", "nation")
-    return spark.sql(_Q10_BODY)
+    return spark.sql(_Q10_BODY.format(IDIV="div"))
 
 
-SQL_TPCH_Q10 = _Q10_BODY
+SQL_TPCH_Q10 = _Q10_BODY.format(IDIV="//")
 
 
 # ── TPC-H Q18-shaped: large-volume customers (agg → having → join → topk) ──
 
 _Q18_BODY = """
 WITH big AS (
-    SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    SELECT l_orderkey,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
     FROM lineitem GROUP BY l_orderkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
 )
-SELECT c_name, c_custkey, o_orderkey, total_qty
+SELECT c_name, c_custkey, o_orderkey, CAST(qty_c AS DOUBLE) / 100 AS total_qty
 FROM big, orders, customer
 WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
 ORDER BY total_qty DESC, o_orderkey
@@ -483,24 +552,34 @@ SQL_TPCH_Q4 = _Q4_BODY
 # ── TPC-H Q14-shaped: promo revenue share ─────────────────────────────────
 
 _Q14_BODY = """
-SELECT CAST(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))
-                 ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
-       AS DOUBLE) AS promo_revenue
-FROM lineitem, part
-WHERE l_partkey = p_partkey
-  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+), t AS (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN (pc * (100 - dc)) {IDIV} 1000000 ELSE 0 END) AS BIGINT) AS promo_hi,
+    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN (pc * (100 - dc)) % 1000000 ELSE 0 END) AS BIGINT) AS promo_lo,
+    CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
+    CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo
+  FROM li, part
+  WHERE l_partkey = p_partkey
+)
+SELECT 1e2 * (CAST(promo_hi AS DOUBLE) * 1e6 + CAST(promo_lo AS DOUBLE))
+           / (CAST(rev_hi AS DOUBLE) * 1e6 + CAST(rev_lo AS DOUBLE)) AS promo_revenue
+FROM t
 """
 
 
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem", "part")
-    return spark.sql(_Q14_BODY)
+    return spark.sql(_Q14_BODY.format(IDIV="div"))
 
 
-SQL_TPCH_Q14 = _Q14_BODY
+SQL_TPCH_Q14 = _Q14_BODY.format(IDIV="//")
 
 
 # ── TPC-H Q19-shaped: disjunctive brand/quantity predicates ───────────────
@@ -509,23 +588,33 @@ SQL_TPCH_Q14 = _Q14_BODY
 # evaluate the disjunction post-join without a cartesian.
 
 _Q19_BODY = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-FROM lineitem, part
-WHERE l_partkey = p_partkey
-  AND (
-        (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
-     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
-     OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 20 AND 30)
-  )
+WITH li AS (
+  SELECT l_partkey, l_quantity,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc
+  FROM lineitem
+), t AS (
+  SELECT CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
+         CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo
+  FROM li, part
+  WHERE l_partkey = p_partkey
+    AND (
+          (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 20 AND 30)
+    )
+)
+SELECT (CAST(rev_hi AS DOUBLE) * 1e6 + CAST(rev_lo AS DOUBLE)) / 1e4 AS revenue
+FROM t
 """
 
 
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem", "part")
-    return spark.sql(_Q19_BODY)
+    return spark.sql(_Q19_BODY.format(IDIV="div"))
 
 
-SQL_TPCH_Q19 = _Q19_BODY
+SQL_TPCH_Q19 = _Q19_BODY.format(IDIV="//")
 
 
 # ── M7: representative selection, sampling, decontamination ───────────────
