@@ -34,9 +34,31 @@ def spread(df: DataFrame) -> DataFrame:
 # ── Spark side ────────────────────────────────────────────────────────────
 
 
-def records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncached record-stream derivation from the events table."""
     r = events_as_records(load_table(spark, sf_dir, "events"))
     return r.withColumn("ts_ms", F.unix_millis("timestamp"))
+
+
+def records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical record stream, session-pinned at small scale.
+
+    ~28 catalog queries start from this frame; small-SF testdata is one
+    parquet row group, so without pinning each of them re-runs the scan +
+    mapping serially on a single task.  The record stream is the FACT table,
+    so the pin is gated on the source size exactly like hot_table — beyond
+    the gate (100-TB backups) it streams from parquet and the scan's own
+    splits provide the parallelism."""
+    try:
+        small = os.path.getsize(f"{sf_dir}/events.parquet") <= _HOT_TABLE_MAX_BYTES
+    except OSError:  # remote / unsizable: stream
+        small = False
+    if not small:
+        return build_records_df(spark, sf_dir)
+    return _shared_meta(
+        spark, sf_dir, "records",
+        lambda: spread(build_records_df(spark, sf_dir)), parts=None,
+    )
 
 
 # Session-scoped cache for the derived METADATA frames (manifest, live
@@ -136,6 +158,11 @@ def release_meta_cache(spark: SparkSession | None = None) -> None:
                 df.unpersist()
             except Exception:
                 pass  # session already stopped; nothing left to free
+    # drop cached plans built on the released frames (see textops'
+    # release_gram_cache): a stale plan would silently skip the rebuild
+    from kafka_backup_spark import catalog
+
+    catalog.release_plan_cache(spark)
 
 
 def build_manifest_df(spark: SparkSession, sf_dir: str, span: int = SEGMENT_SPAN) -> DataFrame:

@@ -22,6 +22,15 @@ from pyspark.sql import functions as F
 _VIEWS: dict[tuple[str, str], str] = {}
 
 
+def _docs_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-pinned documents table (common.hot_table): the small-SF corpus
+    is one parquet row group — unpinned, every text/pipeline operator would
+    re-scan it serially on a single task."""
+    from kafka_backup_spark.queries.common import hot_table
+
+    return hot_table(spark, sf_dir, "documents")
+
+
 def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
     from kafka_backup_spark.queries.common import hot_table
 
@@ -285,7 +294,7 @@ corpus AS (
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs_hot(spark, sf_dir).select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
@@ -314,7 +323,7 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     n_tokens = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
     alpha_chars = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
     return docs.select(
@@ -339,7 +348,7 @@ FROM documents
 
 
 def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("total_chars"),
@@ -359,7 +368,7 @@ FROM documents GROUP BY lang
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     norm = F.lower(F.replace(F.col("text"), F.lit(" "), F.lit("")))
     return docs.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
 
@@ -389,12 +398,11 @@ N_MINHASH_SEEDS = 4
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_backup_spark.functions.hashing import fast_hash64, seeded_hash
-    from kafka_backup_spark.queries.common import spread
 
-    docs = spread(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", "text")
-        .filter(F.length("text") >= 8)
+    # hot_table is already spread across the session's parallelism — no
+    # extra exchange here
+    docs = _docs_hot(spark, sf_dir).select("doc_id", "text").filter(
+        F.length("text") >= 8
     )
     # explode(sequence) + substring, NOT transform/array_distinct: generator
     # + projection fuse into whole-stage codegen, while HOF lambdas evaluate
@@ -463,13 +471,13 @@ TOP_K = 3
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_backup_spark.queries.common import spread
-
     def dot(a, b):
         prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
         return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
 
-    emb = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    from kafka_backup_spark.queries.common import hot_table
+
+    emb = hot_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
@@ -638,7 +646,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the packed long keeps the whole query a HashAggregate: one shuffle keyed
     on the content hash, map-side combinable, no window, no sort, regardless
     of group sizes (asserted in test_plan_quality)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "n_chars")
+    docs = _docs_hot(spark, sf_dir).select("doc_id", "text", "n_chars")
     planted = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
@@ -675,7 +683,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is a scan that emits the sample directly."""
     from kafka_backup_spark.functions.hashing import fast_hash64
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     rate = F.coalesce(
         *[F.when(F.col("lang") == k, F.lit(v)) for k, v in SAMPLE_RATES.items()],
         F.lit(5),
@@ -722,7 +730,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually uses."""
     from kafka_backup_spark.functions.hashing import fast_hash64
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs_hot(spark, sf_dir).select("doc_id", "text")
 
     def grams(df: DataFrame) -> DataFrame:
         words = F.split(F.lower(F.col("text")), " ")
@@ -803,7 +811,7 @@ MM_MAX_SIDE = 256
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_backup_spark.multimodal import feature_u32_slots, sample_frames
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
@@ -910,7 +918,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame linearly with the corpus (10⁹ ids / 256 ≈ 4M rows — dead on
     arrival).  Output is invariant to the width, so the oracle needs no
     knowledge of it; min/max answer from parquet column statistics."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     id_range = (hi - lo + 1) if hi is not None else 1
     width = max(PACK_BUCKET, -(-id_range // MAX_PACK_BUCKETS))
@@ -986,7 +994,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     class.  Pure map-side projection: regex match + replace never leaves
     whole-stage codegen, zero shuffles — at 100 TB this is a single scan
     that emits the scrubbed corpus."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     d = F.col("doc_id")
     email = F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))
     phone = F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0"))
@@ -1061,7 +1069,7 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial counts per partition), one shuffle on the gram, then a
     TakeOrdered top-k — no global sort.  Ties broken by gram so the k-set is
     deterministic across engines."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     # explode(sequence) + element_at, not a transform() lambda: the
     # generator+projection pair fuses into whole-stage codegen while HOF
     # lambdas evaluate interpreted (same shape as repetition_metrics)
@@ -1110,7 +1118,7 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     through DOUBLE before scaling: an integer ``n_tokens * 1e6`` would
     overflow int64 near ~9e12 tokens (Spark wraps silently, DuckDB raises
     — a cross-engine divergence exactly at large-corpus sizes)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     tok = F.size(F.split(F.col("text"), " ")).cast("long")
     per = docs.select("source", tok.alias("tok")).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("n_tokens")
@@ -1164,7 +1172,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes (one shuffle, map-side combinable) and the anti-join runs
     hash-partitioned on those 16-byte keys — the batch text never
     co-shuffles with the snapshot."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _docs_hot(spark, sf_dir).select(
         "doc_id", "lang", "text"
     )
     prior = docs.filter(F.col("doc_id") % 3 == 0)
@@ -1224,7 +1232,7 @@ def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries ~distinct-grams-per-doc rows, then a tiny doc_id-keyed join.
     No windows, no HOF lambdas on the hot path (explode(sequence) stays in
     whole-stage codegen)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs_hot(spark, sf_dir).select("doc_id", "text")
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
@@ -1322,7 +1330,7 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape every packing-budget / mixture decision reads first.  One
     map-side-combinable groupBy on (source, bucket); cardinality is
     #sources × #buckets regardless of corpus size."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     tok = F.size(F.split(F.col("text"), " ")).cast("long")
     return (
         docs.select("source", F.floor(tok / F.lit(HIST_BUCKET_TOKENS)).alias("bucket"))
@@ -1348,7 +1356,7 @@ def q_filtered_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id (hash-partitioned, no payload duplication); everything downstream
     is the one corpus agg + tiny-frame window of ``mixture_weights``."""
     rep_keep = q_repetition_metrics(spark, sf_dir).filter(F.col("keep")).select("doc_id")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     tok = F.size(F.split(F.col("text"), " ")).cast("long")
     kept = docs.select("doc_id", "source", tok.alias("tok")).join(
         rep_keep, "doc_id", "left_semi"
@@ -1469,7 +1477,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary size, partitioned by lang; NOT a corpus-scale sort) and one
     tiny join of per-lang totals.  Ties at rank K break by word so the
     k-set is deterministic on both engines."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     words = docs.select(
         "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     ).filter(F.col("w") != "")
@@ -1530,7 +1538,7 @@ FROM top t JOIN totals tt ON t.lang = tt.lang
 
 
 def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     toks = F.split(F.lower(F.col("text")), " ")
     n = F.size(toks)
     # quality = distinct-token ratio (the q_quality_score staple), quantized
@@ -1604,7 +1612,7 @@ GROUP BY source
 
 
 def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_hot(spark, sf_dir)
     toks = F.split(F.lower(F.col("text")), " ")
     q = F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6)
     scored = docs.select("lang", q.alias("q"))

@@ -22,9 +22,12 @@ MOD32 = 4_294_967_296  # 2^32
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_backup_spark.queries.common import spread
+    # Session-pinned + spread (common.hot_table): the small-SF corpus is one
+    # parquet row group, so an unpinned scan serializes every text operator
+    # behind a single task and pays a fresh exchange per query.
+    from kafka_backup_spark.queries.common import hot_table
 
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return hot_table(spark, sf_dir, "documents")
 
 
 def rolling_hash32(col: Column) -> Column:
@@ -456,6 +459,12 @@ def release_gram_cache(spark: SparkSession | None = None) -> None:
                         v.unpersist()
                     except Exception:
                         pass
+    # cached plans may reference the frames just unpersisted: results would
+    # still be correct (Spark recomputes), but a stale plan silently skips
+    # the index/gram REBUILD the releaser asked for — drop them together
+    from kafka_backup_spark import catalog
+
+    catalog.release_plan_cache(spark)
 
 
 _GRAMS_CTE = """

@@ -136,7 +136,10 @@ def test_stratified_sample_is_map_side_filter(spark, sf_dir):
     """The sampling predicate must run before any exchange: the only shuffle
     is the final per-language count."""
     plan = _plan(catalog.queries()["stratified_sample"](spark, sf_dir))
-    assert plan.count("+- Exchange") == 1  # tree nodes, not the detail echo
+    # count only LIVE hash exchanges: the pinned documents table
+    # (common.hot_table) echoes its one-time roundrobin build exchange
+    # inside the InMemoryRelation subtree, which doesn't run per query
+    assert plan.count("Arguments: hashpartitioning") == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
@@ -144,7 +147,9 @@ def test_dedup_keep_best_single_exchange_no_window(spark, sf_dir):
     """Representative selection must stay a min(struct) agg: one shuffle on
     the content hash, no window/sort over the duplicate groups."""
     plan = _plan(catalog.queries()["dedup_keep_best"](spark, sf_dir))
-    assert plan.count("+- Exchange") == 1  # tree nodes, not the detail echo
+    # live hash exchanges only — the pinned documents table echoes its
+    # one-time roundrobin build exchange inside the InMemoryRelation subtree
+    assert plan.count("Arguments: hashpartitioning") == 1
     assert "HashAggregate" in plan and "SortAggregate" not in plan
     assert "Window" not in plan
 
@@ -233,9 +238,14 @@ def test_timestamp_asof_has_no_join_expansion(spark):
     for node in ("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin",
                  "CartesianProduct", "ShuffledHashJoin"):
         assert node not in plan, f"J2 plan regressed to a join: {node}"
-    # two shuffles only (probe-dedup agg + the union-window sort); each
-    # node shows up twice in `formatted` output (tree + detail section)
-    assert plan.count(" Exchange") <= 4
+    # two LIVE shuffles only (probe-dedup agg + the union-window sort) —
+    # counted via the detail-section Arguments lines so the pinned records
+    # frame's one-time roundrobin build exchange (echoed inside its
+    # InMemoryRelation subtree) doesn't inflate the count
+    live = plan.count("Arguments: hashpartitioning") + plan.count(
+        "Arguments: rangepartitioning"
+    )
+    assert live <= 2
 
 
 def test_sequence_packing_window_parallelism(spark, sf_dir):
@@ -298,7 +308,9 @@ def test_shared_meta_cache_single_entry_and_release(spark, sf_dir):
     m2 = common.manifest_df(spark, sf_dir)
     assert m1 is m2  # one shared frame, not one per call
     app = spark.sparkContext.applicationId
-    keys = [k for k in common._META_CACHE if k[0] == app]
+    # the records/table pins (hot_table, records_df) share this registry;
+    # the manifest must still be a single entry
+    keys = [k for k in common._META_CACHE if k[0] == app and k[2].startswith("manifest")]
     assert keys == [(app, sf_dir, "manifest:1000")]
     assert m1.rdd.getNumPartitions() == 1  # metadata = one partition
     fresh = mani.build_manifest(common.records_df(spark, sf_dir), 1000)
