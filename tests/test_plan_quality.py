@@ -339,3 +339,45 @@ def test_meta_cache_bounded_eviction(spark, sf_dir):
     assert not frames["__evict_test_0"].is_cached  # and unpersisted
     assert frames[f"__evict_test_{common._META_CACHE_CAP + 2}"].is_cached
     common.release_meta_cache(spark)
+
+
+def test_hot_table_size_gate_streams_large_tables(spark, sf_dir, monkeypatch):
+    """hot_table pins small tables (spread InMemoryRelation) but must STREAM
+    anything over the gate straight from parquet — pinning a 100-TB fact
+    table would be wrong, and the scan's own splits provide parallelism at
+    that size."""
+    from kafka_backup_spark.queries import common
+
+    common.release_meta_cache(spark)
+    app = spark.sparkContext.applicationId
+
+    pinned = common.hot_table(spark, sf_dir, "documents")
+    assert (app, sf_dir, "table:documents") in common._META_CACHE
+    assert "InMemoryRelation" in pinned._jdf.queryExecution().optimizedPlan().toString()
+
+    common.release_meta_cache(spark)
+    monkeypatch.setattr(common, "_HOT_TABLE_MAX_BYTES", 1)  # everything is big now
+    streamed = common.hot_table(spark, sf_dir, "documents")
+    assert (app, sf_dir, "table:documents") not in common._META_CACHE
+    plan = streamed._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan and "Relation" in plan
+    # records_df honors the same gate: over-gate events stream uncached
+    r = common.records_df(spark, sf_dir)
+    assert (app, sf_dir, "records") not in common._META_CACHE
+    assert "InMemoryRelation" not in r._jdf.queryExecution().optimizedPlan().toString()
+    common.release_meta_cache(spark)
+
+
+def test_plan_cache_serves_same_dataframe_and_releases(spark, sf_dir):
+    """catalog.queries() is a prepared-statement cache: same (session,
+    query, sf_dir) → the identical DataFrame object; release empties it."""
+    q1 = catalog.queries()["text_metrics"]
+    q2 = catalog.queries()["text_metrics"]
+    a = q1(spark, sf_dir)
+    b = q2(spark, sf_dir)  # fresh wrapper, same module-level cache
+    assert a is b
+    other = q1(spark, "/root/testdata/sf0.01")
+    assert other is not a  # keyed by sf_dir
+    catalog.release_plan_cache(spark)
+    assert q1(spark, sf_dir) is not a
+    catalog.release_plan_cache(spark)

@@ -160,3 +160,57 @@ def test_fast_hash64_matches_python_and_duckdb(spark, texts):
         exp = int.from_bytes(hashlib.md5(t.encode()).digest()[8:15], "big")
         assert got[t] == exp == duck[t], repr(t)
         assert 0 <= got[t] < 1 << 56
+
+
+@given(
+    cents=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11_000_000),  # price cents
+            st.integers(min_value=0, max_value=10),          # discount %
+            st.integers(min_value=0, max_value=8),           # tax %
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SET
+def test_fixed_point_money_parity_spark_vs_duckdb(spark, cents):
+    """The TPC-H fixed-point rewrite's exactness contract: for arbitrary 2dp
+    money values, the hi/lo-split BIGINT revenue/charge sums and the final
+    double conversion produce BIT-IDENTICAL results in Spark and DuckDB
+    (queries/pipeline.py _Q1_BODY).  Inputs arrive as the doubles both
+    engines read from parquet."""
+    import duckdb
+
+    rows = [(pc / 100.0, dc / 100.0, tc / 100.0) for pc, dc, tc in cents]
+    body = """
+    WITH fx AS (
+      SELECT CAST(round(p * 100) AS BIGINT) AS pc,
+             CAST(round(d * 100) AS BIGINT) AS dc,
+             CAST(round(t * 100) AS BIGINT) AS tc
+      FROM m
+    ), s AS (
+      SELECT CAST(sum((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
+             CAST(sum((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo,
+             CAST(sum((pc * (100 - dc) * (100 + tc)) {IDIV} 1000000) AS BIGINT) AS chg_hi,
+             CAST(sum((pc * (100 - dc) * (100 + tc)) % 1000000) AS BIGINT) AS chg_lo
+      FROM fx
+    )
+    SELECT (CAST(rev_hi AS DOUBLE) * 1e6 + CAST(rev_lo AS DOUBLE)) / 1e4 AS rev,
+           (CAST(chg_hi AS DOUBLE) * 1e6 + CAST(chg_lo AS DOUBLE)) / 1e6 AS chg
+    FROM s
+    """
+    sdf = spark.createDataFrame(rows, "p double, d double, t double")
+    sdf.createOrReplaceTempView("m")
+    srow = spark.sql(body.format(IDIV="div")).collect()[0]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE m(p DOUBLE, d DOUBLE, t DOUBLE)")
+    con.executemany("INSERT INTO m VALUES (?, ?, ?)", rows)
+    orow = con.sql(body.format(IDIV="//")).fetchone()
+    # bit-identical doubles, not approx-equal: the driver hashes exact values
+    assert (srow["rev"], srow["chg"]) == (orow[0], orow[1])
+    # and exactness vs the rational ground truth (Fraction math, no floats)
+    from fractions import Fraction
+
+    rev = sum(Fraction(pc * (100 - dc), 10**4) for pc, dc, _ in cents)
+    assert srow["rev"] == float(rev)
