@@ -133,11 +133,19 @@ def _plan_cached(name: str, fn) -> Callable[[SparkSession, str], DataFrame]:
 
 def release_plan_cache(spark: SparkSession | None = None) -> None:
     """Drop cached plans (one session's, or all). Plans hold no executor
-    storage — this only frees driver-side plan objects."""
+    storage — this only frees driver-side plan objects.  The TPC-H view
+    memo is dropped with them: a temp view holds its own analyzed plan, so
+    leaving it registered after a release would serve the same stale file
+    listing the plan cache just gave up."""
     app = spark.sparkContext.applicationId if spark is not None else None
     for k in list(_PLAN_CACHE):
         if app is None or k[0] == app:
             _PLAN_CACHE.pop(k, None)
+    from kafka_backup_spark.queries import pipeline
+
+    for k in list(pipeline._VIEWS):
+        if app is None or k[0] == app:
+            pipeline._VIEWS.pop(k, None)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

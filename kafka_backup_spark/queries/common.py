@@ -50,7 +50,7 @@ def records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate (100-TB backups) it streams from parquet and the scan's own
     splits provide the parallelism."""
     try:
-        small = os.path.getsize(f"{sf_dir}/events.parquet") <= _HOT_TABLE_MAX_BYTES
+        small = _dataset_bytes(f"{sf_dir}/events.parquet") <= _HOT_TABLE_MAX_BYTES
     except OSError:  # remote / unsizable: stream
         small = False
     if not small:
@@ -79,10 +79,12 @@ def records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under sf_dir is immutable for the session.  In-place writers must call
 # release_meta_cache(spark).
 _META_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-# ~8 metadata kinds per sf_dir → room for ~4 concurrently-hot sf_dirs before
-# oldest entries unpersist (the frames are tiny; the cap guards pathological
-# many-directory sessions, not normal use)
-_META_CACHE_CAP = 32
+# ~8 metadata kinds + the records pin + up to 10 hot-table pins per sf_dir
+# (~19 entries) → room for ~6 concurrently-hot sf_dirs before oldest entries
+# unpersist.  The cap guards pathological many-directory sessions; entries
+# are bounded by the hot-table gate (≤256 MB each), and an evicted pin is a
+# perf regression (serial re-scan), never a correctness problem.
+_META_CACHE_CAP = 128
 
 
 def _shared_meta(
@@ -119,6 +121,22 @@ _HOT_TABLE_MAX_BYTES = int(
 )
 
 
+def _dataset_bytes(path: str) -> int:
+    """Size of a parquet dataset: a single file's size, or the recursive sum
+    for the directory layout Spark itself writes (os.path.getsize on a
+    directory returns the ~4 KB inode — which would silently disarm the pin
+    gate for every Spark-written table).  Raises OSError for paths the local
+    filesystem can't stat (object-store URIs) — callers treat that as
+    'stream, don't pin'."""
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+    return os.path.getsize(path)  # single file; raises OSError if unstatable
+
+
 def hot_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Session-pinned base table for repeatedly-queried inputs.
 
@@ -137,7 +155,7 @@ def hot_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session; in-place writers call release_meta_cache(spark)."""
     path = f"{sf_dir}/{name}.parquet"
     try:
-        if os.path.getsize(path) > _HOT_TABLE_MAX_BYTES:
+        if _dataset_bytes(path) > _HOT_TABLE_MAX_BYTES:
             return spark.read.parquet(path)
     except OSError:  # remote / unsizable: stream, don't pin
         return spark.read.parquet(path)

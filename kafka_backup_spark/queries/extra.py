@@ -42,21 +42,12 @@ from kafka_backup_spark.validation.checks import (
 
 def q_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: this is a pure projection emitting O(n) rows, so the per-row
-    # header-codec expression work parallelizes across the narrow shuffle
-    # (0.73→0.47 s; single-row-group fixture would otherwise run 1 task).
-    # Agg-shaped consumers of records_df deliberately do NOT spread — their
-    # map-side partial agg already collapses the data in the scan task and
-    # the raw-row shuffle measured net-negative.
-    from kafka_backup_spark.queries.common import spread
-
-    # prune BEFORE the spread shuffle: the codec chain reads only
-    # (partition, offset, timestamp, headers) and emits a narrow projection
-    # — shuffling the key/value payload bytes would be pure waste (the
-    # payload is ~90% of the record)
-    r = spread(
-        records_df(spark, sf_dir).select(
-            "topic", "partition", "offset", "timestamp", "headers"
-        )
+    # no per-query spread(): records_df is session-pinned pre-spread when
+    # small (common.records_df) and streams with the scan's own splits when
+    # large — either way an extra round-robin exchange here would only
+    # re-shuffle rows that already sit at full parallelism
+    r = records_df(spark, sf_dir).select(
+        "topic", "partition", "offset", "timestamp", "headers"
     )
     injected = projections.inject_restore_headers(r)
     reassigned = injected.withColumn("offset", F.col("offset") + 999)

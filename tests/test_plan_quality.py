@@ -26,6 +26,39 @@ def _optimized(df) -> str:
     return df._jdf.queryExecution().optimizedPlan().toString()
 
 
+def _node_indent(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-*=<"))
+
+
+def _live_exchange_count(plan: str) -> int:
+    """Count Exchange nodes that RUN per query in `formatted` output —
+    of ANY partitioning (a reintroduced per-query spread() is round-robin
+    and must count) — excluding subtrees under InMemoryRelation, whose
+    exchanges are one-time pin-build cost, not per-query cost."""
+    import re
+
+    started = False
+    skip_below = None
+    count = 0
+    for line in plan.split("== Physical Plan ==", 1)[-1].splitlines():
+        if not line.strip():
+            if started:
+                break  # end of the tree; numbered detail sections follow
+            continue
+        started = True
+        ind = _node_indent(line)
+        if skip_below is not None:
+            if ind > skip_below:
+                continue
+            skip_below = None
+        if "InMemoryRelation" in line:
+            skip_below = ind
+            continue
+        if re.search(r"\bExchange \(", line):
+            count += 1
+    return count
+
+
 def test_segment_store_pushes_pitr_predicates(spark, sf_dir, tmp_path):
     store = SegmentStore(str(tmp_path / "store"))
     store.write(events_as_records(load_table(spark, sf_dir, "events")))
@@ -136,10 +169,10 @@ def test_stratified_sample_is_map_side_filter(spark, sf_dir):
     """The sampling predicate must run before any exchange: the only shuffle
     is the final per-language count."""
     plan = _plan(catalog.queries()["stratified_sample"](spark, sf_dir))
-    # count only LIVE hash exchanges: the pinned documents table
-    # (common.hot_table) echoes its one-time roundrobin build exchange
-    # inside the InMemoryRelation subtree, which doesn't run per query
-    assert plan.count("Arguments: hashpartitioning") == 1
+    # one LIVE exchange of any kind (pin-build exchanges inside the
+    # InMemoryRelation subtree are excluded; a reintroduced per-query
+    # spread() would be round-robin and must still fail this)
+    assert _live_exchange_count(plan) == 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
@@ -147,9 +180,8 @@ def test_dedup_keep_best_single_exchange_no_window(spark, sf_dir):
     """Representative selection must stay a min(struct) agg: one shuffle on
     the content hash, no window/sort over the duplicate groups."""
     plan = _plan(catalog.queries()["dedup_keep_best"](spark, sf_dir))
-    # live hash exchanges only — the pinned documents table echoes its
-    # one-time roundrobin build exchange inside the InMemoryRelation subtree
-    assert plan.count("Arguments: hashpartitioning") == 1
+    # one LIVE exchange of any kind (see _live_exchange_count)
+    assert _live_exchange_count(plan) == 1
     assert "HashAggregate" in plan and "SortAggregate" not in plan
     assert "Window" not in plan
 
@@ -238,14 +270,10 @@ def test_timestamp_asof_has_no_join_expansion(spark):
     for node in ("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin",
                  "CartesianProduct", "ShuffledHashJoin"):
         assert node not in plan, f"J2 plan regressed to a join: {node}"
-    # two LIVE shuffles only (probe-dedup agg + the union-window sort) —
-    # counted via the detail-section Arguments lines so the pinned records
-    # frame's one-time roundrobin build exchange (echoed inside its
-    # InMemoryRelation subtree) doesn't inflate the count
-    live = plan.count("Arguments: hashpartitioning") + plan.count(
-        "Arguments: rangepartitioning"
-    )
-    assert live <= 2
+    # two LIVE shuffles only (probe-dedup agg + the union-window sort);
+    # pin-build exchanges inside InMemoryRelation subtrees don't count, a
+    # reintroduced per-query spread() (round-robin) does
+    assert _live_exchange_count(plan) <= 2
 
 
 def test_sequence_packing_window_parallelism(spark, sf_dir):
@@ -381,3 +409,36 @@ def test_plan_cache_serves_same_dataframe_and_releases(spark, sf_dir):
     catalog.release_plan_cache(spark)
     assert q1(spark, sf_dir) is not a
     catalog.release_plan_cache(spark)
+
+
+def test_hot_table_size_gate_measures_directory_datasets(spark, tmp_path, monkeypatch):
+    """Spark writes parquet datasets as DIRECTORIES; os.path.getsize on a
+    directory returns the ~4 KB inode, which would silently disarm the pin
+    gate for every Spark-written table.  The gate must size the dataset
+    recursively and stream an over-gate directory dataset."""
+    from kafka_backup_spark.queries import common
+
+    out = str(tmp_path / "big.parquet")
+    spark.range(2000).withColumn("pad", F.lit("x" * 64)).write.parquet(out)
+    assert common._dataset_bytes(out) > 4096  # not the inode size
+    monkeypatch.setattr(common, "_HOT_TABLE_MAX_BYTES", 4096)
+    streamed = common.hot_table(spark, str(tmp_path), "big")
+    app = spark.sparkContext.applicationId
+    assert (app, str(tmp_path), "table:big") not in common._META_CACHE
+    plan = streamed._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan
+
+
+def test_release_plan_cache_drops_tpch_view_memo(spark, sf_dir):
+    """A temp view holds its own analyzed plan (file listing included), so
+    the release path must drop the TPC-H view memo together with the plan
+    cache — otherwise post-release queries would resolve stale views."""
+    from kafka_backup_spark.queries import pipeline
+
+    catalog.queries()["tpch_q6_forecast"](spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    assert any(k[0] == app for k in pipeline._VIEWS)
+    catalog.release_plan_cache(spark)
+    assert not [k for k in pipeline._VIEWS if k[0] == app]
+    # and the query still works after release (views re-register)
+    assert catalog.queries()["tpch_q6_forecast"](spark, sf_dir).count() >= 0
