@@ -115,8 +115,10 @@ def cmd_list(args, _doc) -> int:
     import glob as globmod
     import os
 
+    from kafka_backup_spark.fsio import _local
+
     out = []
-    for path in sorted(globmod.glob(f"{args.store}/*/manifest.json")):
+    for path in sorted(globmod.glob(f"{_local(args.store)}/*/manifest.json")):
         backup_id = os.path.basename(os.path.dirname(path))
         m = ManifestStore(args.store, backup_id).load(spark)
         totals = mani.manifest_totals(m).collect()[0].asDict()
@@ -353,15 +355,17 @@ def cmd_corpus(args, _doc) -> int:
         return 0
     spark = get_spark("cli-corpus")
     if args.action == "stats":
+        import os as _os
+
         from pyspark.sql import functions as F
 
-        try:
-            corpus = store.read_corpus(spark)
-        except Exception:
+        if not _os.path.isdir(store.corpus_path()):
             # never-written store: no corpus dir yet — empty rollup, not a
-            # traceback
+            # traceback.  (Only this case; a real read failure on an
+            # existing corpus must surface, not exit 0 with empty stats.)
             _emit({"stats": []})
             return 0
+        corpus = store.read_corpus(spark)
         rollup = (
             corpus.groupBy("version", "lang")
             .agg(
@@ -761,12 +765,29 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_config(args, None)
     if not args.store and args.command not in _NO_STORE:
         ap.error("--store is required")
+    if args.store:
+        # resolve the store grammar ONCE so segments, manifests, snapshots
+        # and the corpus store all target the same resolved filesystem
+        # (review finding: ManifestStore previously got the raw s3://
+        # scheme while segments went to s3a://, splitting the backup)
+        from kafka_backup_spark.storage_path import StoragePathError, resolve_cli_store
+
+        try:
+            args.store = resolve_cli_store(args.store)
+        except StoragePathError as e:
+            ap.error(str(e))
 
     doc = None
     if args.config:
         doc = cfgmod.load_config(args.config)
         if not args.backup_id:
             args.backup_id = doc.get("backup_id")
+    # commands that read the config document unconditionally (backup/restore
+    # engine knobs, backup_id routing) must fail with a usage error, not an
+    # AttributeError deep inside config.py
+    _NEEDS_CONFIG = {"backup", "restore", "dry-run"}
+    if doc is None and args.command in _NEEDS_CONFIG:
+        ap.error(f"{args.command} requires --config")
     return COMMANDS[args.command](args, doc)
 
 

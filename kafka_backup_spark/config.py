@@ -172,9 +172,27 @@ def effective_config(doc: dict[str, Any]) -> dict[str, Any]:
         "backup": dataclasses.asdict(backup_config(doc)),
         "restore": dataclasses.asdict(restore_config(doc)),
         # the compiled kafka.* connector options the run would pass to
-        # spark.read.format("kafka") — secrets and all, matching the
-        # reference's config show of the resolved document
-        "kafka_options": populate_sasl_options(
-            (doc.get("source", {}) or {}).get("security")
+        # spark.read.format("kafka"), with secret VALUES redacted: `config
+        # show` output lands in terminal scrollback, CI logs and pasted
+        # issue reports — the resolved KEYS are what operators need to see,
+        # never the password or the mTLS private key
+        "kafka_options": _redact_options(
+            populate_sasl_options((doc.get("source", {}) or {}).get("security"))
         ),
     }
+
+
+_SECRET_OPTION_FRAGMENTS = (
+    "password", "jaas.config", "keystore.key", "truststore.certificates",
+)
+
+
+def _redact_options(opts: dict[str, str]) -> dict[str, str]:
+    out = {}
+    for k, v in opts.items():
+        lk = k.lower()
+        if any(f in lk for f in _SECRET_OPTION_FRAGMENTS):
+            out[k] = "****"
+        else:
+            out[k] = v
+    return out

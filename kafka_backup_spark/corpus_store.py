@@ -203,11 +203,17 @@ class CorpusStore:
                 .parquet(self.corpus_path())
             )
             # an all-duplicate (or empty) batch writes no partition dir at
-            # all — the version still exists in the manifest with n_new=0
-            try:
-                n_new = self.read_version(spark, version).count()
-            except Exception:
-                n_new = 0
+            # all — the version still exists in the manifest with n_new=0.
+            # Only the MISSING-DIR case maps to 0: a transient count failure
+            # must raise, not record n_new=0 forever (that would skip the
+            # signature write and blind every future near-dedup ingest to
+            # this version's documents).
+            vdir = os.path.join(self.corpus_path(), f"version={version}")
+            n_new = (
+                self.read_version(spark, version).count()
+                if os.path.isdir(vdir)
+                else 0
+            )
             if near_dedup and n_new > 0:
                 # persist the survivors' band signatures — the index future
                 # ingests probe.  Re-derived from the WRITTEN version so a

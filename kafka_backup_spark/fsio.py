@@ -41,6 +41,12 @@ def _jvm_fs(path: str):
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     conf = spark.sparkContext._jsc.hadoopConfiguration()
+    # connector credentials/endpoints resolved from the CLI --store URL
+    # (storage_path.resolve_cli_store) must reach metadata I/O too, not
+    # just the segment reads/writes that went through store_from_path
+    from kafka_backup_spark.storage_path import apply_pending_conf
+
+    apply_pending_conf(conf)
     return jpath.getFileSystem(conf), jpath, jvm
 
 
@@ -95,4 +101,5 @@ def require_local(path: str, store_kind: str) -> str:
             f"no object-store equivalent here); got remote path {path!r}. "
             "Use a local or file:// path, or mount the bucket."
         )
-    return path
+    # strip a file:// prefix: these stores use plain open()/os.listdir
+    return _local(path)

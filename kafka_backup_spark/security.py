@@ -72,6 +72,15 @@ def populate_sasl_options(security: dict[str, Any] | None) -> dict[str, str]:
         raise SecurityError(
             f"sasl_mechanism must be one of {tuple(MECHANISMS)}, got {mechanism!r}"
         )
+    if protocol is not None and not protocol.startswith("SASL_"):
+        # an explicit non-SASL protocol with a SASL mechanism would compile
+        # credentials the client silently ignores — the connection would
+        # proceed unauthenticated; error at the config gate instead
+        raise SecurityError(
+            f"sasl_mechanism: {mechanism} requires a SASL_* security_protocol; "
+            f"got security_protocol: {protocol} (the client would ignore the "
+            "SASL credentials entirely)"
+        )
     opts["kafka.sasl.mechanism"] = MECHANISMS[mechanism]
     opts.setdefault(
         "kafka.security.protocol",

@@ -60,6 +60,19 @@ def resolve_storage_path(path: str) -> tuple[str, dict[str, str]]:
             conf["fs.s3a.secret.key"] = os.environ["AWS_SECRET_ACCESS_KEY"]
         uri = f"s3a://{bucket}" + (f"/{prefix}" if prefix else "")
         return uri, conf
+    if scheme == "abfss" and "@" in u.netloc:
+        # native Hadoop spelling abfss://container@account.dfs.core.windows.net/
+        # — already a connector URI; translating it through the azure://
+        # convenience grammar would mangle the authority. Pass through
+        # verbatim, attaching env credentials for the named account.
+        account = u.netloc.split("@", 1)[1].split(".")[0]
+        conf = {}
+        key = os.environ.get("AZURE_STORAGE_KEY") or os.environ.get(
+            "AZURE_STORAGE_ACCOUNT_KEY"
+        )
+        if key:
+            conf[f"fs.azure.account.key.{account}.dfs.core.windows.net"] = key
+        return path, conf
     if scheme in ("azure", "az", "abfss"):
         account = u.netloc.split(".")[0]
         container = u.path.strip("/").split("/")[0]
@@ -88,7 +101,10 @@ def resolve_storage_path(path: str) -> tuple[str, dict[str, str]]:
         prefix = u.path.strip("/")
         return f"gs://{bucket}" + (f"/{prefix}" if prefix else ""), conf
     if scheme == "file":
-        return u.path or "/", {}
+        # keep the scheme: a bare path would re-resolve against
+        # fs.defaultFS on a cluster (hdfs://...), landing segments on a
+        # different filesystem than the file:-pinned metadata writes
+        return f"file://{u.path or '/'}", {}
     if scheme == "memory":
         # the reference's in-memory test backend (config.rs:196); Hadoop has
         # no RAM filesystem, so the closest single-node twin is a
@@ -105,6 +121,28 @@ def resolve_storage_path(path: str) -> tuple[str, dict[str, str]]:
 
 
 _MEMORY_STORES: dict[str, str] = {}
+
+# conf from CLI-level resolution, applied lazily once a session exists —
+# metadata I/O (fsio._jvm_fs) and store_from_path both merge it, so the
+# manifest/snapshot documents reach the same authenticated filesystem as
+# the segments even in commands that never construct a SegmentStore.
+_PENDING_CONF: dict[str, str] = {}
+
+
+def resolve_cli_store(path: str) -> str:
+    """Resolve a CLI --store path/URL ONCE at dispatch: every consumer
+    (SegmentStore, ManifestStore, snapshot stores, corpus store) then sees
+    the SAME resolved URI — resolving only at SegmentStore construction
+    left metadata writes on the raw scheme (s3:// has no Hadoop
+    filesystem; memory:// would mint a different temp dir per consumer)."""
+    uri, conf = resolve_storage_path(path)
+    _PENDING_CONF.update(conf)
+    return uri
+
+
+def apply_pending_conf(hconf) -> None:
+    for k, v in _PENDING_CONF.items():
+        hconf.set(k, v)
 
 
 def store_from_path(spark, path: str):

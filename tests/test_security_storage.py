@@ -130,6 +130,11 @@ def test_effective_config_exposes_kafka_options():
     }
     eff = cfgmod.effective_config(cfgmod.load_config(doc))
     assert eff["kafka_options"]["kafka.sasl.mechanism"] == "PLAIN"
+    # `config show` output must never carry the credential material itself
+    # (jaas config embeds the password verbatim) — keys visible, values
+    # redacted
+    assert eff["kafka_options"]["kafka.sasl.jaas.config"] == "****"
+    assert not any('"p"' in str(v) for v in eff["kafka_options"].values())
 
 
 def test_tls_locations_map_to_pem_stores(tmp_path):
@@ -208,9 +213,24 @@ def test_azure_and_gcs_urls(monkeypatch):
     assert conf["fs.gs.auth.service.account.json.keyfile"] == "/tmp/sa.json"
 
 
+def test_native_abfss_uri_passes_through(monkeypatch):
+    """The standard Hadoop spelling abfss://container@account.../path must
+    NOT be re-parsed through the azure://account/container convenience
+    grammar (which would mangle the authority into container='backups',
+    account='data@myacct')."""
+    monkeypatch.setenv("AZURE_STORAGE_KEY", "ZK")
+    native = "abfss://data@myacct.dfs.core.windows.net/backups"
+    uri, conf = resolve_storage_path(native)
+    assert uri == native
+    assert conf["fs.azure.account.key.myacct.dfs.core.windows.net"] == "ZK"
+
+
 def test_file_memory_and_unknown_schemes():
+    # scheme retained: a bare path would re-resolve against fs.defaultFS on
+    # a cluster (hdfs://...), splitting segments from the file:-pinned
+    # metadata writes
     uri, _ = resolve_storage_path("file:///var/backups")
-    assert uri == "/var/backups"
+    assert uri == "file:///var/backups"
     # same memory:// URL → the SAME per-process store (a backup through
     # memory://a must be visible to a later validate resolving memory://a);
     # distinct URLs → distinct stores
@@ -392,3 +412,50 @@ def test_corpus_store_rejects_remote_uri():
 
     with pytest.raises(NotImplementedError, match="file-backed"):
         CorpusStore("s3a://bucket/corpus")
+
+
+def test_sasl_mechanism_with_non_sasl_protocol_errors():
+    """An explicit PLAINTEXT/SSL protocol plus a SASL mechanism would compile
+    credentials the client silently ignores — must error at the config gate,
+    not connect unauthenticated."""
+    from kafka_backup_spark.security import SecurityError, populate_sasl_options
+
+    with pytest.raises(SecurityError, match="SASL_"):
+        populate_sasl_options({
+            "security_protocol": "PLAINTEXT",
+            "sasl_mechanism": "PLAIN",
+            "sasl_username": "u",
+            "sasl_password": "p",
+        })
+    # explicit SASL_* protocols stay accepted
+    opts = populate_sasl_options({
+        "security_protocol": "SASL_SSL",
+        "sasl_mechanism": "PLAIN",
+        "sasl_username": "u",
+        "sasl_password": "p",
+    })
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+
+def test_resolve_cli_store_stashes_conf_for_metadata_io(monkeypatch):
+    """CLI-level resolution must make connector conf reach fsio's Hadoop
+    filesystem constructions (metadata I/O), not just SegmentStore."""
+    from kafka_backup_spark import storage_path as sp
+
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AK")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SK")
+    sp._PENDING_CONF.clear()
+    uri = sp.resolve_cli_store("s3://bucket/pfx")
+    assert uri == "s3a://bucket/pfx"
+
+    class FakeHConf:
+        def __init__(self):
+            self.d = {}
+
+        def set(self, k, v):
+            self.d[k] = v
+
+    h = FakeHConf()
+    sp.apply_pending_conf(h)
+    assert h.d["fs.s3a.access.key"] == "AK"
+    sp._PENDING_CONF.clear()
