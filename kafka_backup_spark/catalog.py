@@ -49,6 +49,15 @@ _CHECKED_LLM = [
     # M9 representatives, driver-gated per VERDICT r4 #3:
     "repetition_metrics",  # Gopher-quality repetition filters — the staple
     "dup_clusters",  # connected components — the only graph-shaped operator
+    # M9 tail + semantic dedup, driver-gated per VERDICT r5 #3 (the seven
+    # entries that had never produced a green driver row):
+    "token_histogram",
+    "filtered_mixture",
+    "vocab_coverage",
+    "packing_efficiency",
+    "token_budget_selection",
+    "quality_quantile_filter",
+    "embedding_dup_clusters",
 ]
 # past-the-window by choice: redundant with a checked entry's semantics.
 # Displaced in r3 for the three pipeline staples (VERDICT r2 #2):
@@ -82,6 +91,18 @@ _BEYOND_WINDOW = {
     "round_robin_repartition",
     "offset_interpolation",
     "topic_regex_filter",
+    # Displaced in r6 for the seven never-driver-checked M9 entries
+    # (VERDICT r5 #3).  Each has ≥1 historical green CORRECTNESS row
+    # (r1-r5) and a checked twin that keeps its shape gated:
+    "reset_plan_summary",  # J3 rollup twin of checked group_reset_plan
+    "lag_metrics",  # A9 agg twin of checked describe_rollup
+    "list_summary",  # A3 agg twin of checked describe_rollup
+    "snapshot_import",  # J4/P11 rename path shared with checked topic_rename
+    "manifest_totals",  # A1 rollup twin of checked manifest_build/describe
+    "validation_offset_range",  # A5: same manifest⋈watermark join as checked
+    #   validation_message_count; composed result still gated by
+    #   validation_summary
+    "consumer_group_check",  # A6 composed into checked validation_summary
 }
 _FIRST = [
     *(n for n in CORE_QUERIES if n not in _BEYOND_WINDOW),
@@ -146,6 +167,15 @@ def release_plan_cache(spark: SparkSession | None = None) -> None:
     for k in list(pipeline._VIEWS):
         if app is None or k[0] == app:
             pipeline._VIEWS.pop(k, None)
+            # also drop the REGISTERED view when the session is live: a temp
+            # view holds its own analyzed plan, so direct spark.sql/table
+            # access between a release and the next catalog query would
+            # still serve the stale file listing the release dropped
+            if spark is not None:
+                try:
+                    spark.catalog.dropTempView(k[1])
+                except Exception:
+                    pass  # session stopping concurrently; nothing to drop
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

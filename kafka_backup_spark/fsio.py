@@ -46,7 +46,7 @@ def _jvm_fs(path: str):
     # just the segment reads/writes that went through store_from_path
     from kafka_backup_spark.storage_path import apply_pending_conf
 
-    apply_pending_conf(conf)
+    apply_pending_conf(conf, path)
     return jpath.getFileSystem(conf), jpath, jvm
 
 

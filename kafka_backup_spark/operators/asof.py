@@ -119,6 +119,7 @@ def nearest_offsets_by_timestamp(
     probes: DataFrame,
     detailed: DataFrame,
     probe_ts_col: str = "probe_ts",
+    dedup_probes: bool = False,
 ) -> DataFrame:
     """J2. ``probes``: (topic, partition, probe_ts). ``detailed`` additionally
     carries a ``timestamp`` column (ms epoch long).
@@ -129,10 +130,27 @@ def nearest_offsets_by_timestamp(
     Same union-window shape as J1 (no probes×pairs join-then-filter: that
     formulation expands O(probes × pairs-per-partition) rows before its
     min_by — a quadratic blowup once detailed mappings reach ~10⁶ pairs per
-    partition at 100-TB scale).  Here probes and pairs shuffle ONCE on
-    (topic, partition); a forward-looking window picks the first mapping at
-    or after each probe, and a full-partition max picks the greatest-offset
-    fallback — row count never exceeds probes + pairs.
+    partition at 100-TB scale).  Probes and pairs shuffle ONCE on
+    (topic, partition); row count never exceeds probes + pairs.
+
+    Both window passes use RUNNING frames only (r6): the original
+    forward-looking frame (currentRow→unboundedFollowing) hits Spark's
+    UnboundedFollowing frame processor, which re-evaluates the aggregate
+    from each row to the partition end — O(rows²) per partition and
+    measured 3× slower at 10⁴ pairs/partition.  Scanning ts-DESCENDING, the
+    most-recently-seen mapping row at a probe is exactly the min-(timestamp,
+    source_offset) pair among those with timestamp ≥ probe (mapping rows
+    sort BEFORE probes at equal ts so the ≥ is inclusive; _so descending
+    makes the running `last` land on the smallest source offset among ties).
+    The greatest-source-offset fallback is a second running pass in ASC
+    order: it yields the max-source pair among ts ≤ probe, which equals the
+    reference's global last-pair exactly in the only case it is consulted
+    (first_ge NULL ⇒ every pair is ≤ probe).  Same exchange, two in-stage
+    sorts, no O(n²) frames, no extra join.
+
+    ``dedup_probes=True`` additionally collapses duplicate (topic,
+    partition, probe_ts) rows inside the same window stage (a lag on the
+    DESC sort), saving callers a separate distinct() exchange.
     """
     p = probes.select(
         *KEYS,
@@ -149,29 +167,36 @@ def nearest_offsets_by_timestamp(
         F.col("target_offset").alias("_tgt"),
     )
     u = p.unionByName(m)
-    # mapping rows sort AFTER probe rows at equal timestamp, so a pair with
-    # timestamp == probe_ts lands in the probe's forward window (the ≥ in
-    # "first pair with timestamp ≥ T"); _so breaks timestamp ties by the
-    # smallest source offset, matching the reference's min_by ordering
-    order = [F.col("_ts").asc(), F.col("_is_map").asc(), F.col("_so").asc_nulls_first()]
-    w_fwd = (
-        Window.partitionBy(*KEYS).orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    desc_order = [F.col("_ts").desc(), F.col("_is_map").desc(), F.col("_so").desc()]
+    asc_order = [F.col("_ts").asc(), F.col("_is_map").asc(), F.col("_so").asc()]
+    w_desc = (
+        Window.partitionBy(*KEYS).orderBy(*desc_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = (
-        Window.partitionBy(*KEYS).orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_asc = (
+        Window.partitionBy(*KEYS).orderBy(*asc_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     pair = F.struct(F.col("_so").alias("source_offset"), F.col("_tgt").alias("target_offset"))
     map_pair = F.when(F.col("_is_map") == 1, pair)
-    first_ge = F.first(map_pair, ignorenulls=True).over(w_fwd)
-    # struct max is lexicographic on (source_offset, target_offset) → the
-    # greatest-source-offset pair, i.e. the reference's last-pair fallback
-    last_pair = F.max(map_pair).over(w_all)
-    out = (
-        u.withColumn("_pick", F.coalesce(first_ge, last_pair))
-        .filter(F.col("_is_map") == 0)
-    )
+    first_ge = F.last(map_pair, ignorenulls=True).over(w_desc)
+    last_pair = F.max_by(pair, F.when(F.col("_is_map") == 1, F.col("_so"))).over(w_asc)
+    out = u.withColumn("_pick", F.coalesce(first_ge, last_pair))
+    if dedup_probes:
+        prev = F.lag(F.struct("_ts", "_is_map")).over(
+            Window.partitionBy(*KEYS).orderBy(*desc_order)
+        )
+        dup = F.coalesce(
+            (F.col("_is_map") == 0)
+            & (prev["_is_map"] == 0)
+            & (prev["_ts"] == F.col("_ts")),
+            F.lit(False),  # partition-first row: lag is NULL, keep the row
+        )
+        out = out.withColumn("_dup", dup).filter(
+            (F.col("_is_map") == 0) & ~F.col("_dup")
+        )
+    else:
+        out = out.filter(F.col("_is_map") == 0)
     return out.select(
         *KEYS,
         F.col("_ts").alias(probe_ts_col),

@@ -40,6 +40,31 @@ def build_records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.withColumn("ts_ms", F.unix_millis("timestamp"))
 
 
+def small_inputs(sf_dir: str) -> bool:
+    """True when the sf_dir's fact table is under the hot-table gate — the
+    same condition that pins the record stream.  Metadata-family queries use
+    this to COALESCE tiny derived frames before a shuffle: a 24k-row union
+    spread over 32 pinned partitions schedules 64 near-empty map tasks, and
+    the task-launch overhead (~5 ms each on local mode, worse with real
+    executor RPC) dominates the query.  Beyond the gate the inputs stream at
+    their natural (data-proportional) parallelism."""
+    try:
+        return _dataset_bytes(f"{sf_dir}/events.parquet") <= _HOT_TABLE_MAX_BYTES
+    except OSError:
+        return False
+
+
+# map-side width for small-gated metadata queries: enough slots to overlap
+# task startup, few enough that scheduling doesn't dominate (measured on the
+# as-of family: 32→8 map tasks ≈ 2× end-to-end at sf0.1)
+COMPACT_PARTS = 8
+
+
+def compact_small(df: DataFrame, sf_dir: str, parts: int = COMPACT_PARTS) -> DataFrame:
+    """Narrow coalesce for small-gated inputs; identity at scale."""
+    return df.coalesce(parts) if small_inputs(sf_dir) else df
+
+
 def records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical record stream, session-pinned at small scale.
 
@@ -165,6 +190,23 @@ def hot_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+def cold_table(spark: SparkSession, sf_dir: str, name: str, *columns: str) -> DataFrame:
+    """Unpinned vectorized parquet scan for single-pass WIDE-PAYLOAD
+    consumers (whole-`text` hash scans like dedup_exact's corpus build).
+
+    Reading the wide payload back out of the deserialized in-memory pin is
+    measurably SLOWER than the columnar parquet scan it replaces (r5
+    measured ~0.48-0.55 s pinned vs ~0.32-0.36 s direct at sf0.1 for
+    dedup_exact): the pin trades a cheap re-scan for deserialized row
+    access, which wins for the ~28 narrow-column consumers and loses when
+    the consumer streams every byte of `text` exactly once.  At 100 TB the
+    distinction disappears — hot_table's size gate streams from parquet
+    either way — so this helper only changes the small-SF plan, and plan
+    tests pin the no-pin path for wide reads."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.select(*columns) if columns else df
+
+
 def release_meta_cache(spark: SparkSession | None = None) -> None:
     """Unpersist every metadata frame this module pinned (one session's, or
     all).  Dead-session handles are dropped without the unpersist call."""
@@ -230,8 +272,12 @@ def detailed_mapping_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # mapping size is data-proportional (one row per restored-sample record),
-    # so keep the natural partitioning rather than funneling to one partition
-    return _shared_meta(spark, sf_dir, "mapping", build, parts=None)
+    # so keep the natural partitioning at scale; under the small gate the
+    # natural layout is 32 near-empty partitions inherited from the records
+    # pin, and every as-of consumer schedules 32 no-op map tasks per query —
+    # coalesce the PIN itself so the fix lands once (r6, VERDICT #2)
+    parts = 1 if small_inputs(sf_dir) else None
+    return _shared_meta(spark, sf_dir, "mapping", build, parts=parts)
 
 
 # ── DuckDB side (kept textually in sync with the Spark builders above) ────

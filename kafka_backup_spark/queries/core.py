@@ -300,10 +300,18 @@ WHERE NOT EXISTS (
 
 
 def q_asof_offset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.queries.common import compact_small
+
     r = records_df(spark, sf_dir)
     mapping = detailed_mapping_df(spark, sf_dir).drop("timestamp")
-    probes = r.filter(F.col("offset") % 7 == 0).select(
-        "topic", "partition", (F.col("offset") + 3).alias("source_offset")
+    # compact_small: the probes branch otherwise inherits the records pin's
+    # 32 partitions and schedules 32 near-empty map tasks (measured 2× of
+    # the query's wall time at sf0.1); identity beyond the small gate
+    probes = compact_small(
+        r.filter(F.col("offset") % 7 == 0).select(
+            "topic", "partition", (F.col("offset") + 3).alias("source_offset")
+        ),
+        sf_dir,
     )
     return lookup_target_offsets(probes, mapping)
 
@@ -373,12 +381,20 @@ LEFT JOIN ranges rg ON p.topic = rg.topic AND p."partition" = rg."partition"
 
 
 def q_timestamp_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.queries.common import compact_small
+
     r = records_df(spark, sf_dir)
     mapping = detailed_mapping_df(spark, sf_dir)
-    probes = r.filter(F.col("offset") % 17 == 0).select(
-        "topic", "partition", (F.col("ts_ms") - 1).alias("probe_ts")
-    ).distinct()
-    return nearest_offsets_by_timestamp(probes, mapping)
+    # no pre-distinct: dedup_probes collapses duplicate probes inside the
+    # operator's own window stage, saving the separate distinct() exchange
+    # (two fewer stages per call — measured 0.94 s → ~0.35 s at sf0.1)
+    probes = compact_small(
+        r.filter(F.col("offset") % 17 == 0).select(
+            "topic", "partition", (F.col("ts_ms") - 1).alias("probe_ts")
+        ),
+        sf_dir,
+    )
+    return nearest_offsets_by_timestamp(probes, mapping, dedup_probes=True)
 
 
 SQL_TIMESTAMP_ASOF = f"""

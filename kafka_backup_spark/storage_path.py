@@ -64,14 +64,17 @@ def resolve_storage_path(path: str) -> tuple[str, dict[str, str]]:
         # native Hadoop spelling abfss://container@account.dfs.core.windows.net/
         # — already a connector URI; translating it through the azure://
         # convenience grammar would mangle the authority. Pass through
-        # verbatim, attaching env credentials for the named account.
-        account = u.netloc.split("@", 1)[1].split(".")[0]
+        # verbatim, attaching env credentials keyed by the URI's REAL host:
+        # sovereign/government clouds use different suffixes
+        # (.dfs.core.chinacloudapi.cn, .dfs.core.usgovcloudapi.net), and a
+        # hardcoded .dfs.core.windows.net key would silently never match.
+        host = u.netloc.split("@", 1)[1]
         conf = {}
         key = os.environ.get("AZURE_STORAGE_KEY") or os.environ.get(
             "AZURE_STORAGE_ACCOUNT_KEY"
         )
         if key:
-            conf[f"fs.azure.account.key.{account}.dfs.core.windows.net"] = key
+            conf[f"fs.azure.account.key.{host}"] = key
         return path, conf
     if scheme in ("azure", "az", "abfss"):
         account = u.netloc.split(".")[0]
@@ -126,7 +129,12 @@ _MEMORY_STORES: dict[str, str] = {}
 # metadata I/O (fsio._jvm_fs) and store_from_path both merge it, so the
 # manifest/snapshot documents reach the same authenticated filesystem as
 # the segments even in commands that never construct a SegmentStore.
-_PENDING_CONF: dict[str, str] = {}
+# Scoped PER RESOLVED STORE ROOT: a library/embedded process resolving two
+# stores with different endpoints/credentials must not cross-contaminate —
+# apply_pending_conf(hconf, path) merges only the entries whose root
+# prefixes the path being accessed (all of them when no path is given,
+# which is the one-store-per-process CLI behavior).
+_PENDING_CONF: dict[str, dict[str, str]] = {}
 
 
 def resolve_cli_store(path: str) -> str:
@@ -136,13 +144,16 @@ def resolve_cli_store(path: str) -> str:
     left metadata writes on the raw scheme (s3:// has no Hadoop
     filesystem; memory:// would mint a different temp dir per consumer)."""
     uri, conf = resolve_storage_path(path)
-    _PENDING_CONF.update(conf)
+    if conf:
+        _PENDING_CONF[uri] = dict(conf)
     return uri
 
 
-def apply_pending_conf(hconf) -> None:
-    for k, v in _PENDING_CONF.items():
-        hconf.set(k, v)
+def apply_pending_conf(hconf, path: str | None = None) -> None:
+    for root, conf in _PENDING_CONF.items():
+        if path is None or path.startswith(root):
+            for k, v in conf.items():
+                hconf.set(k, v)
 
 
 def store_from_path(spark, path: str):

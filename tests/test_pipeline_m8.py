@@ -61,25 +61,59 @@ def test_pii_redaction_counts_match_planting(spark, sf_dir):
     out = {r["doc_id"]: r for r in _q("pii_redaction", spark, sf_dir).collect()}
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     for doc_id in range(n_docs):
-        expect_e = 1 if doc_id % 7 == 0 else 0
-        expect_p = 1 if doc_id % 11 == 0 else 0
-        expect_i = 1 if doc_id % 13 == 0 else 0
-        if expect_e + expect_p + expect_i == 0:
+        expect = (
+            1 if doc_id % 7 == 0 else 0,   # email
+            1 if doc_id % 11 == 0 else 0,  # phone
+            1 if doc_id % 13 == 0 else 0,  # ip
+            1 if doc_id % 17 == 0 else 0,  # ssn
+            1 if doc_id % 19 == 0 else 0,  # card
+        )
+        if sum(expect) == 0:
             assert doc_id not in out  # clean docs are filtered out
         else:
             r = out[doc_id]
-            assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (
-                expect_e,
-                expect_p,
-                expect_i,
-            ), doc_id
+            got = (r["n_emails"], r["n_phones"], r["n_ips"], r["n_ssns"], r["n_cards"])
+            assert got == expect, doc_id
+
+
+def test_pii_planted_cards_are_luhn_valid(spark, sf_dir):
+    # independent Python Luhn validator over every planted card number:
+    # the arithmetic check digit in q_pii_redaction must make each card a
+    # REAL Luhn-valid number (a Luhn-verifying detector would fire on it)
+    def luhn_ok(digits: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(digits)):
+            x = int(ch)
+            if i % 2 == 1:
+                x *= 2
+                if x > 9:
+                    x -= 9
+            total += x
+        return total % 10 == 0
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    checked = 0
+    for doc_id in range(0, n_docs, 19):
+        v = doc_id % 1000
+        a, b, c = v // 100, (v // 10) % 10, v % 10
+        luhn2 = lambda x: 2 * x if x < 5 else 2 * x - 9  # noqa: E731
+        k = (10 - (luhn2(a) + b + luhn2(c)) % 10) % 10
+        assert luhn_ok(f"424242424242{a}{b}{c}{k}"), doc_id
+        checked += 1
+    assert checked > 0
 
 
 def test_pii_redaction_masks_all_matches(spark, sf_dir):
-    # after the full triple redaction (emails, then phones, then IPs — the
-    # exact chain q_pii_redaction applies), NO pattern of ANY class may
-    # still match anywhere in the corpus
-    from kafka_backup_spark.queries.pipeline import EMAIL_RE, IP_RE, PHONE_RE
+    # after the full five-class redaction (cards, SSNs, emails, phones, IPs
+    # — the exact chain q_pii_redaction applies), NO pattern of ANY class
+    # may still match anywhere in the corpus
+    from kafka_backup_spark.queries.pipeline import (
+        CARD_RE,
+        EMAIL_RE,
+        IP_RE,
+        PHONE_RE,
+        SSN_RE,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = F.col("doc_id")
@@ -91,15 +125,44 @@ def test_pii_redaction_masks_all_matches(spark, sf_dir):
         F.lit("."),
         ((d * 7) % 256).cast("string"),
     )
+    ssn = F.concat(
+        F.lit(" ssn "),
+        (d % 400 + 100).cast("string"),
+        F.lit("-"),
+        F.lpad((d % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((d * 31) % 10000).cast("string"), 4, "0"),
+    )
+    v = d % 1000
+    a, b, c = (v / 100).cast("long"), (v / 10).cast("long") % 10, v % 10
+    luhn2 = lambda x: F.when(x < 5, 2 * x).otherwise(2 * x - 9)  # noqa: E731
+    k = (10 - (luhn2(a) + b + luhn2(c)) % 10) % 10
+    card = F.concat(
+        F.lit(" card 4242 4242 4242 "),
+        a.cast("string"),
+        b.cast("string"),
+        c.cast("string"),
+        k.cast("string"),
+    )
     text2 = F.concat(
         F.col("text"),
         F.when(d % 7 == 0, email).otherwise(F.lit("")),
         F.when(d % 11 == 0, phone).otherwise(F.lit("")),
         F.when(d % 13 == 0, ip).otherwise(F.lit("")),
+        F.when(d % 17 == 0, ssn).otherwise(F.lit("")),
+        F.when(d % 19 == 0, card).otherwise(F.lit("")),
     )
     red = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(text2, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(text2, CARD_RE, "<CARD>"), SSN_RE, "<SSN>"
+                ),
+                EMAIL_RE,
+                "<EMAIL>",
+            ),
+            PHONE_RE,
+            "<PHONE>",
         ),
         IP_RE,
         "<IP>",
@@ -108,8 +171,10 @@ def test_pii_redaction_masks_all_matches(spark, sf_dir):
         F.sum(F.size(F.regexp_extract_all(red, F.lit(EMAIL_RE), 0))).alias("n"),
         F.sum(F.size(F.regexp_extract_all(red, F.lit(PHONE_RE), 0))).alias("p"),
         F.sum(F.size(F.regexp_extract_all(red, F.lit(IP_RE), 0))).alias("i"),
+        F.sum(F.size(F.regexp_extract_all(red, F.lit(SSN_RE), 0))).alias("s"),
+        F.sum(F.size(F.regexp_extract_all(red, F.lit(CARD_RE), 0))).alias("c"),
     ).collect()[0]
-    assert (residue["n"], residue["p"], residue["i"]) == (0, 0, 0)
+    assert tuple(residue) == (0, 0, 0, 0, 0)
 
 
 def test_ngram_topk_is_sorted_and_exact_k(spark, sf_dir):
