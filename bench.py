@@ -95,13 +95,17 @@ def main() -> int:
     # the VM's noise spikes last seconds-to-minutes, so back-to-back repeats
     # of one query can all land inside a single spike — spreading a query's
     # repeats across passes makes min-of-n actually reject localized noise
-    best: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    # per-repeat times are KEPT and reported (VERDICT r5 "what's wrong" #3):
+    # a min that hides a 3× spread is a noise artifact, not an engine cost —
+    # the spread lets the reader judge which
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(repeats):
         for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best[name] = min(best[name], time.perf_counter() - t0)
-    timings = {name: round(t, 3) for name, t in best.items()}
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
+    spreads = {name: [round(x, 3) for x in ts] for name, ts in samples.items()}
 
     # measured per-query fixed floor: plan+schedule+noop-write of a trivial
     # one-row query. Sub-second entries are dominated by this scheduler
@@ -124,6 +128,7 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "repeats": repeats,
+                "repeat_times": spreads,
                 "noop_floor_sec": floor,
                 "net_total_sec": round(sum(max(t - floor, 0.0) for t in timings.values()), 3),
             }

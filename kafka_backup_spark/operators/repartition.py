@@ -45,32 +45,68 @@ def _dispersed_expr(num_partitions: int) -> Column:
     return F.pmod(F.xxhash64("partition", "offset"), F.lit(num_partitions)).cast("int")
 
 
+# per-session result of the executor kernel probe (applicationId → ok)
+_KERNEL_PROBE: dict[str, bool] = {}
+
+
+def pandas_kernel_available(spark) -> bool:
+    """True when the Arrow-batched murmur2 kernel actually RUNS on this
+    session's executors — probed ONCE per session by executing it on a
+    single row (an import check on the driver can't see executor
+    environments; the probe catches missing numpy/pandas/pyarrow AND a
+    missing package on the executor PYTHONPATH in one shot).  Any probe
+    failure falls back to the pure-JVM fold, so portability never regresses
+    — SCALE.md measures the kernel at ~28× the fold at volume, which is why
+    it is worth one ~100 ms probe job per session."""
+    app = spark.sparkContext.applicationId
+    if app not in _KERNEL_PROBE:
+        for k in [k for k in _KERNEL_PROBE if k != app]:
+            _KERNEL_PROBE.pop(k, None)  # dead sessions
+        try:
+            row = (
+                spark.range(1)
+                .select(
+                    kafka_partition_expr(
+                        F.lit(b"probe"), 4, impl="pandas"
+                    ).alias("p")
+                )
+                .collect()
+            )
+            _KERNEL_PROBE[app] = row[0]["p"] is not None
+        except Exception:
+            _KERNEL_PROBE[app] = False
+    return _KERNEL_PROBE[app]
+
+
 def assign_target_partitions(
     df: DataFrame,
     num_partitions: int,
     strategy: str = "murmur2",
     key_col: str = "key",
     out_col: str = "target_partition",
-    impl: str = "jvm",
+    impl: str = "auto",
 ) -> DataFrame:
-    """``impl``: "jvm" (pure-expression fold — zero Python dependency, the
-    portability default) or "pandas" (Arrow-batched numpy kernel — ~2× at
-    sf0.1, ~28× at volume per SCALE.md; the recommended hot-path impl when
-    the package is importable on executors).  Bit-identical outputs
-    (hypothesis cross-impl property + Kafka vectors)."""
+    """``impl``: "auto" (default — Arrow-batched numpy kernel when the
+    one-per-session executor probe succeeds, else the JVM fold), "jvm"
+    (pure-expression fold — zero Python dependency, forced portability
+    path) or "pandas" (force the kernel — ~2× at sf0.1, ~28× at volume per
+    SCALE.md).  Bit-identical outputs across impls (hypothesis cross-impl
+    property + Kafka vectors)."""
     if strategy == "automatic":
         return df.withColumn(out_col, _round_robin_expr(num_partitions))
     if strategy == "dispersed":
         return df.withColumn(out_col, _dispersed_expr(num_partitions))
     if strategy != "murmur2":
         raise ValueError(f"unknown repartitioning strategy: {strategy}")
+    if impl == "auto":
+        impl = "pandas" if pandas_kernel_available(df.sparkSession) else "jvm"
     hashed = kafka_partition_expr(F.col(key_col), num_partitions, impl=impl)
     # null-key fallback costs nothing: coalesce of two narrow expressions
     return df.withColumn(out_col, F.coalesce(hashed, _round_robin_expr(num_partitions)))
 
 
 def repartition_records(
-    df: DataFrame, num_partitions: int, strategy: str = "murmur2"
+    df: DataFrame, num_partitions: int, strategy: str = "murmur2", impl: str = "auto"
 ) -> DataFrame:
     """Assign target partitions and physically co-locate rows by them.
 
@@ -78,7 +114,7 @@ def repartition_records(
     reference: Spark's shuffle provides the channels, backpressure and
     cancellation (SURVEY.md §2.10 R3).
     """
-    out = assign_target_partitions(df, num_partitions, strategy)
+    out = assign_target_partitions(df, num_partitions, strategy, impl=impl)
     return out.repartition(num_partitions, F.col("target_partition")).withColumn(
         "partition", F.col("target_partition")
     ).drop("target_partition")

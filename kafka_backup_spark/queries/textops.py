@@ -1303,37 +1303,63 @@ FROM h
 
 # ── Duplicate-cluster resolution (connected components over near-dup pairs)
 # After pair detection, dedup pipelines need the CLUSTERS: each group of
-# mutual near-dups collapses to one canonical doc (the min id).  Components
-# come from iterative min-label propagation — the standard Spark shape for
-# CC: per round, every node takes the min label among itself and its
-# neighbors; converged when nothing changes.  Rounds are bounded by
-# component diameter (near-dup clusters are tiny — pairs/triples), and each
-# round is one join + one map-side-combinable min-agg.  At web scale the
-# same primitives implement large-star/small-star contraction
-# (Kiveris et al., "Connected Components in MapReduce and Beyond") for
-# log-diameter convergence; the fixture graph converges in 1-2 rounds.
-# The driver-side loop holds only a changed-row count per round.
+# mutual near-dups collapses to one canonical doc (the min id).  Two
+# algorithms behind one API:
+#
+# - "lss" (default, the 100-TB path): alternating large-star/small-star
+#   contraction (Kiveris et al., "Connected Components in MapReduce and
+#   Beyond", SoCC'14).  Each round is two join+min-agg passes over the
+#   shrinking edge set and the round count is O(log n) REGARDLESS of
+#   component diameter — a chain-shaped cluster of length 10⁶ (the failure
+#   mode of label propagation) converges in ~20 rounds.
+# - "min-label": per round every node takes the min label among itself and
+#   its neighbors; rounds = component diameter.  Kept for cross-validation
+#   (test_textops_recall pins both algorithms identical on random graphs)
+#   and as the cheaper loop when clusters are known-tiny.
+#
+# Both fail LOUD at the round cap rather than returning silently-split
+# components; the driver holds only per-round change counters.
 
 CC_MAX_ROUNDS = 20
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_near_dup_pipeline(spark, sf_dir).select("doc_a", "doc_b")
-    return _min_label_components(spark, pairs, f"dupc_edges:{sf_dir}")
+    return _components(spark, pairs, f"dupc_edges:{sf_dir}")
 
 
-def _min_label_components(spark: SparkSession, pairs: DataFrame, tag: str) -> DataFrame:
-    """Connected components by iterative min-label propagation over an
-    undirected pair set (columns = the two node ids).  Per round: one hash
-    join + one min-agg; ``localCheckpoint`` truncates lineage; the driver
-    holds only a changed-count scalar.  Web-scale variant (large-star /
-    small-star) uses the same join primitives — see the module notes."""
+def _cluster_rollup(labels: DataFrame) -> DataFrame:
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members"), F.max("node").alias("max_doc")
+    ).select(F.col("label").alias("cluster_id"), "n_members", "max_doc")
+
+
+def _components(
+    spark: SparkSession, pairs: DataFrame, tag: str, algorithm: str = "lss"
+) -> DataFrame:
+    """Connected components over an undirected pair set (columns = the two
+    node ids) → (cluster_id, n_members, max_doc) with cluster_id = the
+    component-min node id."""
     a, b = pairs.columns[0], pairs.columns[1]
     edges = _tagged_persist(
         spark,
         tag,
         pairs.union(pairs.select(F.col(b), F.col(a))).toDF("s", "d"),
     )
+    if algorithm == "lss":
+        labels = _lss_labels(spark, edges)
+    elif algorithm == "min-label":
+        labels = _min_label_labels(spark, edges)
+    else:
+        raise ValueError(f"unknown components algorithm: {algorithm}")
+    return _cluster_rollup(labels)
+
+
+def _min_label_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Min-label propagation: per round one hash join + one
+    map-side-combinable min-agg; ``localCheckpoint`` truncates lineage.
+    Rounds are bounded by component DIAMETER — use only when clusters are
+    known-tiny (near-dup pairs/triples); chains past CC_MAX_ROUNDS raise."""
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
@@ -1368,11 +1394,82 @@ def _min_label_components(spark: SparkSession, pairs: DataFrame, tag: str) -> Da
         raise RuntimeError(
             f"dup_clusters: label propagation not converged after "
             f"{CC_MAX_ROUNDS} rounds — component diameter exceeds the cap; "
-            f"raise CC_MAX_ROUNDS or switch to large-star/small-star"
+            f"use the large-star/small-star default for deep components"
         )
-    return labels.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_members"), F.max("node").alias("max_doc")
-    ).select(F.col("label").alias("cluster_id"), "n_members", "max_doc")
+    return labels
+
+
+def _lss_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al. 2014), pure
+    DataFrame ops.  State = the undirected edge set; at the fixed point
+    every component is a star whose center is the component-min node.
+
+    Per round:
+      large-star: m(u) = min(N(u) ∪ {u}); for each neighbor v > u, the
+        edge (u,v) contracts to (v, m(u)) — strictly-larger neighbors hook
+        under u's local minimum.
+      small-star: orient every edge large→small (u = max); m(u) =
+        min(N<(u) ∪ {u}); every small neighbor AND u itself re-hook to m.
+    Both passes are a groupBy-min plus a hash join, shrink the edge set
+    monotonically toward stars, and converge in O(log n) rounds on ANY
+    graph shape — the chain graphs that make min-label propagation take
+    Ω(diameter) rounds converge logarithmically here
+    (test_textops_recall::test_lss_converges_on_chain_past_round_cap).
+    ``localCheckpoint`` truncates lineage; convergence = edge set unchanged
+    (count match + one-row anti-join probe)."""
+
+    def large_star(e: DataFrame) -> DataFrame:
+        d = e.select("s", "d").union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        m = (
+            d.groupBy("s")
+            .agg(F.min("d").alias("_mind"))
+            .select("s", F.least("_mind", "s").alias("m"))
+        )
+        return (
+            d.join(m, "s")
+            .filter(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        d = e.select(
+            F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
+        ).filter(F.col("s") != F.col("d"))
+        m = d.groupBy("s").agg(F.min("d").alias("m"))  # all d < s, so m < s
+        rehook = d.join(m, "s").select(F.col("d").alias("s"), F.col("m").alias("d"))
+        center = m.select("s", F.col("m").alias("d"))
+        return (
+            rehook.union(center).filter(F.col("s") != F.col("d")).distinct()
+        )
+
+    nodes = edges.select(F.col("s").alias("node")).distinct().localCheckpoint(eager=True)
+    e = edges.filter(F.col("s") != F.col("d")).distinct().localCheckpoint(eager=True)
+    converged = e.limit(1).count() == 0  # edgeless input: nothing to contract
+    prev_count = None if converged else e.count()
+    for _ in range(CC_MAX_ROUNDS):
+        if converged:
+            break
+        new = small_star(large_star(e)).localCheckpoint(eager=True)
+        new_count = new.count()
+        if new_count == prev_count:
+            added = new.join(e, ["s", "d"], "left_anti").limit(1).count()
+            if added == 0:
+                converged = True
+        e, prev_count = new, new_count
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters: large-star/small-star not converged after "
+            f"{CC_MAX_ROUNDS} rounds — O(log n) bound exceeded; the edge "
+            f"set is pathological (raise CC_MAX_ROUNDS)"
+        )
+    # fixed point: e holds exactly one (node → component-min) edge per
+    # non-min node; min nodes (and singletons) label themselves
+    star = e.select(F.col("s").alias("node"), F.col("d").alias("label"))
+    return nodes.join(star, "node", "left").select(
+        "node", F.coalesce("label", "node").alias("label")
+    )
 
 
 def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1382,7 +1479,7 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision a corpus dedup pass actually applies.  Same scalable label
     propagation; the pair set comes from the shared ANN index."""
     pairs = q_embedding_near_dup(spark, sf_dir).select("vec_a", "vec_b")
-    return _min_label_components(spark, pairs, f"edupc_edges:{sf_dir}")
+    return _components(spark, pairs, f"edupc_edges:{sf_dir}")
 
 
 def _embedding_dup_clusters_sql() -> str:

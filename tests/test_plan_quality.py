@@ -157,6 +157,40 @@ def test_repartition_plans_scale(spark, sf_dir):
     assert "ArrowEvalPython" not in jvm and "BatchEvalPython" not in jvm
 
 
+def test_dedup_exact_scans_cold_parquet_not_the_pin(spark, sf_dir):
+    """VERDICT r5 #1: whole-text hash scans must NOT read through the
+    deserialized hot-table pin — the vectorized parquet scan is faster for
+    a single-pass wide read.  Both union branches scan parquet directly,
+    with the projection pruned to (doc_id, text)."""
+    plan = _plan(catalog.queries()["dedup_exact"](spark, sf_dir))
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans and all(
+        "doc_id" in s and "text" in s and "lang" not in s and "source" not in s
+        for s in scans
+    )
+
+
+def test_asof_windows_use_running_frames_only(spark, sf_dir):
+    """r6 as-of rewrite: no UnboundedFollowing window frames anywhere in the
+    as-of family (Spark's frame processor for them re-evaluates the
+    aggregate from each row to the partition end — O(rows²) per partition),
+    and exactly ONE live exchange feeds each union-window (the probes'
+    distinct() exchange was folded into the window stage)."""
+    qs = catalog.queries()
+    for name in ("asof_offset_lookup", "timestamp_asof", "group_reset_plan"):
+        df = qs[name](spark, sf_dir)
+        plan = _plan(df).lower()
+        # (currentrow, unboundedfollowing) is the quadratic frame processor;
+        # (unboundedpreceding, unboundedfollowing) — group_reset_plan's
+        # whole-partition bool_and — evaluates once per partition and is fine
+        assert "currentrow$(), unboundedfollowing$()" not in plan, name
+    # timestamp_asof specifically: the pre-r6 shape paid a distinct()
+    # exchange + a fallback-join exchange on top of the window's
+    asof_plan = _plan(qs["timestamp_asof"](spark, sf_dir))
+    assert _live_exchange_count(asof_plan) == 1
+
+
 def test_contamination_check_broadcasts_benchmark_semi_join(spark, sf_dir):
     """Decontamination must be the near-linear shape: benchmark gram set
     broadcast, LeftSemi join, no cartesian/pair explosion."""

@@ -147,6 +147,54 @@ def test_embedding_dup_clusters_consistent_with_pairs(spark, sf_dir):
     assert all(r["n_members"] >= 2 for r in rows)
 
 
+def test_lss_converges_on_chain_past_round_cap(spark):
+    """A chain-shaped component is min-label propagation's worst case: the
+    min label travels ONE hop per round, so a 64-node chain needs 63 rounds
+    — past CC_MAX_ROUNDS=20 it must raise (loud, not silently split).  The
+    large-star/small-star default contracts the same chain in O(log n)
+    rounds and returns the single full-length cluster."""
+    import pytest
+
+    from kafka_backup_spark.queries import textops
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a long, b long"
+    )
+    rows = textops._components(spark, chain, "test_chain_lss").collect()
+    assert [(r["cluster_id"], r["n_members"], r["max_doc"]) for r in rows] == [(0, 64, 63)]
+    with pytest.raises(RuntimeError, match="not converged"):
+        textops._components(spark, chain, "test_chain_minlabel", algorithm="min-label")
+
+
+def test_lss_and_min_label_agree_on_random_graph(spark):
+    """Cross-validation: both algorithms must produce identical clusters on
+    a seeded random graph with mixed component shapes (singleton pairs,
+    triangles, short chains, a star)."""
+    import random
+
+    from kafka_backup_spark.queries import textops
+
+    rng = random.Random(42)
+    edges = [(i, i + 1000) for i in range(0, 40, 2)]  # disjoint pairs
+    edges += [(100, 101), (101, 102), (102, 100)]  # triangle
+    edges += [(200 + i, 200 + i + 1) for i in range(8)]  # chain of 9
+    edges += [(300, 300 + i) for i in range(1, 7)]  # star
+    edges += [(rng.randrange(400, 440), rng.randrange(400, 440)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a long, b long")
+    lss = {
+        (r["cluster_id"], r["n_members"], r["max_doc"])
+        for r in textops._components(spark, df, "test_rand_lss").collect()
+    }
+    ml = {
+        (r["cluster_id"], r["n_members"], r["max_doc"])
+        for r in textops._components(
+            spark, df, "test_rand_ml", algorithm="min-label"
+        ).collect()
+    }
+    assert lss == ml and len(lss) > 5
+
+
 def test_gram_queries_survive_short_documents(spark, tmp_path):
     """1- and 2-token documents must not kill the gram pipeline (Spark's
     sequence(1, size-2) builds a DESCENDING [1,0] when size < 3, and

@@ -31,6 +31,44 @@ from pyspark.sql import functions as F
 
 QUERIES = ["dedup_exact", "simhash", "minhash_signatures", "lsh_candidates",
            "near_dup_pipeline", "text_analysis"]
+# metadata/as-of family (VERDICT r5 #7): these read the EVENTS-derived
+# record stream + offset mapping, so the events table is amplified too —
+# per-partition mapping depth grows with the tier, which is exactly what
+# the union-window as-of shape must absorb
+ASOF_QUERIES = ["asof_offset_lookup", "timestamp_asof", "group_reset_plan"]
+
+
+def amplify_events(spark, src_dir: str, factor: int, out_dir: str) -> int:
+    """Replicate events with shifted event_id (offset) and ts: same topics
+    and partitions, ×factor offsets/mapping-pairs per partition and an
+    extended time range — the axis the as-of lookups scale along."""
+    from pyspark.sql.types import LongType
+
+    ev = spark.read.parquet(f"{src_dir}/events.parquet")
+    n = ev.count()
+    maxid = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    ts_is_long = isinstance(ev.schema["ts"].dataType, LongType)  # nanos-as-long
+    reps = []
+    for i in range(factor):
+        shifted = (
+            F.col("ts") + F.lit(i * 3_600_000_000_000)  # +i hours of nanos
+            if ts_is_long
+            else F.col("ts") + F.expr(f"make_interval(0, 0, 0, 0, {i}, 0, 0)")
+        )
+        reps.append(
+            ev.select(
+                (F.col("event_id") + maxid * i).alias("event_id"),
+                "event_type",
+                "user_id",
+                "props",
+                shifted.alias("ts"),
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    return n * factor
 
 
 def amplify(spark, src_dir: str, factor: int, out_dir: str) -> int:
@@ -88,6 +126,7 @@ def main() -> int:
         shutil.rmtree(tier_dir, ignore_errors=True)
         os.makedirs(tier_dir, exist_ok=True)
         ndocs = amplify(spark, args.src, factor, tier_dir)
+        nevents = amplify_events(spark, args.src, factor, tier_dir)
         modes = [("pinned", None)] + ([("streamed", 1)] if factor == max(
             int(f) for f in args.factors.split(",")) else [])
         for mode, gate in modes:
@@ -96,14 +135,15 @@ def main() -> int:
                 common._HOT_TABLE_MAX_BYTES = gate
             try:
                 release_all(spark)
-                for name in QUERIES:
+                for name in QUERIES + ASOF_QUERIES:
+                    rows = nevents if name in ASOF_QUERIES else ndocs
                     cold = run(name, tier_dir)
                     warm = min(run(name, tier_dir) for _ in range(3))
                     print(json.dumps({
-                        "tier": factor, "docs": ndocs, "mode": mode,
+                        "tier": factor, "docs": rows, "mode": mode,
                         "query": name, "cold_s": round(cold, 3),
                         "warm_s": round(warm, 3),
-                        "warm_docs_per_s": round(ndocs / warm),
+                        "warm_docs_per_s": round(rows / warm),
                     }))
             finally:
                 common._HOT_TABLE_MAX_BYTES = saved
