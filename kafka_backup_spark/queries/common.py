@@ -22,14 +22,34 @@ from kafka_backup_spark.schema import events_as_records, load_table
 SEGMENT_SPAN = 1000
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition a narrow input up to the session's default
-    parallelism. Small-SF testdata arrives as one parquet file → one task;
-    at 100 TB the scan itself yields thousands of splits and AQE coalesces
-    the extra shuffle away. (No ``df.rdd`` probe here: materializing the RDD
-    lineage per query just to read a partition count costs more than the
-    unconditional narrow repartition it tried to avoid.)"""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrow input for parallel consumption.
+    Small-SF testdata arrives as one parquet file → one task; at 100 TB the
+    scan itself yields thousands of splits and AQE coalesces the extra
+    shuffle away. (No ``df.rdd`` probe here: materializing the RDD lineage
+    per query just to read a partition count costs more than the
+    unconditional narrow repartition it tried to avoid.)
+
+    ``parts`` defaults to the session parallelism; pass a size-derived
+    count (``spread_parts``) for pinned inputs — r6 measured that a 0.6 MB
+    table spread over 32 partitions makes every consumer schedule 32
+    near-empty tasks whose launch overhead exceeds the whole query
+    (simhash 0.48 s @32 → 0.20 s @8 at sf0.1)."""
+    return df.repartition(parts or df.sparkSession.sparkContext.defaultParallelism)
+
+
+_SPREAD_BYTES_PER_PART = 1 << 20  # ~1 MB of source parquet per pinned partition
+
+
+def spread_parts(spark: SparkSession, nbytes: int) -> int:
+    """Partition count for a pinned table: proportional to its size with a
+    floor of 8 (keeps CPU-heavy consumers like the gram explodes parallel
+    even on tiny fixtures) and a cap at the session parallelism.  Only
+    consulted UNDER the pin gate — streamed tables keep their scan splits —
+    so the constant tunes small-input overhead, not cluster scans."""
+    dp = spark.sparkContext.defaultParallelism
+    want = (nbytes + _SPREAD_BYTES_PER_PART - 1) // _SPREAD_BYTES_PER_PART
+    return min(dp, max(8, int(want)))
 
 # ── Spark side ────────────────────────────────────────────────────────────
 
@@ -38,6 +58,17 @@ def build_records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncached record-stream derivation from the events table."""
     r = events_as_records(load_table(spark, sf_dir, "events"))
     return r.withColumn("ts_ms", F.unix_millis("timestamp"))
+
+
+def small_table(sf_dir: str, name: str) -> bool:
+    """True when this specific table is under the pin gate (same decision
+    hot_table makes) — callers use it to know whether the frame they got
+    back is the pinned spread copy (safe to coalesce for task-count
+    control) or a streamed parquet scan (must keep its natural splits)."""
+    try:
+        return _dataset_bytes(f"{sf_dir}/{name}.parquet") <= _HOT_TABLE_MAX_BYTES
+    except OSError:
+        return False
 
 
 def small_inputs(sf_dir: str) -> bool:
@@ -75,14 +106,16 @@ def records_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate (100-TB backups) it streams from parquet and the scan's own
     splits provide the parallelism."""
     try:
-        small = _dataset_bytes(f"{sf_dir}/events.parquet") <= _HOT_TABLE_MAX_BYTES
+        nbytes = _dataset_bytes(f"{sf_dir}/events.parquet")
+        small = nbytes <= _HOT_TABLE_MAX_BYTES
     except OSError:  # remote / unsizable: stream
         small = False
     if not small:
         return build_records_df(spark, sf_dir)
     return _shared_meta(
         spark, sf_dir, "records",
-        lambda: spread(build_records_df(spark, sf_dir)), parts=None,
+        lambda: spread(build_records_df(spark, sf_dir), spread_parts(spark, nbytes)),
+        parts=None,
     )
 
 
@@ -180,13 +213,15 @@ def hot_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session; in-place writers call release_meta_cache(spark)."""
     path = f"{sf_dir}/{name}.parquet"
     try:
-        if _dataset_bytes(path) > _HOT_TABLE_MAX_BYTES:
+        nbytes = _dataset_bytes(path)
+        if nbytes > _HOT_TABLE_MAX_BYTES:
             return spark.read.parquet(path)
     except OSError:  # remote / unsizable: stream, don't pin
         return spark.read.parquet(path)
     return _shared_meta(
         spark, sf_dir, f"table:{name}",
-        lambda: spread(spark.read.parquet(path)), parts=None,
+        lambda: spread(spark.read.parquet(path), spread_parts(spark, nbytes)),
+        parts=None,
     )
 
 

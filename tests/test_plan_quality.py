@@ -430,6 +430,27 @@ def test_hot_table_size_gate_streams_large_tables(spark, sf_dir, monkeypatch):
     common.release_meta_cache(spark)
 
 
+def test_pin_partitions_scale_with_table_size(spark, sf_dir):
+    """r6: pinned tables spread to a SIZE-PROPORTIONAL partition count
+    (floor 8, cap defaultParallelism) — a 0.6 MB fixture spread over 32
+    partitions made every consumer schedule 32 near-empty tasks whose
+    launch overhead exceeded the query (simhash 0.48 s @32 → 0.20 s @8).
+    The floor keeps CPU-heavy consumers parallel on tiny fixtures; at the
+    cap and beyond, the size gate streams the table anyway."""
+    from kafka_backup_spark.queries import common
+
+    dp = spark.sparkContext.defaultParallelism
+    floor = min(dp, 8)  # the floor itself is capped by session parallelism
+    assert common.spread_parts(spark, 0) == floor
+    assert common.spread_parts(spark, 600_000) == floor    # documents @ sf0.1
+    assert common.spread_parts(spark, 11 << 20) == min(dp, 11)  # lineitem
+    assert common.spread_parts(spark, 1 << 30) == dp       # capped
+    common.release_meta_cache(spark)
+    docs = common.hot_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() == floor
+    common.release_meta_cache(spark)
+
+
 def test_plan_cache_serves_same_dataframe_and_releases(spark, sf_dir):
     """catalog.queries() is a prepared-statement cache: same (session,
     query, sf_dir) → the identical DataFrame object; release empties it."""
