@@ -38,7 +38,12 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     return df.repartition(parts or df.sparkSession.sparkContext.defaultParallelism)
 
 
-_SPREAD_BYTES_PER_PART = 1 << 20  # ~1 MB of source parquet per pinned partition
+_SPREAD_BYTES_PER_PART = 512 << 10  # ~0.5 MB of source parquet per pinned partition
+# (tuned on the tier smoke: at 1 MB/part the 20× amplified corpus pinned at
+# 12 partitions and minhash's 30M-row shingle explode plateaued; 0.5 MB
+# keeps sf0.1 fixtures at the floor of 8 while the amplified tiers climb
+# back toward full parallelism.  TPC-H consumption stays capped by
+# _VIEW_PARTS regardless.)
 
 
 def spread_parts(spark: SparkSession, nbytes: int) -> int:

@@ -1763,6 +1763,87 @@ GROUP BY s.lang
 """
 
 
+# ── M10: duplicated-span fraction (exact substring dedup signal) ──────────
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") deduplicate EXACT repeated substrings, not just whole documents
+# — the practical signal is the fraction of a document's fixed-length
+# character windows that also occur in other documents.  The suffix-array
+# formulation is inherently sequential; the Spark-native equivalent samples
+# windows on a stride and counts cross-document window-hash collisions:
+# strided explode bounds rows at len/STRIDE per doc, and every shuffle keys
+# on a 56-bit hash (uniform by construction) — the shape that survives
+# 100 TB.  The corpus includes the planted copies (_CORPUS), whose spans
+# collide with their originals by construction.
+
+SPAN_LEN = 40
+SPAN_STRIDE = 16
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.functions.hashing import fast_hash64
+
+    c = _corpus(spark, sf_dir).filter(F.length("text") >= SPAN_LEN)
+    wins = c.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (SPAN_LEN - 1), F.lit(SPAN_STRIDE))
+        ).alias("i"),
+        "text",
+    ).select("doc_id", F.expr(f"substring(text, i, {SPAN_LEN})").alias("span"))
+    # per-(doc, span-hash) dedup so a doc repeating its own span doesn't
+    # inflate the cross-document count; one shuffle on the hash pair
+    dh = wins.select("doc_id", fast_hash64(F.col("span")).alias("h")).distinct()
+    freq = dh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        dh.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans").cast("double") / F.col("n_spans").cast("double"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def _dup_span_sql() -> str:
+    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb
+
+    return f"""
+WITH {_CORPUS},
+wins AS (
+    -- unnest(generate_series(...)) in the select list: DuckDB's table-
+    -- function form can't lateral-reference the text column
+    SELECT doc_id, substring(text, CAST(i AS INT), {SPAN_LEN}) AS span
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {SPAN_LEN - 1}, {SPAN_STRIDE})) AS i
+        FROM corpus WHERE length(text) >= {SPAN_LEN}
+    )
+),
+dh AS (
+    SELECT DISTINCT doc_id, {fast_hash64_duckdb('span')} AS h FROM wins
+),
+freq AS (SELECT h, count(*) AS nd FROM dh GROUP BY h)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+FROM dh JOIN freq USING (h)
+GROUP BY doc_id
+"""
+
+
+SQL_DUP_SPAN_FRACTION = _dup_span_sql()
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
@@ -1797,4 +1878,6 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "packing_efficiency": (q_packing_efficiency, SQL_PACKING_EFFICIENCY),
     "token_budget_selection": (q_token_budget_selection, SQL_TOKEN_BUDGET_SELECTION),
     "quality_quantile_filter": (q_quality_quantile_filter, SQL_QUALITY_QUANTILE_FILTER),
+    # M10 (r6): exact repeated-substring dedup signal
+    "dup_span_fraction": (q_dup_span_fraction, SQL_DUP_SPAN_FRACTION),
 }

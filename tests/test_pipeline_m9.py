@@ -199,3 +199,46 @@ def test_quality_quantile_filter_median_semantics(spark, sf_dir):
         assert abs(r["median_q"] - med) < 1e-9, lang
         assert r["n_kept"] == sum(1 for x in qs if x > r["median_q"])
         assert r["n_kept"] <= len(qs) / 2
+
+
+def test_dup_span_fraction_matches_python_oracle(spark, sf_dir):
+    """Independent Python recomputation of the duplicated-span signal over
+    the same corpus (docs + planted copies): per-doc window hashes on the
+    same stride, cross-document collision counts, identical fractions.
+    Planted copies (and their originals) must come out fully duplicated."""
+    from collections import defaultdict
+
+    from kafka_backup_spark.queries.pipeline import SPAN_LEN, SPAN_STRIDE
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    corpus = dict(docs)
+    for doc_id, text in docs.items():
+        if doc_id % 10 == 0:
+            corpus[doc_id + 1_000_000] = text
+
+    def spans(text):
+        return {
+            text[i : i + SPAN_LEN]
+            for i in range(0, len(text) - SPAN_LEN + 1, SPAN_STRIDE)
+        }
+
+    per_doc = {d: spans(t) for d, t in corpus.items() if len(t) >= SPAN_LEN}
+    owners = defaultdict(set)
+    for d, ss in per_doc.items():
+        for s in ss:
+            owners[s].add(d)
+    rows = {r["doc_id"]: r for r in _q("dup_span_fraction", spark, sf_dir).collect()}
+    assert set(rows) == set(per_doc)
+    for d, ss in per_doc.items():
+        n_dup = sum(1 for s in ss if len(owners[s]) > 1)
+        r = rows[d]
+        assert r["n_spans"] == len(ss), d
+        assert r["n_dup_spans"] == n_dup, d
+        assert abs(r["dup_fraction"] - n_dup / len(ss)) < 1e-6, d
+        if d >= 1_000_000 and len(ss) > 0:
+            assert r["dup_fraction"] == 1.0, d  # planted copy: fully duplicated

@@ -443,7 +443,9 @@ def test_pin_partitions_scale_with_table_size(spark, sf_dir):
     floor = min(dp, 8)  # the floor itself is capped by session parallelism
     assert common.spread_parts(spark, 0) == floor
     assert common.spread_parts(spark, 600_000) == floor    # documents @ sf0.1
-    assert common.spread_parts(spark, 11 << 20) == min(dp, 11)  # lineitem
+    per_part = common._SPREAD_BYTES_PER_PART
+    want = -(-(11 << 20) // per_part)  # lineitem @ sf0.1, ceil division
+    assert common.spread_parts(spark, 11 << 20) == min(dp, max(8, want))
     assert common.spread_parts(spark, 1 << 30) == dp       # capped
     common.release_meta_cache(spark)
     docs = common.hot_table(spark, sf_dir, "documents")
