@@ -1176,6 +1176,81 @@ FROM (
 
 
 
+# ── semantic cluster balance (mixture weighting over embedding space) ─────
+# mixture_weights balances SOURCES; at pre-training scale corpora are also
+# balanced across SEMANTIC regions (cluster-and-reweight à la DoReMi-style
+# domain discovery): assign every embedding to its k-means cell and report
+# per-cell size, corpus share, and ground-truth-label purity.  Reuses the
+# ivf index artifacts (quantizer + inverted list) — the rollup itself is
+# one map-side-combinable groupBy on (cell, label) at any corpus size.
+
+
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build_corpus() -> DataFrame:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return emb.select("vec_id", _quantize(F.col("embedding")).alias("qe"))
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    tag = f"ivf:{sf_dir}"  # share the quantizer + inverted list with ivf_topk
+    idx = _shared_ann_index(spark, tag, build_corpus, n)
+    corpus, cells, cent_mat = idx["corpus"], idx["cells"], idx["cent_mat"]
+    neighbors = _ann_index_frame(
+        spark,
+        tag,
+        "neighbors",
+        lambda: corpus.withColumn("cell", _cells_udf(cells, cent_mat, 1)(F.col("qe"))[0]),
+    )
+    labels = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "label")
+    assigned = neighbors.select("vec_id", "cell").join(labels, "vec_id")
+    cl = assigned.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("cnt"))
+    # majority = highest count, ties → smallest label: lexicographic struct
+    # max over (cnt, -label) keeps the whole rollup one agg, no window
+    m = F.max(F.struct(F.col("cnt").alias("c"), (-F.col("label")).alias("nl")))
+    per = cl.groupBy("cell").agg(
+        F.sum("cnt").alias("n_vectors"), m.alias("_m")
+    )
+    return per.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.expr(f"(n_vectors * 1000000) div {n}").alias("share_ppm"),
+        (-F.col("_m.nl")).cast("int").alias("majority_label"),
+        F.expr("(_m.c * 1000000) div n_vectors").alias("purity_ppm"),
+    )
+
+
+SQL_CLUSTER_BALANCE = f"""
+WITH {_kmeans_cte(_IVF_CORPUS_SQL)},
+a1 AS (
+    SELECT vec_id, cell FROM (
+        SELECT c.vec_id, t.cell,
+               row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY {_icsim_sql('c.qe', 't.qc', 6)} DESC, t.cell ASC) AS rn
+        FROM corpus c CROSS JOIN cents1 t
+    ) WHERE rn = 1
+),
+cl AS (
+    SELECT a.cell, e.label, count(*) AS cnt
+    FROM a1 a JOIN embeddings e USING (vec_id)
+    GROUP BY a.cell, e.label
+),
+tot AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_vectors FROM cl GROUP BY cell),
+maj AS (
+    SELECT cell, label AS majority_label, cnt AS majority_cnt FROM (
+        SELECT cell, label, cnt,
+               row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label ASC) AS rn
+        FROM cl
+    ) WHERE rn = 1
+)
+SELECT CAST(t.cell AS INT) AS cell,
+       t.n_vectors,
+       CAST(t.n_vectors * 1000000 // (SELECT count(*) FROM corpus) AS BIGINT) AS share_ppm,
+       CAST(m.majority_label AS INT) AS majority_label,
+       CAST(m.majority_cnt * 1000000 // t.n_vectors AS BIGINT) AS purity_ppm
+FROM tot t JOIN maj m USING (cell)
+"""
+
+
 # ── consolidated per-doc text analysis ────────────────────────────────────
 # One pass over `documents` carrying the full text-quality surface (token
 # counts, quality ratios, language ID) that q_token_counts / q_quality_score
@@ -1543,4 +1618,6 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "embedding_dup_clusters": (q_embedding_dup_clusters, SQL_EMBEDDING_DUP_CLUSTERS),
+    # M10 (r6): semantic mixture balance over the shared IVF quantizer
+    "cluster_balance": (q_cluster_balance, SQL_CLUSTER_BALANCE),
 }

@@ -224,3 +224,20 @@ def test_gram_queries_survive_short_documents(spark, tmp_path):
         want = sorted(tuple(r) for r in con.sql(oracles[name]).fetchall())
         assert len(got) == len(want), name
     textops.release_gram_cache(spark)
+
+
+def test_cluster_balance_partitions_the_corpus(spark, sf_dir):
+    """Cluster-balance rows must form an exact partition of the embedding
+    corpus (sizes sum to n, shares sum to ~1e6 up to floor loss) with
+    purity in (0, 1e6] and a majority label that exists in the data."""
+    rows = catalog.queries()["cluster_balance"](spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    assert sum(r["n_vectors"] for r in rows) == n
+    share = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= share <= 1_000_000  # floor per row
+    for r in rows:
+        assert 0 < r["purity_ppm"] <= 1_000_000
+        assert r["majority_label"] in labels
+        assert r["n_vectors"] >= 1
