@@ -96,8 +96,10 @@ def main() -> int:
     # of one query can all land inside a single spike — spreading a query's
     # repeats across passes makes min-of-n actually reject localized noise
     # per-repeat times are KEPT and reported (VERDICT r5 "what's wrong" #3):
-    # a min that hides a 3× spread is a noise artifact, not an engine cost —
-    # the spread lets the reader judge which
+    # a min over repeats that span a 3× range could be steady-state engine
+    # cost sampled through noise spikes OR a lucky outlier — the published
+    # per-repeat spread lets the reader judge which, instead of trusting
+    # the min blindly
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(repeats):
         for name in HEADLINE:

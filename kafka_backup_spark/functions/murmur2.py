@@ -250,12 +250,14 @@ def kafka_partition_expr(
     Null keys yield null (callers overlay round-robin for those — see
     operators/repartition.py).
 
-    ``impl``: "jvm" (default — pure built-in expression fold, stays inside
-    whole-stage codegen, zero Python workers; the only shape that holds on a
-    1000-executor repartition) or "pandas" (Arrow-batched fallback for hosts
-    where the codegen'd fold misbehaves; needs the package importable on
-    executors). Both are bit-identical to the Kafka vectors
-    (tests/test_murmur2.py).
+    ``impl``: "pandas" (Arrow-batched numpy kernel — the THROUGHPUT path,
+    ~28× the fold at volume per SCALE.md; needs the package importable on
+    executors) or "jvm" (pure built-in expression fold, zero Python
+    dependency — the portability fallback).  Callers should normally go
+    through operators/repartition.py's ``impl="auto"``, which probes the
+    executors once per session and picks the kernel when it actually runs,
+    falling back to the fold otherwise.  Both are bit-identical to the
+    Kafka vectors (tests/test_murmur2.py).
     """
     h = murmur2_pandas_expr(col) if impl == "pandas" else murmur2_expr(col)
     return F.when(

@@ -189,7 +189,9 @@ def nearest_offsets_by_timestamp(
         dup = F.coalesce(
             (F.col("_is_map") == 0)
             & (prev["_is_map"] == 0)
-            & (prev["_ts"] == F.col("_ts")),
+            # null-SAFE equality: distinct() (the contract this replaces)
+            # treats NULL probe timestamps as equal, so dedup must too
+            & prev["_ts"].eqNullSafe(F.col("_ts")),
             F.lit(False),  # partition-first row: lag is NULL, keep the row
         )
         out = out.withColumn("_dup", dup).filter(

@@ -84,10 +84,7 @@ def small_inputs(sf_dir: str) -> bool:
     the task-launch overhead (~5 ms each on local mode, worse with real
     executor RPC) dominates the query.  Beyond the gate the inputs stream at
     their natural (data-proportional) parallelism."""
-    try:
-        return _dataset_bytes(f"{sf_dir}/events.parquet") <= _HOT_TABLE_MAX_BYTES
-    except OSError:
-        return False
+    return small_table(sf_dir, "events")
 
 
 # map-side width for small-gated metadata queries: enough slots to overlap

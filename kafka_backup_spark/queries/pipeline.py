@@ -1029,18 +1029,10 @@ SSN_RE = "[0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9][0-9][0-9]"
 CARD_RE = "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}"
 
 
-def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub: plant synthetic emails / phones / IPv4s / SSNs /
-    credit-card numbers (all derived from doc_id — deterministic on both
-    engines), then count and mask each class.  Planted cards carry a CORRECT
-    Luhn check digit (computed arithmetically from the variable digits —
-    pytest cross-validates with an independent Python Luhn implementation),
-    so a downstream Luhn-verifying detector would also fire on them.  Pure
-    map-side projection: regex match + replace never leaves whole-stage
-    codegen, zero shuffles — at 100 TB this is a single scan that emits the
-    scrubbed corpus."""
-    docs = _docs_hot(spark, sf_dir)
-    d = F.col("doc_id")
+def pii_planted_text(text, d) -> "F.Column":
+    """The five-class PII planting expression over (text, doc_id) columns —
+    shared by q_pii_redaction and the residue tests so the tests exercise
+    the PRODUCTION planting, not a copy that can drift."""
     email = F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))
     phone = F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0"))
     ip = F.concat(
@@ -1072,15 +1064,20 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.cast("string"),
         k.cast("string"),
     )
-    text2 = F.concat(
-        F.col("text"),
+    return F.concat(
+        text,
         F.when(d % 7 == 0, email).otherwise(F.lit("")),
         F.when(d % 11 == 0, phone).otherwise(F.lit("")),
         F.when(d % 13 == 0, ip).otherwise(F.lit("")),
         F.when(d % 17 == 0, ssn).otherwise(F.lit("")),
         F.when(d % 19 == 0, card).otherwise(F.lit("")),
     )
-    red = F.regexp_replace(
+
+
+def pii_redact(text2) -> "F.Column":
+    """The five-class redaction chain (cards → SSNs → emails → phones →
+    IPs; match sets are disjoint by construction, see the regex notes)."""
+    return F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(
                 F.regexp_replace(
@@ -1095,6 +1092,21 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         IP_RE,
         "<IP>",
     )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: plant synthetic emails / phones / IPv4s / SSNs /
+    credit-card numbers (all derived from doc_id — deterministic on both
+    engines), then count and mask each class.  Planted cards carry a CORRECT
+    Luhn check digit (computed arithmetically from the variable digits —
+    pytest cross-validates with an independent Python Luhn implementation),
+    so a downstream Luhn-verifying detector would also fire on them.  Pure
+    map-side projection: regex match + replace never leaves whole-stage
+    codegen, zero shuffles — at 100 TB this is a single scan that emits the
+    scrubbed corpus."""
+    docs = _docs_hot(spark, sf_dir)
+    text2 = pii_planted_text(F.col("text"), F.col("doc_id"))
+    red = pii_redact(text2)
     n = lambda rx: F.size(F.regexp_extract_all(text2, F.lit(rx), 0)).cast("long")  # noqa: E731
     return docs.select(
         "doc_id",

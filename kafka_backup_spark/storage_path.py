@@ -151,7 +151,9 @@ def resolve_cli_store(path: str) -> str:
 
 def apply_pending_conf(hconf, path: str | None = None) -> None:
     for root, conf in _PENDING_CONF.items():
-        if path is None or path.startswith(root):
+        # path-BOUNDARY prefix match: 's3a://data' must not claim
+        # 's3a://data-prod/...' — only the root itself or children under it
+        if path is None or path == root or path.startswith(root.rstrip("/") + "/"):
             for k, v in conf.items():
                 hconf.set(k, v)
 

@@ -105,68 +105,21 @@ def test_pii_planted_cards_are_luhn_valid(spark, sf_dir):
 
 def test_pii_redaction_masks_all_matches(spark, sf_dir):
     # after the full five-class redaction (cards, SSNs, emails, phones, IPs
-    # — the exact chain q_pii_redaction applies), NO pattern of ANY class
-    # may still match anywhere in the corpus
+    # — the PRODUCTION planting + redaction chain, imported so this can't
+    # drift from q_pii_redaction), NO pattern of ANY class may still match
+    # anywhere in the corpus
     from kafka_backup_spark.queries.pipeline import (
         CARD_RE,
         EMAIL_RE,
         IP_RE,
         PHONE_RE,
         SSN_RE,
+        pii_planted_text,
+        pii_redact,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    d = F.col("doc_id")
-    email = F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))
-    phone = F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0"))
-    ip = F.concat(
-        F.lit(" host 10.0."),
-        (d % 256).cast("string"),
-        F.lit("."),
-        ((d * 7) % 256).cast("string"),
-    )
-    ssn = F.concat(
-        F.lit(" ssn "),
-        (d % 400 + 100).cast("string"),
-        F.lit("-"),
-        F.lpad((d % 100).cast("string"), 2, "0"),
-        F.lit("-"),
-        F.lpad(((d * 31) % 10000).cast("string"), 4, "0"),
-    )
-    v = d % 1000
-    a, b, c = (v / 100).cast("long"), (v / 10).cast("long") % 10, v % 10
-    luhn2 = lambda x: F.when(x < 5, 2 * x).otherwise(2 * x - 9)  # noqa: E731
-    k = (10 - (luhn2(a) + b + luhn2(c)) % 10) % 10
-    card = F.concat(
-        F.lit(" card 4242 4242 4242 "),
-        a.cast("string"),
-        b.cast("string"),
-        c.cast("string"),
-        k.cast("string"),
-    )
-    text2 = F.concat(
-        F.col("text"),
-        F.when(d % 7 == 0, email).otherwise(F.lit("")),
-        F.when(d % 11 == 0, phone).otherwise(F.lit("")),
-        F.when(d % 13 == 0, ip).otherwise(F.lit("")),
-        F.when(d % 17 == 0, ssn).otherwise(F.lit("")),
-        F.when(d % 19 == 0, card).otherwise(F.lit("")),
-    )
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(text2, CARD_RE, "<CARD>"), SSN_RE, "<SSN>"
-                ),
-                EMAIL_RE,
-                "<EMAIL>",
-            ),
-            PHONE_RE,
-            "<PHONE>",
-        ),
-        IP_RE,
-        "<IP>",
-    )
+    red = pii_redact(pii_planted_text(F.col("text"), F.col("doc_id")))
     residue = docs.select(
         F.sum(F.size(F.regexp_extract_all(red, F.lit(EMAIL_RE), 0))).alias("n"),
         F.sum(F.size(F.regexp_extract_all(red, F.lit(PHONE_RE), 0))).alias("p"),

@@ -459,3 +459,36 @@ def test_resolve_cli_store_stashes_conf_for_metadata_io(monkeypatch):
     sp.apply_pending_conf(h)
     assert h.d["fs.s3a.access.key"] == "AK"
     sp._PENDING_CONF.clear()
+
+
+def test_pending_conf_respects_path_boundaries(monkeypatch):
+    """'s3a://data' conf must NOT apply to 's3a://data-prod/...' paths —
+    raw string-prefix matching would cross-contaminate sibling stores whose
+    names share a prefix."""
+    from kafka_backup_spark import storage_path as sp
+
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AK-A")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SK-A")
+    sp._PENDING_CONF.clear()
+    sp.resolve_cli_store("s3://data")
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AK-B")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SK-B")
+    sp.resolve_cli_store("s3://data-prod")
+
+    class FakeHConf:
+        def __init__(self):
+            self.d = {}
+
+        def set(self, k, v):
+            self.d[k] = v
+
+    h = FakeHConf()
+    sp.apply_pending_conf(h, "s3a://data-prod/manifest.json")
+    assert h.d["fs.s3a.access.key"] == "AK-B"  # only data-prod's creds
+    h2 = FakeHConf()
+    sp.apply_pending_conf(h2, "s3a://data/manifest.json")
+    assert h2.d["fs.s3a.access.key"] == "AK-A"
+    h3 = FakeHConf()
+    sp.apply_pending_conf(h3, "s3a://data")  # the root itself matches
+    assert h3.d["fs.s3a.access.key"] == "AK-A"
+    sp._PENDING_CONF.clear()
