@@ -1299,9 +1299,11 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes (one shuffle, map-side combinable) and the anti-join runs
     hash-partitioned on those 16-byte keys — the batch text never
     co-shuffles with the snapshot."""
-    docs = _docs_hot(spark, sf_dir).select(
-        "doc_id", "lang", "text"
-    )
+    # cold_table, not the pin: both sides stream every byte of `text`
+    # exactly once into md5 — same rationale as q_dedup_exact (r6)
+    from kafka_backup_spark.queries.common import cold_table
+
+    docs = cold_table(spark, sf_dir, "documents", "doc_id", "lang", "text")
     prior = docs.filter(F.col("doc_id") % 3 == 0)
     planted = prior.filter(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "lang", "text"

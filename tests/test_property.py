@@ -214,3 +214,45 @@ def test_fixed_point_money_parity_spark_vs_duckdb(spark, cents):
 
     rev = sum(Fraction(pc * (100 - dc), 10**4) for pc, dc, _ in cents)
     assert srow["rev"] == float(rev)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SET
+def test_lss_components_match_union_find(spark, edges):
+    """Large-star/small-star contraction equals a Python union-find on
+    arbitrary small graphs (self-loops dropped, duplicate edges allowed)."""
+    from kafka_backup_spark.queries import textops
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        (r["cluster_id"], r["n_members"], r["max_doc"])
+        for r in textops._components(spark, df, "prop_lss").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    expect = {(root, len(ms), max(ms)) for root, ms in comp.items()}
+    assert got == expect
