@@ -1777,6 +1777,73 @@ GROUP BY s.lang
 """
 
 
+# ── TPC-H Q13-shaped: customer order-count distribution ───────────────────
+# The one join shape the catalog lacked: LEFT OUTER with an ON-clause
+# filter on the NULL-side table (customers with zero surviving orders must
+# appear with c_count = 0 — pushing the priority filter into WHERE would
+# silently drop them), then a histogram over the group counts.  Identical
+# text runs on both engines.
+
+_Q13_BODY = """
+WITH c_orders AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q13_BODY)
+
+
+SQL_TPCH_Q13 = _Q13_BODY
+
+
+# ── TPC-H Q22-shaped: above-average balances with no urgent orders ────────
+# Scalar aggregate subquery (the comparison threshold) + correlated NOT
+# EXISTS anti-join.  The threshold is computed in fixed-point cents —
+# CAST(sum(BIGINT cents) AS DOUBLE)/count — so both engines derive the
+# identical double from identical integers and the boundary comparison
+# can't flip on float summation order.  (The fixture gives every customer
+# at least one order, so the anti-join is restricted to URGENT orders to
+# keep the result non-empty — the plan shape is Q22's regardless.)
+
+_Q22_BODY = """
+WITH cust AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+    FROM customer
+),
+thresh AS (
+    SELECT CAST(sum(bal_c) AS DOUBLE) / count(*) AS avg_c
+    FROM cust WHERE bal_c > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(bal_c) AS DOUBLE) / 100 AS totacctbal
+FROM cust
+WHERE bal_c > (SELECT avg_c FROM thresh)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = cust.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q22_BODY)
+
+
+SQL_TPCH_Q22 = _Q22_BODY
+
+
 # ── M10: duplicated-span fraction (exact substring dedup signal) ──────────
 # Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
 # Better") deduplicate EXACT repeated substrings, not just whole documents
@@ -1870,6 +1937,8 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "tpch_q10_returns": (q_tpch_q10, SQL_TPCH_Q10),
     "tpch_q18_large_orders": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q12_priority_lines": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q13_order_dist": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q22_dormant_balance": (q_tpch_q22, SQL_TPCH_Q22),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
