@@ -256,3 +256,97 @@ def test_lss_components_match_union_find(spark, edges):
         comp.setdefault(find(n), []).append(n)
     expect = {(root, len(ms), max(ms)) for root, ms in comp.items()}
     assert got == expect
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 3), st.integers(0, 80)),
+        max_size=40,
+    ),
+    probes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 80)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@SET
+def test_timestamp_asof_matches_python_reference(spark, pairs, probes):
+    """r6 running-frame rewrite of nearest_offsets_by_timestamp vs a direct
+    Python transliteration of the reference semantics (first pair with
+    timestamp >= T, min by (timestamp, source_offset); else the pair with
+    the greatest source offset; NULL when no pairs) on random mappings with
+    duplicate timestamps, shared offsets, and partitions with no pairs."""
+    from kafka_backup_spark.operators.asof import nearest_offsets_by_timestamp
+
+    # mapping: (source_offset, partition, timestamp); target = source + 1000
+    mapping_rows = [
+        (str("t"), p, so, so + 1000, ts) for so, p, ts in {(a, b, c) for a, b, c in pairs}
+    ]
+    probe_rows = [("t", p, ts) for p, ts in probes]
+    m = spark.createDataFrame(
+        mapping_rows or [("t", 99, 0, 1000, 0)],
+        "topic string, partition int, source_offset long, target_offset long, timestamp long",
+    )
+    pr = spark.createDataFrame(probe_rows, "topic string, partition int, probe_ts long")
+    got = {
+        (r["topic"], r["partition"], r["probe_ts"], r["source_offset"], r["target_offset"])
+        for r in nearest_offsets_by_timestamp(pr, m).collect()
+    }
+
+    by_part: dict[int, list] = {}
+    for t, p, so, tgt, ts in (mapping_rows or [("t", 99, 0, 1000, 0)]):
+        by_part.setdefault(p, []).append((ts, so, tgt))
+    expect = set()
+    for t, p, ts in probe_rows:
+        cand = sorted((x, s, g) for x, s, g in by_part.get(p, []) if x >= ts)
+        if cand:
+            x, s, g = cand[0]
+            expect.add((t, p, ts, s, g))
+        elif by_part.get(p):
+            x, s, g = max(by_part[p], key=lambda r: r[1])
+            expect.add((t, p, ts, s, g))
+        else:
+            expect.add((t, p, ts, None, None))
+    assert got == expect
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        max_size=40,
+    ),
+    probes=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@SET
+def test_offset_asof_matches_python_reference(spark, pairs, probes):
+    """lookup_target_offsets (no ranges) vs Python: greatest pair with
+    source_offset <= probe -> target + (probe - source); else NULL."""
+    from kafka_backup_spark.operators.asof import lookup_target_offsets
+
+    mapping_rows = [(str("t"), p, so, so * 7 + 3) for p, so in {(a, b) for a, b in pairs}]
+    probe_rows = [("t", p, so) for p, so in probes]
+    m = spark.createDataFrame(
+        mapping_rows or [("t", 99, 0, 3)],
+        "topic string, partition int, source_offset long, target_offset long",
+    )
+    pr = spark.createDataFrame(probe_rows, "topic string, partition int, source_offset long")
+    got = {
+        (r["topic"], r["partition"], r["source_offset"], r["target_offset"])
+        for r in lookup_target_offsets(pr, m).collect()
+    }
+    by_part: dict[int, list] = {}
+    for t, p, so, tgt in (mapping_rows or [("t", 99, 0, 3)]):
+        by_part.setdefault(p, []).append((so, tgt))
+    expect = set()
+    for t, p, x in probe_rows:
+        cand = [(s, g) for s, g in by_part.get(p, []) if s <= x]
+        if cand:
+            s, g = max(cand)
+            expect.add((t, p, x, g + (x - s)))
+        else:
+            expect.add((t, p, x, None))
+    assert expect == got
