@@ -499,3 +499,17 @@ def test_release_plan_cache_drops_tpch_view_memo(spark, sf_dir):
     assert not [k for k in pipeline._VIEWS if k[0] == app]
     # and the query still works after release (views re-register)
     assert catalog.queries()["tpch_q6_forecast"](spark, sf_dir).count() >= 0
+
+
+def test_compact_small_is_identity_beyond_the_gate(spark, sf_dir, monkeypatch):
+    """The metadata-query coalesce must vanish when the fact table exceeds
+    the pin gate — coalescing a real fact-table scan would cap its
+    parallelism at 100 TB."""
+    from kafka_backup_spark.queries import common
+
+    df = spark.range(100).repartition(16)
+    small = common.compact_small(df, sf_dir, parts=2)
+    assert small.rdd.getNumPartitions() == 2  # under the gate: coalesced
+    monkeypatch.setattr(common, "_HOT_TABLE_MAX_BYTES", 1)
+    big = common.compact_small(df, sf_dir, parts=2)
+    assert big is df  # beyond the gate: untouched
