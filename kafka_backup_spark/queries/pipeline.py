@@ -1299,8 +1299,14 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes (one shuffle, map-side combinable) and the anti-join runs
     hash-partitioned on those 16-byte keys — the batch text never
     co-shuffles with the snapshot."""
-    # cold_table, not the pin: both sides stream every byte of `text`
-    # exactly once into md5 — same rationale as q_dedup_exact (r6)
+    # cold_table, not the pin — with a caveat q_dedup_exact doesn't have:
+    # this frame feeds THREE subtrees (prior hashes, batch remainder,
+    # planted copies), so the cold path re-scans the pruned (doc_id, lang,
+    # text) projection up to three times where the pin would serve three
+    # cached reads.  Measured at sf0.1 (min-of-6 warm): cold 0.26-0.37 s vs
+    # pinned 0.35-0.40 s — three vectorized pruned scans still beat three
+    # deserialized passes over the wide pin, and the text payload stays out
+    # of executor storage.
     from kafka_backup_spark.queries.common import cold_table
 
     docs = cold_table(spark, sf_dir, "documents", "doc_id", "lang", "text")

@@ -259,12 +259,17 @@ def test_lss_components_match_union_find(spark, edges):
 
 
 @given(
+    # EDGE CASES BY CONSTRUCTION, not by luck (max_examples is small):
+    # mapping pairs live only in partitions 0-2 while probes also draw
+    # partition 3 → every example exercises the pair-less NULL path; the
+    # tiny timestamp range (0-15 over up-to-40 pairs) forces duplicate
+    # timestamps and probe-boundary ties in nearly every draw.
     pairs=st.lists(
-        st.tuples(st.integers(0, 50), st.integers(0, 3), st.integers(0, 80)),
+        st.tuples(st.integers(0, 50), st.integers(0, 2), st.integers(0, 15)),
         max_size=40,
     ),
     probes=st.lists(
-        st.tuples(st.integers(0, 3), st.integers(0, 80)),
+        st.tuples(st.integers(0, 3), st.integers(0, 15)),
         min_size=1,
         max_size=30,
     ),
@@ -311,12 +316,15 @@ def test_timestamp_asof_matches_python_reference(spark, pairs, probes):
 
 
 @given(
+    # same edge-by-construction shaping as the timestamp test: pairs only
+    # in partitions 0-2 (probes reach 3 → guaranteed NULL path), offsets in
+    # a small range so exact-match (delta 0) probes occur routinely
     pairs=st.lists(
-        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        st.tuples(st.integers(0, 2), st.integers(0, 25)),
         max_size=40,
     ),
     probes=st.lists(
-        st.tuples(st.integers(0, 3), st.integers(0, 100)),
+        st.tuples(st.integers(0, 3), st.integers(0, 25)),
         min_size=1,
         max_size=30,
     ),
