@@ -343,6 +343,38 @@ def cmd_metrics_runtime(args, _doc) -> int:
     return 0
 
 
+def cmd_catalog(args, _doc) -> int:
+    """Operator-catalog introspection: ``catalog list`` prints every
+    oracle-paired query with its driver-window position; ``catalog explain
+    --query NAME`` prints the formatted physical plan Catalyst chose for it
+    against ``--sf-dir`` — the plan-first audit loop SCALE.md's tables come
+    from, exposed as a CLI surface so an operator can check pushdown /
+    broadcast / exchange shape on their own data."""
+    from kafka_backup_spark import catalog as cat
+
+    names = list(cat.ALL_QUERIES)
+    if args.action == "list":
+        for i, n in enumerate(names):
+            window = "checked" if i < 50 else "tail"
+            oracle = "oracle" if cat.ALL_QUERIES[n][1] is not None else "rows-only"
+            print(f"{n:30s} {window:8s} {oracle}")
+        print(f"# {len(names)} queries; first 50 are driver-hash-checked")
+        return 0
+    if not args.query or args.query not in cat.ALL_QUERIES:
+        print(
+            f"catalog explain: unknown query {args.query!r} — run "
+            "`catalog list` for names",
+            file=sys.stderr,
+        )
+        return 2
+    from kafka_backup_spark.session import get_spark
+
+    spark = get_spark("catalog-explain")
+    df = cat.queries()[args.query](spark, args.sf_dir)
+    df.explain("formatted")
+    return 0
+
+
 def cmd_corpus(args, _doc) -> int:
     """Versioned corpus snapshots (pipeline extension — corpus_store.py):
     ``corpus add`` ingests a documents parquet as a new version keeping only
@@ -708,10 +740,11 @@ COMMANDS = {
     "config": cmd_config,
     "metrics-runtime": cmd_metrics_runtime,
     "corpus": cmd_corpus,
+    "catalog": cmd_catalog,
 }
 
 # commands that inspect local files only — no segment/manifest store needed
-_NO_STORE = {"config"}
+_NO_STORE = {"config", "catalog"}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -747,6 +780,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sasl-kerberos-service-name", help="GSSAPI: broker service name (default kafka)")
     ap.add_argument("--near-dedup", action="store_true",
                     help="corpus add: also drop LSH band-matches of any stored doc (persistent signature index)")
+    ap.add_argument("--query", help="catalog explain: catalog query name")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="catalog explain: parquet table directory to plan against")
     args = ap.parse_args(argv)
 
     if args.command == "offset-reset" and args.action not in {"plan", "script", "execute", "bulk"}:
@@ -757,6 +793,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("snapshot-groups requires an action: capture | show")
     if args.command == "corpus" and args.action not in {"add", "list", "stats"}:
         ap.error("corpus requires an action: add | list | stats")
+    if args.command == "catalog" and args.action not in {"list", "explain"}:
+        ap.error("catalog requires an action: list | explain")
     if args.command == "config":
         if args.action not in {"show", "validate"}:
             ap.error("config requires an action: show | validate")

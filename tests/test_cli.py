@@ -482,3 +482,16 @@ def test_cli_corpus_stats(spark, capsys, sf_dir, tmp_path):
     out = run(capsys, ["corpus", "stats", "--store", root])
     assert sum(r["n_docs"] for r in out["stats"]) == 30
     assert all(r["version"] == 0 and r["n_chars"] > 0 for r in out["stats"])
+
+
+def test_catalog_list_and_explain(capsys, spark):
+    rc = main(["catalog", "list"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "pitr_window" in out and "checked" in out and "tail" in out
+    assert "driver-hash-checked" in out
+    rc = main(["catalog", "explain", "--query", "pitr_window",
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    assert "Physical Plan" in capsys.readouterr().out
+    assert main(["catalog", "explain", "--query", "nope"]) == 2
