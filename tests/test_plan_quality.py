@@ -513,3 +513,27 @@ def test_compact_small_is_identity_beyond_the_gate(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(common, "_HOT_TABLE_MAX_BYTES", 1)
     big = common.compact_small(df, sf_dir, parts=2)
     assert big is df  # beyond the gate: untouched
+
+
+def test_all_catalog_plans_are_hygienic(spark):
+    """Blanket guard over EVERY catalog query's optimized plan: no
+    row-at-a-time Python (BatchEvalPython) anywhere, and no cartesian /
+    cross joins outside the documented brute-force baselines.
+
+    cosine_topk is the one allowed cartesian: it is the deliberate
+    all-pairs recall baseline for ivf_topk (probes × corpus with a fixed
+    tiny probe set), kept brute-force so the approximate path has an exact
+    yardstick — SCALE.md documents it as non-scale-path."""
+    allowed_cartesian = {"cosine_topk"}
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in catalog.queries().items():
+        plan = _optimized(fn(spark, sf))
+        flags = []
+        if "BatchEvalPython" in plan:
+            flags.append("row-python")
+        if ("Join Cross" in plan or "CartesianProduct" in plan) and name not in allowed_cartesian:
+            flags.append("cartesian")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
