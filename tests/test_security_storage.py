@@ -223,6 +223,13 @@ def test_native_abfss_uri_passes_through(monkeypatch):
     uri, conf = resolve_storage_path(native)
     assert uri == native
     assert conf["fs.azure.account.key.myacct.dfs.core.windows.net"] == "ZK"
+    # sovereign-cloud suffixes keep their REAL host in the conf key — a
+    # hardcoded .dfs.core.windows.net key would silently never match and
+    # auth would fall through (ADVICE r5)
+    sov = "abfss://data@cnacct.dfs.core.chinacloudapi.cn/backups"
+    uri2, conf2 = resolve_storage_path(sov)
+    assert uri2 == sov
+    assert conf2["fs.azure.account.key.cnacct.dfs.core.chinacloudapi.cn"] == "ZK"
 
 
 def test_file_memory_and_unknown_schemes():
