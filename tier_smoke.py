@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 QUERIES = ["dedup_exact", "simhash", "minhash_signatures", "lsh_candidates",
-           "near_dup_pipeline", "text_analysis"]
+           "near_dup_pipeline", "text_analysis", "dup_span_fraction"]
 # metadata/as-of family (VERDICT r5 #7): these read the EVENTS-derived
 # record stream + offset mapping, so the events table is amplified too —
 # per-partition mapping depth grows with the tier, which is exactly what
