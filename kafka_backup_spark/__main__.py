@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from kafka_backup_spark import config as cfgmod
@@ -364,6 +365,15 @@ def cmd_catalog(args, _doc) -> int:
         print(
             f"catalog explain: unknown query {args.query!r} — run "
             "`catalog list` for names",
+            file=sys.stderr,
+        )
+        return 2
+    if not args.sf_dir:
+        # a usage message, not an opaque parquet-read stack on whatever a
+        # hardcoded default would point at on this host (ADVICE r6)
+        print(
+            "catalog explain: --sf-dir is required (or set $SPARK_GRAFT_SF_DIR)"
+            " — a directory holding the parquet tables to plan against",
             file=sys.stderr,
         )
         return 2
@@ -781,8 +791,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--near-dedup", action="store_true",
                     help="corpus add: also drop LSH band-matches of any stored doc (persistent signature index)")
     ap.add_argument("--query", help="catalog explain: catalog query name")
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001",
-                    help="catalog explain: parquet table directory to plan against")
+    # no machine-specific absolute default (ADVICE r6): on another host that
+    # path silently points nowhere and dies with an opaque parquet error.
+    # Env var fallback keeps the driver/test harness one-liner working.
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR"),
+                    help="catalog explain: parquet table directory to plan against "
+                         "(default: $SPARK_GRAFT_SF_DIR; required if unset)")
     args = ap.parse_args(argv)
 
     if args.command == "offset-reset" and args.action not in {"plan", "script", "execute", "bulk"}:

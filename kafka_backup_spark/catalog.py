@@ -28,16 +28,12 @@ _MERGED: dict[str, tuple] = {
 # text_analysis / fingerprints entries reproduce verbatim.
 _CHECKED_LLM = [
     "dedup_exact",
-    "dedup_keep_best",
-    "stratified_sample",
     "contamination_check",
     "minhash_signatures",
     "lsh_candidates",
     "near_dup_pipeline",
     "simhash",
-    "fingerprints",
     "text_analysis",
-    "multimodal_meta",  # lang_stats yields its slot: text_analysis carries lang
     "embedding_near_dup",
     "ivf_topk",
     # M8 training-pipeline five, driver-gated per VERDICT r3 #2:
@@ -58,6 +54,12 @@ _CHECKED_LLM = [
     "token_budget_selection",
     "quality_quantile_filter",
     "embedding_dup_clusters",
+    # M10 + r6 join shapes, driver-gated per VERDICT r6 #1 (the four entries
+    # that had never produced a green driver row):
+    "dup_span_fraction",  # Lee et al. exact-substring dedup signal
+    "cluster_balance",  # semantic cluster-balance over the shared IVF index
+    "tpch_q13_order_dist",  # LEFT OUTER with ON-clause filter + histogram
+    "tpch_q22_dormant_balance",  # scalar subquery + correlated NOT EXISTS
 ]
 # past-the-window by choice: redundant with a checked entry's semantics.
 # Displaced in r3 for the three pipeline staples (VERDICT r2 #2):
@@ -103,6 +105,17 @@ _BEYOND_WINDOW = {
     #   validation_message_count; composed result still gated by
     #   validation_summary
     "consumer_group_check",  # A6 composed into checked validation_summary
+    # Displaced in r7 for the four never-driver-checked r6 entries
+    # (VERDICT r6 #1).  Each has ≥1 historical green CORRECTNESS row
+    # (r1-r6) and a checked twin that keeps its shape gated:
+    "fingerprints",  # consolidated twin of tail kgram_fingerprint /
+    #   doc_fingerprint; winnowing k-gram path shuffle-free, pytest-pinned
+    "dedup_keep_best",  # packed-bigint min agg twin of checked dedup_exact;
+    #   keep-best tie-break pytest-pinned
+    "stratified_sample",  # zero-shuffle hash-mod; independent Python
+    #   cross-check in tests; shares the md5-bucket path with dedup_exact
+    "multimodal_meta",  # mapInPandas shape shared with the checked ANN
+    #   kernels; schema/batch plumbing pytest-pinned in test_multimodal.py
 }
 _FIRST = [
     *(n for n in CORE_QUERIES if n not in _BEYOND_WINDOW),

@@ -65,10 +65,17 @@ def lookup_target_offsets(
         u = p
 
     # mapping rows sort before probe rows at equal offset so an exact match is
-    # the nearest-≤ pair with delta 0 — same arithmetic path as extrapolation
+    # the nearest-≤ pair with delta 0 — same arithmetic path as extrapolation.
+    # _map_target closes the order over duplicate-source mapping rows
+    # (ADVICE r6): the running `last` then deterministically yields the max
+    # target among ties instead of arbitrary row order.
     w = (
         Window.partitionBy(*KEYS)
-        .orderBy(F.col("_so").asc(), F.col("_is_map").desc())
+        .orderBy(
+            F.col("_so").asc(),
+            F.col("_is_map").desc(),
+            F.col("_map_target").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     near_src = F.last(F.when(F.col("_is_map") == 1, F.col("_so")), ignorenulls=True).over(w)
@@ -167,8 +174,25 @@ def nearest_offsets_by_timestamp(
         F.col("target_offset").alias("_tgt"),
     )
     u = p.unionByName(m)
-    desc_order = [F.col("_ts").desc(), F.col("_is_map").desc(), F.col("_so").desc()]
-    asc_order = [F.col("_ts").asc(), F.col("_is_map").asc(), F.col("_so").asc()]
+    # _tgt participates in both sort orders so the ordering is TOTAL over
+    # mapping rows (ADVICE r6): two pairs sharing (topic, partition,
+    # timestamp, source_offset) would otherwise make the running `last` —
+    # and the driver hash — flip run-to-run.  Reference mappings keep
+    # source_offset unique per partition (manifest.rs builds them from a
+    # scan), so the tie-break is defensive, but determinism shouldn't rest
+    # on an undeclared invariant.
+    desc_order = [
+        F.col("_ts").desc(),
+        F.col("_is_map").desc(),
+        F.col("_so").desc(),
+        F.col("_tgt").desc(),
+    ]
+    asc_order = [
+        F.col("_ts").asc(),
+        F.col("_is_map").asc(),
+        F.col("_so").asc(),
+        F.col("_tgt").asc(),
+    ]
     w_desc = (
         Window.partitionBy(*KEYS).orderBy(*desc_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -180,7 +204,12 @@ def nearest_offsets_by_timestamp(
     pair = F.struct(F.col("_so").alias("source_offset"), F.col("_tgt").alias("target_offset"))
     map_pair = F.when(F.col("_is_map") == 1, pair)
     first_ge = F.last(map_pair, ignorenulls=True).over(w_desc)
-    last_pair = F.max_by(pair, F.when(F.col("_is_map") == 1, F.col("_so"))).over(w_asc)
+    # struct key makes the argmax total: ties on _so resolve by _tgt instead
+    # of arbitrary row order (ADVICE r6) — mirrors the oracle's composite
+    # ORDER BY so both engines pick the identical pair
+    last_pair = F.max_by(
+        pair, F.when(F.col("_is_map") == 1, F.struct(F.col("_so"), F.col("_tgt")))
+    ).over(w_asc)
     out = u.withColumn("_pick", F.coalesce(first_ge, last_pair))
     if dedup_probes:
         prev = F.lag(F.struct("_ts", "_is_map")).over(

@@ -51,20 +51,31 @@ _KERNEL_PROBE: dict[str, bool] = {}
 
 def pandas_kernel_available(spark) -> bool:
     """True when the Arrow-batched murmur2 kernel actually RUNS on this
-    session's executors — probed ONCE per session by executing it on a
-    single row (an import check on the driver can't see executor
-    environments; the probe catches missing numpy/pandas/pyarrow AND a
-    missing package on the executor PYTHONPATH in one shot).  Any probe
-    failure falls back to the pure-JVM fold, so portability never regresses
-    — SCALE.md measures the kernel at ~28× the fold at volume, which is why
-    it is worth one ~100 ms probe job per session."""
+    session's executors — probed ONCE per session (an import check on the
+    driver can't see executor environments; the probe catches missing
+    numpy/pandas/pyarrow AND a missing package on the executor PYTHONPATH
+    in one shot).  The probe job is sized to ``defaultParallelism`` and
+    repartitioned so one task lands on every live task slot — a single-row
+    probe would only certify ONE executor and mis-select the kernel on a
+    heterogeneous cluster (ADVICE r6).  Any probe failure falls back to the
+    pure-JVM fold, so portability never regresses — SCALE.md measures the
+    kernel at ~28× the fold at volume, which is why it is worth one probe
+    job per session.
+
+    Caveat (documented, not detectable here): ``impl="auto"`` assumes the
+    executor environment stays homogeneous for the session.  With dynamic
+    allocation, executors added AFTER the probe are not certified; on
+    clusters where Python deps differ per node, pass ``impl="jvm"``
+    explicitly — the fold needs nothing but the JVM."""
     app = spark.sparkContext.applicationId
     if app not in _KERNEL_PROBE:
         for k in [k for k in _KERNEL_PROBE if k != app]:
             _KERNEL_PROBE.pop(k, None)  # dead sessions
         try:
-            row = (
-                spark.range(1)
+            dp = max(1, spark.sparkContext.defaultParallelism)
+            rows = (
+                spark.range(dp)
+                .repartition(dp)
                 .select(
                     kafka_partition_expr(
                         F.lit(b"probe"), 4, impl="pandas"
@@ -72,7 +83,9 @@ def pandas_kernel_available(spark) -> bool:
                 )
                 .collect()
             )
-            _KERNEL_PROBE[app] = row[0]["p"] is not None
+            _KERNEL_PROBE[app] = len(rows) == dp and all(
+                r["p"] is not None for r in rows
+            )
         except Exception:
             _KERNEL_PROBE[app] = False
     return _KERNEL_PROBE[app]

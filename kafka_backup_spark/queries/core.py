@@ -408,7 +408,10 @@ first_ge AS (
         SELECT p.topic, p."partition", p.probe_ts, m.source_offset, m.target_offset,
                row_number() OVER (
                    PARTITION BY p.topic, p."partition", p.probe_ts
-                   ORDER BY m."timestamp", m.source_offset
+                   -- target_offset makes the order TOTAL (ADVICE r6): ties
+                   -- on (timestamp, source_offset) must pick the same pair
+                   -- as the Spark side's _tgt-extended sort
+                   ORDER BY m."timestamp", m.source_offset, m.target_offset
                ) AS rn
         FROM probes p
         JOIN mapping m ON p.topic = m.topic AND p."partition" = m."partition"
@@ -416,10 +419,14 @@ first_ge AS (
     ) WHERE rn = 1
 ),
 last_pair AS (
-    SELECT topic, "partition",
-           arg_max(source_offset, source_offset) AS source_offset,
-           arg_max(target_offset, source_offset) AS target_offset
-    FROM mapping GROUP BY topic, "partition"
+    SELECT topic, "partition", source_offset, target_offset FROM (
+        SELECT topic, "partition", source_offset, target_offset,
+               row_number() OVER (
+                   PARTITION BY topic, "partition"
+                   ORDER BY source_offset DESC, target_offset DESC
+               ) AS rn
+        FROM mapping
+    ) WHERE rn = 1
 )
 SELECT p.topic, p."partition", p.probe_ts,
        coalesce(f.source_offset, l.source_offset) AS source_offset,

@@ -45,19 +45,31 @@ def resolve_storage_path(path: str) -> tuple[str, dict[str, str]]:
             raise StoragePathError(f"S3 URL {path!r} has no bucket")
         prefix = u.path.strip("/")
         conf: dict[str, str] = {}
+        # BUCKET-SCOPED keys (fs.s3a.bucket.<bucket>.<opt> — ADVICE r6): the
+        # s3a connector rewrites these onto the base fs.s3a.* namespace when
+        # it instantiates the FileSystem for THIS bucket, and Hadoop's FS
+        # cache keys instances by (scheme, authority) = the bucket — so two
+        # s3a stores with different endpoints/credentials in one process
+        # genuinely isolate, which global fs.s3a.* keys cannot do (a cached
+        # FS built under store A's creds keeps serving after store B's conf
+        # lands).  Azure keys are already per-account-host; GCS has no
+        # per-bucket spelling — see the gs arm's single-keyfile note.
+        def _bk(opt: str) -> str:
+            return f"fs.s3a.bucket.{bucket}.{opt}"
+
         if "region" in q:
-            conf["fs.s3a.endpoint.region"] = q["region"]
+            conf[_bk("endpoint.region")] = q["region"]
         if "endpoint" in q:
-            conf["fs.s3a.endpoint"] = q["endpoint"]
+            conf[_bk("endpoint")] = q["endpoint"]
         if q.get("path_style") == "true":
-            conf["fs.s3a.path.style.access"] = "true"
+            conf[_bk("path.style.access")] = "true"
         # env-credential fallback mirrors config.rs:150-151; the s3a default
         # chain reads the same variables, set explicitly only if present so
         # IAM-role/instance-profile chains still work when unset
         if os.environ.get("AWS_ACCESS_KEY_ID"):
-            conf["fs.s3a.access.key"] = os.environ["AWS_ACCESS_KEY_ID"]
+            conf[_bk("access.key")] = os.environ["AWS_ACCESS_KEY_ID"]
         if os.environ.get("AWS_SECRET_ACCESS_KEY"):
-            conf["fs.s3a.secret.key"] = os.environ["AWS_SECRET_ACCESS_KEY"]
+            conf[_bk("secret.key")] = os.environ["AWS_SECRET_ACCESS_KEY"]
         uri = f"s3a://{bucket}" + (f"/{prefix}" if prefix else "")
         return uri, conf
     if scheme == "abfss" and "@" in u.netloc:
@@ -97,6 +109,10 @@ def resolve_storage_path(path: str) -> tuple[str, dict[str, str]]:
         if not bucket:
             raise StoragePathError(f"GCS URL {path!r} has no bucket")
         conf = {}
+        # the GCS connector has no per-bucket conf namespace: this keyfile is
+        # process-global, so two gs:// stores needing DIFFERENT service
+        # accounts cannot coexist in one process (single-store-per-process
+        # limitation, documented; s3a/abfss stores are scoped and unaffected)
         if os.environ.get("GOOGLE_APPLICATION_CREDENTIALS"):
             conf["fs.gs.auth.service.account.json.keyfile"] = os.environ[
                 "GOOGLE_APPLICATION_CREDENTIALS"

@@ -128,3 +128,36 @@ def test_interpolation_matches_reference_float_semantics(spark):
         want = 5000 + int(pos * 22.0)
         assert got[so] == want, (so, got[so], want)
     assert got[15] == 5014  # the truncation case an integer formula would miss
+
+
+def test_duplicate_source_offset_ties_are_deterministic(spark):
+    """ADVICE r6: a detailed mapping carrying two pairs at the same (topic,
+    partition, source_offset) must resolve to ONE deterministic pair on
+    every run — the total ordering picks the max target_offset, never
+    arbitrary row order (which can flip across runs/engines and break
+    driver hash checks)."""
+    dup = spark.createDataFrame(
+        [
+            ("t", 0, 10, 7000, 1700000000000),
+            ("t", 0, 10, 7009, 1700000000000),  # same source AND timestamp
+        ],
+        "topic string, partition int, source_offset long, target_offset long, timestamp long",
+    )
+    # J1: nearest-≤ pair at probe 12 → delta 2 off the max-target twin
+    for _ in range(3):
+        got = _lookup(spark, [("t", 0, 12)], dup)
+        assert got[("t", 0, 12)] == 7009 + 2
+
+    # J2: both the first-≥ branch (probe before the pair) and the last-pair
+    # fallback (probe after) must land on a fixed twin.  first-≥ takes the
+    # MIN (timestamp, source_offset, target_offset) → 7000; the fallback
+    # takes the MAX → 7009 — mirrored exactly in SQL_TIMESTAMP_ASOF.
+    probes = spark.createDataFrame(
+        [("t", 0, 1699999999000), ("t", 0, 1800000000000)],
+        "topic string, partition int, probe_ts long",
+    )
+    for _ in range(3):
+        out = nearest_offsets_by_timestamp(probes, dup)
+        got = {r["probe_ts"]: (r["source_offset"], r["target_offset"]) for r in out.collect()}
+        assert got[1699999999000] == (10, 7000)
+        assert got[1800000000000] == (10, 7009)

@@ -1,0 +1,61 @@
+"""Contract tests for bench.py's driver-facing output.
+
+Round 6 lost its machine-readable bench artifact because the per-repeat
+spreads grew the single output line past the driver's stdout tail capture
+(`BENCH_r06.json` "parsed": null).  These tests pin the r7 fix: the FINAL
+stdout line is a compact summary with a bounded key set, spreads travel on
+an earlier line / side file, and every headline name resolves in the
+catalog (with a DuckDB oracle twin, so oracle_bench.py covers it too).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+from kafka_backup_spark import catalog
+
+
+def test_headline_names_all_resolve_with_oracles():
+    sqls = catalog.oracle_sql()
+    missing = [n for n in bench.HEADLINE if n not in catalog.ALL_QUERIES]
+    assert not missing, f"headline names absent from catalog: {missing}"
+    no_oracle = [n for n in bench.HEADLINE if sqls.get(n) is None]
+    assert not no_oracle, f"headline names without a DuckDB oracle: {no_oracle}"
+
+
+def test_headline_includes_r6_operators():
+    for name in (
+        "dup_span_fraction",
+        "cluster_balance",
+        "tpch_q13_order_dist",
+        "tpch_q22_dormant_balance",
+    ):
+        assert name in bench.HEADLINE
+
+
+def test_summary_line_is_compact_and_spread_free():
+    timings = {n: 0.1 for n in bench.HEADLINE}
+    spreads = {n: [0.5, 0.2, 0.1, 0.15, 0.12] for n in bench.HEADLINE}
+    spread_doc, summary_doc = bench.build_output(timings, spreads, 0.03, 0.1, 5)
+
+    # the summary must never carry the per-repeat spreads, and its key set
+    # is pinned so a future addition consciously re-checks the size budget
+    assert "repeat_times" not in summary_doc
+    assert set(summary_doc) == {
+        "metric", "value", "unit", "queries", "sf", "repeats",
+        "noop_floor_sec", "net_total_sec",
+    }
+    # the driver's tail buffer is finite; with ~33 queries the compact line
+    # must stay well under 4 KiB (observed r6 failure: ~3.5 KiB of spreads
+    # pushed the combined line past the capture)
+    assert len(json.dumps(summary_doc)) < 4096
+
+    assert spread_doc["repeat_times"] == spreads
+    assert summary_doc["value"] == round(sum(timings.values()), 3)
+    assert summary_doc["net_total_sec"] == round(
+        sum(max(t - 0.03, 0.0) for t in timings.values()), 3
+    )

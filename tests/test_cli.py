@@ -495,3 +495,13 @@ def test_catalog_list_and_explain(capsys, spark):
     assert rc == 0
     assert "Physical Plan" in capsys.readouterr().out
     assert main(["catalog", "explain", "--query", "nope"]) == 2
+
+
+def test_catalog_explain_requires_sf_dir(capsys, monkeypatch):
+    """ADVICE r6: no machine-specific default — omitting --sf-dir without
+    $SPARK_GRAFT_SF_DIR must be a clean usage error, not an opaque parquet
+    stack from a nonexistent hardcoded path."""
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR", raising=False)
+    rc = main(["catalog", "explain", "--query", "pitr_window"])
+    assert rc == 2
+    assert "--sf-dir" in capsys.readouterr().err

@@ -188,18 +188,39 @@ def test_s3_url_grammar(monkeypatch):
         "s3://my-bucket/backups/prod?region=us-west-2&endpoint=http://minio:9000&path_style=true"
     )
     assert uri == "s3a://my-bucket/backups/prod"
-    assert conf["fs.s3a.endpoint.region"] == "us-west-2"
-    assert conf["fs.s3a.endpoint"] == "http://minio:9000"
-    assert conf["fs.s3a.path.style.access"] == "true"
-    assert conf["fs.s3a.access.key"] == "AK"
-    assert conf["fs.s3a.secret.key"] == "SK"
+    # bucket-scoped keys (ADVICE r6): global fs.s3a.* keys cross-contaminate
+    # same-provider stores through the shared hadoopConfiguration and the
+    # (scheme, authority)-keyed FileSystem cache
+    b = "fs.s3a.bucket.my-bucket"
+    assert conf[f"{b}.endpoint.region"] == "us-west-2"
+    assert conf[f"{b}.endpoint"] == "http://minio:9000"
+    assert conf[f"{b}.path.style.access"] == "true"
+    assert conf[f"{b}.access.key"] == "AK"
+    assert conf[f"{b}.secret.key"] == "SK"
+    assert not any(k.startswith("fs.s3a.") and ".bucket." not in k for k in conf)
 
 
 def test_s3_without_env_leaves_default_credential_chain(monkeypatch):
     monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
     monkeypatch.delenv("AWS_SECRET_ACCESS_KEY", raising=False)
     _, conf = resolve_storage_path("s3://b")
-    assert "fs.s3a.access.key" not in conf
+    assert not any(k.endswith(".access.key") for k in conf)
+
+
+def test_two_s3_stores_do_not_share_credentials(monkeypatch):
+    """Two buckets resolved in one process emit DISJOINT conf keys, so
+    applying both to one shared hadoopConfiguration cannot cross-assign
+    credentials (the ADVICE r6 contamination scenario)."""
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AK-1")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SK-1")
+    _, conf_a = resolve_storage_path("s3://alpha?endpoint=http://minio-a:9000")
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "AK-2")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "SK-2")
+    _, conf_b = resolve_storage_path("s3://beta?endpoint=http://minio-b:9000")
+    assert not set(conf_a) & set(conf_b)
+    merged = {**conf_a, **conf_b}
+    assert merged["fs.s3a.bucket.alpha.access.key"] == "AK-1"
+    assert merged["fs.s3a.bucket.beta.access.key"] == "AK-2"
 
 
 def test_azure_and_gcs_urls(monkeypatch):
@@ -464,7 +485,7 @@ def test_resolve_cli_store_stashes_conf_for_metadata_io(monkeypatch):
 
     h = FakeHConf()
     sp.apply_pending_conf(h)
-    assert h.d["fs.s3a.access.key"] == "AK"
+    assert h.d["fs.s3a.bucket.bucket.access.key"] == "AK"
     sp._PENDING_CONF.clear()
 
 
@@ -491,11 +512,15 @@ def test_pending_conf_respects_path_boundaries(monkeypatch):
 
     h = FakeHConf()
     sp.apply_pending_conf(h, "s3a://data-prod/manifest.json")
-    assert h.d["fs.s3a.access.key"] == "AK-B"  # only data-prod's creds
+    # bucket-scoped keys (ADVICE r6): only data-prod's creds, under its own
+    # bucket namespace — data's keys must not even be SET for this path
+    assert h.d["fs.s3a.bucket.data-prod.access.key"] == "AK-B"
+    assert "fs.s3a.bucket.data.access.key" not in h.d
     h2 = FakeHConf()
     sp.apply_pending_conf(h2, "s3a://data/manifest.json")
-    assert h2.d["fs.s3a.access.key"] == "AK-A"
+    assert h2.d["fs.s3a.bucket.data.access.key"] == "AK-A"
+    assert "fs.s3a.bucket.data-prod.access.key" not in h2.d
     h3 = FakeHConf()
     sp.apply_pending_conf(h3, "s3a://data")  # the root itself matches
-    assert h3.d["fs.s3a.access.key"] == "AK-A"
+    assert h3.d["fs.s3a.bucket.data.access.key"] == "AK-A"
     sp._PENDING_CONF.clear()
