@@ -44,6 +44,21 @@ _SPREAD_BYTES_PER_PART = 512 << 10  # ~0.5 MB of source parquet per pinned parti
 # keeps sf0.1 fixtures at the floor of 8 while the amplified tiers climb
 # back toward full parallelism.  TPC-H consumption stays capped by
 # _VIEW_PARTS regardless.)
+#
+# Both this and COMPACT_PARTS were tuned on local[32]; on a real cluster the
+# right values depend on executor count and RPC cost, so both read from
+# spark.conf with the local-mode value as the default (VERDICT r6 #6):
+#   spark.kafkaBackupSpark.spreadBytesPerPart   (bytes per pinned partition)
+#   spark.kafkaBackupSpark.compactParts         (map width for small inputs)
+# SCALE.md "Session tuning knobs" records the sizing guidance.
+
+
+def _conf_int(spark: SparkSession, key: str, default: int) -> int:
+    try:
+        v = int(spark.conf.get(key, str(default)))
+        return v if v > 0 else default
+    except (TypeError, ValueError):
+        return default
 
 
 def spread_parts(spark: SparkSession, nbytes: int) -> int:
@@ -53,7 +68,8 @@ def spread_parts(spark: SparkSession, nbytes: int) -> int:
     consulted UNDER the pin gate — streamed tables keep their scan splits —
     so the constant tunes small-input overhead, not cluster scans."""
     dp = spark.sparkContext.defaultParallelism
-    want = (nbytes + _SPREAD_BYTES_PER_PART - 1) // _SPREAD_BYTES_PER_PART
+    bpp = _conf_int(spark, "spark.kafkaBackupSpark.spreadBytesPerPart", _SPREAD_BYTES_PER_PART)
+    want = (nbytes + bpp - 1) // bpp
     return min(dp, max(8, int(want)))
 
 # ── Spark side ────────────────────────────────────────────────────────────
@@ -89,13 +105,20 @@ def small_inputs(sf_dir: str) -> bool:
 
 # map-side width for small-gated metadata queries: enough slots to overlap
 # task startup, few enough that scheduling doesn't dominate (measured on the
-# as-of family: 32→8 map tasks ≈ 2× end-to-end at sf0.1)
+# as-of family: 32→8 map tasks ≈ 2× end-to-end at sf0.1).  Conf-overridable
+# per session — see the knob comment at _SPREAD_BYTES_PER_PART.
 COMPACT_PARTS = 8
 
 
-def compact_small(df: DataFrame, sf_dir: str, parts: int = COMPACT_PARTS) -> DataFrame:
+def compact_small(df: DataFrame, sf_dir: str, parts: int | None = None) -> DataFrame:
     """Narrow coalesce for small-gated inputs; identity at scale."""
-    return df.coalesce(parts) if small_inputs(sf_dir) else df
+    if not small_inputs(sf_dir):
+        return df
+    if parts is None:
+        parts = _conf_int(
+            df.sparkSession, "spark.kafkaBackupSpark.compactParts", COMPACT_PARTS
+        )
+    return df.coalesce(parts)
 
 
 def records_df(spark: SparkSession, sf_dir: str) -> DataFrame:

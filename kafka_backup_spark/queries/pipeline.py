@@ -1931,6 +1931,154 @@ GROUP BY doc_id
 SQL_DUP_SPAN_FRACTION = _dup_span_sql()
 
 
+# ── M10b: duplicated-span EXTENTS + excision proof (VERDICT r6 #4) ────────
+# dup_span_fraction reports the Lee et al. 2022 signal; the actual pipeline
+# REMOVES the spans.  This operator upgrades the signal to actionable
+# output: per-doc merged span extents (adjacent/overlapping colliding
+# windows coalesced via a gaps-and-islands pass — window j merges into a
+# run when j ≤ prev_window + SPAN_LEN, i.e. the covered char ranges touch)
+# plus a `clean_hash` of the text with those extents excised, proving the
+# excision byte-for-byte against the DuckDB oracle.  Shape: the same two
+# uniform hash-keyed shuffles as dup_span_fraction, one bounded per-doc
+# window pass (≤ len/STRIDE rows per doc), one doc_id join back to the
+# corpus — no UDFs, no driver loops; survives 100 TB.
+
+
+def q_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_backup_spark.functions.hashing import fast_hash64
+
+    c = _corpus(spark, sf_dir).filter(F.length("text") >= SPAN_LEN)
+    wins = c.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (SPAN_LEN - 1), F.lit(SPAN_STRIDE))
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        "i",
+        fast_hash64(F.expr(f"substring(text, i, {SPAN_LEN})")).alias("h"),
+    )
+    # cross-document collision frequency over per-doc-distinct hashes (a doc
+    # repeating its own span must not count as duplication by itself) — but
+    # every POSITION of a cross-doc span inside a doc is a duplicated extent
+    dh = wins.select("doc_id", "h").distinct()
+    freq = dh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    dupw = wins.join(freq.filter(F.col("nd") > 1), "h").select("doc_id", "i")
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # islands: a window starts a new run unless its covered chars touch the
+    # previous window's (i - prev ≤ SPAN_LEN); lag NULL → new run
+    brk = F.when(F.col("i") - F.lag("i").over(w) <= SPAN_LEN, F.lit(0)).otherwise(F.lit(1))
+    spans = (
+        dupw.withColumn("brk", brk)
+        .withColumn("g", F.sum("brk").over(run))
+        .groupBy("doc_id", "g")
+        .agg(F.min("i").alias("s"), (F.max("i") + SPAN_LEN - 1).alias("e"))
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_chars"),
+        # spans are disjoint, so sorting starts and ends independently keeps
+        # them pairwise aligned — no struct sort needed on either engine
+        F.sort_array(F.collect_list("s")).alias("ss"),
+        F.sort_array(F.collect_list("e")).alias("ee"),
+    )
+    joined = c.join(perdoc, "doc_id", "left")
+    span_str = F.expr(
+        """IF(ss IS NULL, '', array_join(
+               transform(sequence(1, size(ss)),
+                   k -> concat(CAST(element_at(ss, k) AS STRING), '-',
+                               CAST(element_at(ee, k) AS STRING))), ';'))"""
+    )
+    # excision: concatenate the complement segments around the sorted spans
+    # (segment k runs from prev span end + 1 to next span start - 1)
+    clean = F.expr(
+        """IF(ss IS NULL, text, array_join(
+               transform(sequence(1, size(ss) + 1),
+                   k -> substring(text,
+                          IF(k = 1, 1, element_at(ee, k - 1) + 1),
+                          greatest(
+                            IF(k = size(ss) + 1, length(text),
+                               element_at(ss, k) - 1)
+                            - IF(k = 1, 1, element_at(ee, k - 1) + 1) + 1,
+                            0))), ''))"""
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
+        span_str.alias("spans"),
+        F.md5(clean.cast("binary")).alias("clean_hash"),
+    )
+
+
+def _dup_span_extents_sql() -> str:
+    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb
+
+    return f"""
+WITH {_CORPUS},
+docs AS (SELECT doc_id, text FROM corpus WHERE length(text) >= {SPAN_LEN}),
+wins AS (
+    SELECT doc_id, i, {fast_hash64_duckdb(f'substring(text, i, {SPAN_LEN})')} AS h
+    FROM (
+        SELECT doc_id, text,
+               CAST(unnest(generate_series(1, length(text) - {SPAN_LEN - 1}, {SPAN_STRIDE})) AS INT) AS i
+        FROM docs
+    )
+),
+dh AS (SELECT DISTINCT doc_id, h FROM wins),
+freq AS (SELECT h, count(*) AS nd FROM dh GROUP BY h),
+dupw AS (SELECT w.doc_id, w.i FROM wins w JOIN freq USING (h) WHERE nd > 1),
+isl AS (
+    SELECT doc_id, i,
+           CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= {SPAN_LEN}
+                THEN 0 ELSE 1 END AS brk
+    FROM dupw
+),
+grps AS (
+    SELECT doc_id, i, sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM isl
+),
+spans AS (
+    SELECT doc_id, min(i) AS s, max(i) + {SPAN_LEN - 1} AS e
+    FROM grps GROUP BY doc_id, g
+),
+perdoc AS (
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+           list_sort(list(s)) AS ss, list_sort(list(e)) AS ee
+    FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       coalesce(p.dup_chars, 0) AS dup_chars,
+       CASE WHEN p.doc_id IS NULL THEN '' ELSE
+         array_to_string(list_transform(range(1, CAST(p.n_spans AS BIGINT) + 1),
+             k -> CAST(list_extract(p.ss, k) AS VARCHAR) || '-'
+                  || CAST(list_extract(p.ee, k) AS VARCHAR)), ';')
+       END AS spans,
+       md5(CASE WHEN p.doc_id IS NULL THEN d.text ELSE
+         array_to_string(list_transform(range(1, CAST(p.n_spans AS BIGINT) + 2),
+             k -> substring(d.text,
+                    CAST(CASE WHEN k = 1 THEN 1
+                              ELSE list_extract(p.ee, k - 1) + 1 END AS INT),
+                    greatest(CAST(
+                      CASE WHEN k = CAST(p.n_spans AS BIGINT) + 1 THEN length(d.text)
+                           ELSE list_extract(p.ss, k) - 1 END
+                      - CASE WHEN k = 1 THEN 1
+                             ELSE list_extract(p.ee, k - 1) + 1 END + 1 AS INT), 0))),
+             '')
+       END) AS clean_hash
+FROM docs d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+SQL_DUP_SPAN_EXTENTS = _dup_span_extents_sql()
+
+
 PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
@@ -1969,4 +2117,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "quality_quantile_filter": (q_quality_quantile_filter, SQL_QUALITY_QUANTILE_FILTER),
     # M10 (r6): exact repeated-substring dedup signal
     "dup_span_fraction": (q_dup_span_fraction, SQL_DUP_SPAN_FRACTION),
+    # M10b (r7): actionable span extents + excision proof (catalog tail —
+    # gated by selfcheck now, driver window slot at the next rotation)
+    "dup_span_extents": (q_dup_span_extents, SQL_DUP_SPAN_EXTENTS),
 }

@@ -242,3 +242,69 @@ def test_dup_span_fraction_matches_python_oracle(spark, sf_dir):
         assert abs(r["dup_fraction"] - n_dup / len(ss)) < 1e-6, d
         if d >= 1_000_000 and len(ss) > 0:
             assert r["dup_fraction"] == 1.0, d  # planted copy: fully duplicated
+
+
+def test_dup_span_extents_match_python_oracle(spark, sf_dir):
+    """Independent Python recomputation of the merged span extents and the
+    excised clean text (VERDICT r6 #4): same strided windows, cross-doc
+    collision ownership, interval merge, and character excision — the
+    clean_hash must equal md5 of the Python-excised text for every doc."""
+    import hashlib
+    from collections import defaultdict
+
+    from kafka_backup_spark.queries.pipeline import SPAN_LEN, SPAN_STRIDE
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    corpus = dict(docs)
+    for doc_id, text in docs.items():
+        if doc_id % 10 == 0:
+            corpus[doc_id + 1_000_000] = text
+    corpus = {d: t for d, t in corpus.items() if len(t) >= SPAN_LEN}
+
+    def win_starts(text):
+        return list(range(0, len(text) - SPAN_LEN + 1, SPAN_STRIDE))
+
+    owners = defaultdict(set)
+    for d, t in corpus.items():
+        for i in win_starts(t):
+            owners[t[i : i + SPAN_LEN]].add(d)
+
+    def expected(d, t):
+        dup = [i for i in win_starts(t) if len(owners[t[i : i + SPAN_LEN]]) > 1]
+        merged = []  # list of [s, e] 0-based inclusive char ranges
+        for i in dup:
+            s, e = i, i + SPAN_LEN - 1
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        clean = "".join(
+            t[(0 if k == 0 else merged[k - 1][1] + 1) : (merged[k][0] if k < len(merged) else len(t))]
+            for k in range(len(merged) + 1)
+        )
+        # operator reports 1-based inclusive extents
+        span_str = ";".join(f"{s + 1}-{e + 1}" for s, e in merged)
+        return (
+            len(merged),
+            sum(e - s + 1 for s, e in merged),
+            span_str,
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+
+    rows = {r["doc_id"]: r for r in _q("dup_span_extents", spark, sf_dir).collect()}
+    assert set(rows) == set(corpus)
+    n_with_spans = 0
+    for d, t in corpus.items():
+        n, chars, span_str, clean_hash = expected(d, t)
+        r = rows[d]
+        assert (r["n_spans"], r["dup_chars"], r["spans"]) == (n, chars, span_str), d
+        assert r["clean_hash"] == clean_hash, d
+        n_with_spans += bool(n)
+        if d >= 1_000_000:  # planted copy: entire doc is one duplicated span
+            assert r["n_spans"] == 1 and r["dup_chars"] >= len(t) - SPAN_STRIDE, d
+    assert n_with_spans > 0  # the planted copies guarantee real extents

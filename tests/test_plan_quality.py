@@ -515,6 +515,35 @@ def test_compact_small_is_identity_beyond_the_gate(spark, sf_dir, monkeypatch):
     assert big is df  # beyond the gate: untouched
 
 
+def test_tuning_knobs_read_session_conf(spark, sf_dir):
+    """VERDICT r6 #6: _SPREAD_BYTES_PER_PART and COMPACT_PARTS were tuned on
+    local[32]; a real cluster overrides them per session via spark.conf —
+    the defaults must hold when the conf keys are unset or garbage."""
+    from kafka_backup_spark.queries import common
+
+    dp = spark.sparkContext.defaultParallelism
+    base = common.spread_parts(spark, 11 << 20)
+    try:
+        # 1 MiB per part → 11 MiB wants 11 partitions
+        spark.conf.set("spark.kafkaBackupSpark.spreadBytesPerPart", str(1 << 20))
+        assert common.spread_parts(spark, 11 << 20) == min(dp, max(8, 11))
+        # garbage / non-positive values fall back to the default
+        spark.conf.set("spark.kafkaBackupSpark.spreadBytesPerPart", "banana")
+        assert common.spread_parts(spark, 11 << 20) == base
+        spark.conf.set("spark.kafkaBackupSpark.spreadBytesPerPart", "-5")
+        assert common.spread_parts(spark, 11 << 20) == base
+
+        spark.conf.set("spark.kafkaBackupSpark.compactParts", "3")
+        df = spark.range(100).repartition(16)
+        assert common.compact_small(df, sf_dir).rdd.getNumPartitions() == 3
+        # explicit parts argument still wins over the conf
+        assert common.compact_small(df, sf_dir, parts=2).rdd.getNumPartitions() == 2
+    finally:
+        spark.conf.unset("spark.kafkaBackupSpark.spreadBytesPerPart")
+        spark.conf.unset("spark.kafkaBackupSpark.compactParts")
+    assert common.spread_parts(spark, 11 << 20) == base
+
+
 def test_all_catalog_plans_are_hygienic(spark):
     """Blanket guard over EVERY catalog query's optimized plan: no
     row-at-a-time Python (BatchEvalPython) anywhere, and no cartesian /
