@@ -401,11 +401,52 @@ def cmd_corpus(args, _doc) -> int:
 
         from pyspark.sql import functions as F
 
+        if getattr(args, "cluster_balance", False):
+            # semantic cluster balance over an embeddings parquet (M10; the
+            # corpus store holds text, embeddings arrive as a side table the
+            # user computed for it) — same rollup the catalog query runs
+            if not args.embeddings_parquet:
+                print(
+                    "corpus stats --cluster-balance requires "
+                    "--embeddings-parquet (vec_id, embedding[, label])",
+                    file=sys.stderr,
+                )
+                return 2
+            from kafka_backup_spark.queries.textops import cluster_balance_frame
+
+            emb = spark.read.parquet(args.embeddings_parquet)
+            if "label" not in emb.columns:  # unlabeled: purity is trivial 1.0
+                emb = emb.withColumn("label", F.lit(0))
+            n = emb.count()
+            rollup = cluster_balance_frame(
+                spark, emb, n, f"cli:{args.embeddings_parquet}"
+            ).orderBy("cell")
+            _emit({"cluster_balance": _rows(rollup), "n_vectors": n})
+            return 0
         if not _os.path.isdir(store.corpus_path()):
             # never-written store: no corpus dir yet — empty rollup, not a
             # traceback.  (Only this case; a real read failure on an
             # existing corpus must surface, not exit 0 with empty stats.)
             _emit({"stats": []})
+            return 0
+        if getattr(args, "dup_spans", False):
+            # duplicated-span extents over the stored corpus (M10b): summary
+            # + the worst offenders, so an operator sees both the corpus-
+            # level contamination and where to look
+            from kafka_backup_spark.queries.pipeline import dup_span_extents_frame
+
+            ext = dup_span_extents_frame(
+                store.read_corpus(spark).select("doc_id", "text")
+            )
+            summary = ext.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum((F.col("n_spans") > 0).cast("long")).alias("docs_with_dup_spans"),
+                F.sum("dup_chars").alias("dup_chars"),
+            ).collect()[0]
+            top = ext.filter(F.col("n_spans") > 0).orderBy(
+                F.col("dup_chars").desc(), "doc_id"
+            ).limit(10)
+            _emit({"dup_spans": summary.asDict(), "top_docs": _rows(top)})
             return 0
         corpus = store.read_corpus(spark)
         rollup = (
@@ -790,6 +831,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sasl-kerberos-service-name", help="GSSAPI: broker service name (default kafka)")
     ap.add_argument("--near-dedup", action="store_true",
                     help="corpus add: also drop LSH band-matches of any stored doc (persistent signature index)")
+    ap.add_argument("--dup-spans", action="store_true",
+                    help="corpus stats: duplicated-span extents summary + worst offenders (Lee et al. exact-substring signal)")
+    ap.add_argument("--cluster-balance", action="store_true",
+                    help="corpus stats: semantic cluster-balance rollup over --embeddings-parquet")
+    ap.add_argument("--embeddings-parquet",
+                    help="corpus stats --cluster-balance: parquet with (vec_id, embedding[, label])")
     ap.add_argument("--query", help="catalog explain: catalog query name")
     # no machine-specific absolute default (ADVICE r6): on another host that
     # path silently points nowhere and dies with an opaque parquet error.

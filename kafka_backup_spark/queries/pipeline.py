@@ -1866,10 +1866,13 @@ SPAN_LEN = 40
 SPAN_STRIDE = 16
 
 
-def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dup_span_fraction_frame(docs: DataFrame) -> DataFrame:
+    """Duplicated-span fraction over any (doc_id, text) frame — factored so
+    the CLI (`corpus stats --dup-spans`) and the catalog fixture query share
+    one implementation."""
     from kafka_backup_spark.functions.hashing import fast_hash64
 
-    c = _corpus(spark, sf_dir).filter(F.length("text") >= SPAN_LEN)
+    c = docs.filter(F.length("text") >= SPAN_LEN)
     wins = c.select(
         "doc_id",
         F.explode(
@@ -1897,6 +1900,10 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_fraction_frame(_corpus(spark, sf_dir))
 
 
 def _dup_span_sql() -> str:
@@ -1944,12 +1951,14 @@ SQL_DUP_SPAN_FRACTION = _dup_span_sql()
 # corpus — no UDFs, no driver loops; survives 100 TB.
 
 
-def q_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dup_span_extents_frame(docs: DataFrame) -> DataFrame:
+    """Merged duplicated-span extents + excision hash over any
+    (doc_id, text) frame — shared by the catalog query and the CLI."""
     from pyspark.sql import Window
 
     from kafka_backup_spark.functions.hashing import fast_hash64
 
-    c = _corpus(spark, sf_dir).filter(F.length("text") >= SPAN_LEN)
+    c = docs.filter(F.length("text") >= SPAN_LEN)
     wins = c.select(
         "doc_id",
         F.explode(
@@ -2014,6 +2023,10 @@ def q_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         span_str.alias("spans"),
         F.md5(clean.cast("binary")).alias("clean_hash"),
     )
+
+
+def q_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_extents_frame(_corpus(spark, sf_dir))
 
 
 def _dup_span_extents_sql() -> str:

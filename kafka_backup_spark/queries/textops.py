@@ -1185,13 +1185,16 @@ FROM (
 # one map-side-combinable groupBy on (cell, label) at any corpus size.
 
 
-def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cluster_balance_frame(
+    spark: SparkSession, emb: DataFrame, n: int, tag: str
+) -> DataFrame:
+    """Cluster-balance rollup over any (vec_id, embedding, label) frame —
+    factored so the CLI (`corpus stats --cluster-balance`) and the catalog
+    fixture query share one implementation (and one ANN index per tag)."""
+
     def build_corpus() -> DataFrame:
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return emb.select("vec_id", _quantize(F.col("embedding")).alias("qe"))
 
-    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    tag = f"ivf:{sf_dir}"  # share the quantizer + inverted list with ivf_topk
     idx = _shared_ann_index(spark, tag, build_corpus, n)
     corpus, cells, cent_mat = idx["corpus"], idx["cells"], idx["cent_mat"]
     neighbors = _ann_index_frame(
@@ -1200,7 +1203,7 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbors",
         lambda: corpus.withColumn("cell", _cells_udf(cells, cent_mat, 1)(F.col("qe"))[0]),
     )
-    labels = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "label")
+    labels = emb.select("vec_id", "label")
     assigned = neighbors.select("vec_id", "cell").join(labels, "vec_id")
     cl = assigned.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("cnt"))
     # majority = highest count, ties → smallest label: lexicographic struct
@@ -1216,6 +1219,13 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("_m.nl")).cast("int").alias("majority_label"),
         F.expr("(_m.c * 1000000) div n_vectors").alias("purity_ppm"),
     )
+
+
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    # share the quantizer + inverted list with ivf_topk via the same tag
+    return cluster_balance_frame(spark, emb, n, f"ivf:{sf_dir}")
 
 
 SQL_CLUSTER_BALANCE = f"""
@@ -1395,7 +1405,13 @@ FROM h
 # Both fail LOUD at the round cap rather than returning silently-split
 # components; the driver holds only per-round change counters.
 
-CC_MAX_ROUNDS = 20
+# The r7 graph smoke (tier_smoke.py --graphs; table in SCALE.md) measured
+# LSS chain rounds ≈ log2(n) + 1.5: 2k edges → 12, 10k → 15, 40k → 17.
+# Extrapolated, a 10⁶-deep component needs ~22 rounds — which would have
+# tripped the previous cap of 20 and failed loud on a graph LSS converges
+# on fine.  50 covers ~2^48 nodes; convergence detection exits early, so
+# the cap only bounds the pathological case, it never adds rounds.
+CC_MAX_ROUNDS = 50
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1410,11 +1426,17 @@ def _cluster_rollup(labels: DataFrame) -> DataFrame:
 
 
 def _components(
-    spark: SparkSession, pairs: DataFrame, tag: str, algorithm: str = "lss"
+    spark: SparkSession,
+    pairs: DataFrame,
+    tag: str,
+    algorithm: str = "lss",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair set (columns = the two
     node ids) → (cluster_id, n_members, max_doc) with cluster_id = the
-    component-min node id."""
+    component-min node id.  ``stats``, when given, receives
+    ``{"rounds": N}`` — the round count the tier smoke uses to demonstrate
+    the O(log n) bound on amplified graphs."""
     a, b = pairs.columns[0], pairs.columns[1]
     edges = _tagged_persist(
         spark,
@@ -1422,15 +1444,17 @@ def _components(
         pairs.union(pairs.select(F.col(b), F.col(a))).toDF("s", "d"),
     )
     if algorithm == "lss":
-        labels = _lss_labels(spark, edges)
+        labels = _lss_labels(spark, edges, stats=stats)
     elif algorithm == "min-label":
-        labels = _min_label_labels(spark, edges)
+        labels = _min_label_labels(spark, edges, stats=stats)
     else:
         raise ValueError(f"unknown components algorithm: {algorithm}")
     return _cluster_rollup(labels)
 
 
-def _min_label_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def _min_label_labels(
+    spark: SparkSession, edges: DataFrame, stats: dict | None = None
+) -> DataFrame:
     """Min-label propagation: per round one hash join + one
     map-side-combinable min-agg; ``localCheckpoint`` truncates lineage.
     Rounds are bounded by component DIAMETER — use only when clusters are
@@ -1442,7 +1466,9 @@ def _min_label_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)  # truncate lineage between rounds
     )
     converged = False
+    rounds = 0
     for _ in range(CC_MAX_ROUNDS):
+        rounds += 1
         prop = edges.join(
             labels.select(F.col("node").alias("s"), F.col("label").alias("l2")), "s"
         ).select(F.col("d").alias("node"), F.col("l2").alias("label"))
@@ -1462,6 +1488,8 @@ def _min_label_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
         if changed == 0:
             converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         # fail LOUD: returning the intermediate labels would silently split
         # components whose diameter exceeds the round cap (the recursive
@@ -1474,7 +1502,9 @@ def _min_label_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
     return labels
 
 
-def _lss_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def _lss_labels(
+    spark: SparkSession, edges: DataFrame, stats: dict | None = None
+) -> DataFrame:
     """Large-star/small-star contraction (Kiveris et al. 2014), pure
     DataFrame ops.  State = the undirected edge set; at the fixed point
     every component is a star whose center is the component-min node.
@@ -1523,9 +1553,11 @@ def _lss_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
     e = edges.filter(F.col("s") != F.col("d")).distinct().localCheckpoint(eager=True)
     converged = e.limit(1).count() == 0  # edgeless input: nothing to contract
     prev_count = None if converged else e.count()
+    rounds = 0
     for _ in range(CC_MAX_ROUNDS):
         if converged:
             break
+        rounds += 1
         new = small_star(large_star(e)).localCheckpoint(eager=True)
         new_count = new.count()
         if new_count == prev_count:
@@ -1533,6 +1565,8 @@ def _lss_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
             if added == 0:
                 converged = True
         e, prev_count = new, new_count
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"dup_clusters: large-star/small-star not converged after "

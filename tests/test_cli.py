@@ -484,6 +484,52 @@ def test_cli_corpus_stats(spark, capsys, sf_dir, tmp_path):
     assert all(r["version"] == 0 and r["n_chars"] > 0 for r in out["stats"])
 
 
+def test_cli_corpus_stats_dup_spans(spark, capsys, tmp_path):
+    """corpus stats --dup-spans (VERDICT r6 #8): the M10b extents operator
+    reachable outside the catalog harness — a planted near-whole-document
+    duplicate must surface in the summary and the worst-offender list."""
+    root = str(tmp_path / "corpus")
+    src = str(tmp_path / "batch.parquet")
+    base = "the quick brown fox jumps over the lazy dog and keeps on running far away " * 4
+    rows = [
+        (1, "en", "s", base + " alpha ending one"),
+        (2, "en", "s", base + " totally different closing words here"),
+        (3, "en", "s", "short unique text with no duplication at all present whatsoever"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).write.parquet(src)
+    run(capsys, ["corpus", "add", "--store", root, "--source-parquet", src])
+    out = run(capsys, ["corpus", "stats", "--store", root, "--dup-spans"])
+    s = out["dup_spans"]
+    assert s["n_docs"] == 3
+    assert s["docs_with_dup_spans"] == 2  # the two sharing the long prefix
+    assert s["dup_chars"] > 2 * len(base) // 2
+    assert len(out["top_docs"]) == 2
+    assert all(t["spans"] and t["clean_hash"] for t in out["top_docs"])
+
+
+def test_cli_corpus_stats_cluster_balance(spark, capsys, sf_dir, tmp_path):
+    """corpus stats --cluster-balance: rollup over a user-supplied
+    embeddings parquet; cell sizes must sum to the vector count and the
+    flag without --embeddings-parquet is a clean usage error."""
+    from kafka_backup_spark.__main__ import main
+
+    emb = str(tmp_path / "emb.parquet")
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300).write.parquet(emb)
+    out = run(capsys, [
+        "corpus", "stats", "--store", str(tmp_path / "c"),
+        "--cluster-balance", "--embeddings-parquet", emb,
+    ])
+    assert out["n_vectors"] == 300
+    assert sum(r["n_vectors"] for r in out["cluster_balance"]) == 300
+    assert all(0 < r["purity_ppm"] <= 1_000_000 for r in out["cluster_balance"])
+
+    rc = main(["corpus", "stats", "--store", str(tmp_path / "c"), "--cluster-balance"])
+    assert rc == 2
+    assert "--embeddings-parquet" in capsys.readouterr().err
+
+
 def test_catalog_list_and_explain(capsys, spark):
     rc = main(["catalog", "list"])
     assert rc == 0

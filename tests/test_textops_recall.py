@@ -147,12 +147,15 @@ def test_embedding_dup_clusters_consistent_with_pairs(spark, sf_dir):
     assert all(r["n_members"] >= 2 for r in rows)
 
 
-def test_lss_converges_on_chain_past_round_cap(spark):
+def test_lss_converges_on_chain_past_round_cap(spark, monkeypatch):
     """A chain-shaped component is min-label propagation's worst case: the
     min label travels ONE hop per round, so a 64-node chain needs 63 rounds
-    — past CC_MAX_ROUNDS=20 it must raise (loud, not silently split).  The
+    — past the round cap it must raise (loud, not silently split).  The
     large-star/small-star default contracts the same chain in O(log n)
-    rounds and returns the single full-length cluster."""
+    rounds (measured ~log2(n)+1.5 in the r7 graph smoke) and returns the
+    single full-length cluster.  The cap is pinched to 20 here so the
+    min-label failure arm stays fast; production's 50 covers ~2^48-node
+    components for LSS."""
     import pytest
 
     from kafka_backup_spark.queries import textops
@@ -160,8 +163,11 @@ def test_lss_converges_on_chain_past_round_cap(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "a long, b long"
     )
-    rows = textops._components(spark, chain, "test_chain_lss").collect()
+    stats: dict = {}
+    rows = textops._components(spark, chain, "test_chain_lss", stats=stats).collect()
     assert [(r["cluster_id"], r["n_members"], r["max_doc"]) for r in rows] == [(0, 64, 63)]
+    assert stats["rounds"] <= 9  # 64 nodes: log-bounded, nowhere near 63
+    monkeypatch.setattr(textops, "CC_MAX_ROUNDS", 20)
     with pytest.raises(RuntimeError, match="not converged"):
         textops._components(spark, chain, "test_chain_minlabel", algorithm="min-label")
 

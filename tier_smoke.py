@@ -30,12 +30,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 QUERIES = ["dedup_exact", "simhash", "minhash_signatures", "lsh_candidates",
-           "near_dup_pipeline", "text_analysis", "dup_span_fraction"]
+           "near_dup_pipeline", "text_analysis", "dup_span_fraction",
+           "dup_span_extents"]
 # metadata/as-of family (VERDICT r5 #7): these read the EVENTS-derived
 # record stream + offset mapping, so the events table is amplified too —
 # per-partition mapping depth grows with the tier, which is exactly what
 # the union-window as-of shape must absorb
 ASOF_QUERIES = ["asof_offset_lookup", "timestamp_asof", "group_reset_plan"]
+# cluster family (VERDICT r6 #5): dup_clusters rides the amplified
+# documents; the embedding pair reads the amplified embeddings table —
+# replicas are UNIT-NORM PERTURBED so ANN does real candidate work
+CLUSTER_QUERIES = ["dup_clusters", "embedding_dup_clusters", "cluster_balance"]
 
 
 def amplify_events(spark, src_dir: str, factor: int, out_dir: str) -> int:
@@ -92,6 +97,82 @@ def amplify(spark, src_dir: str, factor: int, out_dir: str) -> int:
     return n * factor
 
 
+def amplify_embeddings(spark, src_dir: str, factor: int, out_dir: str) -> int:
+    """Replicate embeddings with new vec_ids and a tiny per-replica
+    perturbation on one rotating dimension — replicas stay near their
+    originals in cosine space (real near-dup candidates for the ANN path)
+    without being bit-identical (which would collapse the verify stage)."""
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    n = emb.count()
+    reps = []
+    for i in range(factor):
+        vec = (
+            F.expr(f"transform(embedding, (x, j) -> x + IF(j = {i % 16}, {i} * 1e-3, 0.0))")
+            .cast("array<float>")
+            if i
+            else F.col("embedding")
+        )
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + 10_000_000 * i).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    return n * factor
+
+
+# ── LSS round-count smoke (VERDICT r6 #5): chain / star / random graphs ───
+# The O(log n) claim was proven only on a 64-node chain fixture; this mode
+# amplifies the PAIR GRAPH itself across shapes and depths and records the
+# round count — flat-ish (log-bounded) rounds as depth grows 20× is the
+# evidence that a 10⁶-deep component at 100 TB converges in ~20 rounds.
+
+
+def graph_smoke(spark, factors: list[int]) -> None:
+    from kafka_backup_spark.queries import textops
+
+    base = 2000
+    for factor in factors:
+        n = base * factor
+        shapes = {
+            # worst case for label propagation: diameter = n
+            "chain": spark.range(n).selectExpr("id AS a", "id + 1 AS b"),
+            # best case: diameter 2, max degree n
+            "star": spark.range(n).selectExpr("CAST(0 AS LONG) AS a", "id + 1 AS b"),
+            # functional random graph: d(u) = hash(u) mod n — many components
+            # of varied depth (deterministic: no Date/random in scripts)
+            "random": spark.range(n).selectExpr(
+                "id AS a", f"pmod(xxhash64(id), {n}) AS b"
+            ),
+            # mixture: a deep chain welded to a wide star through node 0
+            "chain+star": spark.range(n).selectExpr("id AS a", "id + 1 AS b")
+            .union(
+                spark.range(n).selectExpr(f"CAST({n} AS LONG) AS a", f"id + {n + 1} AS b")
+            ),
+        }
+        for shape, pairs in shapes.items():
+            stats: dict = {}
+            t0 = time.perf_counter()
+            out = textops._components(
+                spark, pairs, f"gsmoke:{shape}:{factor}", stats=stats
+            )
+            rows = out.agg(
+                F.count(F.lit(1)).alias("n_clusters"),
+                F.sum("n_members").alias("n_nodes"),
+            ).collect()[0]
+            wall = time.perf_counter() - t0
+            print(json.dumps({
+                "graph": shape, "factor": factor, "edges": n,
+                "rounds": stats.get("rounds"), "wall_s": round(wall, 2),
+                "n_clusters": rows["n_clusters"], "n_nodes": int(rows["n_nodes"]),
+            }))
+
+
 def release_all(spark) -> None:
     from kafka_backup_spark import catalog
     from kafka_backup_spark.queries import common, textops
@@ -106,6 +187,10 @@ def main() -> int:
     ap.add_argument("--factors", default="1,5,20")
     ap.add_argument("--out", default="/tmp/tier_smoke")
     ap.add_argument("--src", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--graphs", action="store_true",
+                    help="run the LSS round-count smoke instead of the query tiers")
+    ap.add_argument("--families", default="text,asof,cluster",
+                    help="comma list of query families to run (text,asof,cluster)")
     args = ap.parse_args()
 
     from kafka_backup_spark import catalog
@@ -113,6 +198,10 @@ def main() -> int:
     from kafka_backup_spark.session import get_spark
 
     spark = get_spark("tier-smoke")
+    if args.graphs:
+        graph_smoke(spark, [int(f) for f in args.factors.split(",")])
+        spark.stop()
+        return 0
     spark.read.parquet(f"{args.src}/documents.parquet").count()
     qs = catalog.queries()
 
@@ -125,8 +214,18 @@ def main() -> int:
         tier_dir = f"{args.out}/t{factor}"
         shutil.rmtree(tier_dir, ignore_errors=True)
         os.makedirs(tier_dir, exist_ok=True)
+        fams = set(args.families.split(","))
+        todo = (
+            (QUERIES if "text" in fams else [])
+            + (ASOF_QUERIES if "asof" in fams else [])
+            + (CLUSTER_QUERIES if "cluster" in fams else [])
+        )
         ndocs = amplify(spark, args.src, factor, tier_dir)
         nevents = amplify_events(spark, args.src, factor, tier_dir)
+        nvecs = (
+            amplify_embeddings(spark, args.src, factor, tier_dir)
+            if "cluster" in fams else 0
+        )
         modes = [("pinned", None)] + ([("streamed", 1)] if factor == max(
             int(f) for f in args.factors.split(",")) else [])
         for mode, gate in modes:
@@ -135,8 +234,12 @@ def main() -> int:
                 common._HOT_TABLE_MAX_BYTES = gate
             try:
                 release_all(spark)
-                for name in QUERIES + ASOF_QUERIES:
-                    rows = nevents if name in ASOF_QUERIES else ndocs
+                for name in todo:
+                    rows = (
+                        nevents if name in ASOF_QUERIES
+                        else nvecs if name in ("embedding_dup_clusters", "cluster_balance")
+                        else ndocs
+                    )
                     cold = run(name, tier_dir)
                     warm = min(run(name, tier_dir) for _ in range(3))
                     print(json.dumps({
