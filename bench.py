@@ -59,6 +59,14 @@ HEADLINE = [
     "cluster_balance",
     "tpch_q13_order_dist",
     "tpch_q22_dormant_balance",
+    # r7 join-shape widening (every new operator is benched when it lands):
+    "dup_span_extents",
+    "tpch_q7_nation_volume",
+    "tpch_q9_profit",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "tpch_q21_sole_returns",
 ]
 
 

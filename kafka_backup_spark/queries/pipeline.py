@@ -1850,6 +1850,236 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q22 = _Q22_BODY
 
 
+# ── TPC-H Q7-shaped: volume shipping between a nation pair ────────────────
+# The one join topology Q5 lacks: nation joined TWICE (supplier side and
+# customer side) with a symmetric OR over the pair, then a (nation, nation,
+# year) rollup.  Catalyst must push the OR into both broadcast builds.
+
+_Q7_BODY = """
+WITH sh AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT supp_nation, cust_nation, l_year,
+       (CAST(rev_hi AS DOUBLE) * 1e6 + CAST(rev_lo AS DOUBLE)) / 1e4 AS revenue
+FROM (
+  SELECT supp_nation, cust_nation, l_year,
+         CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
+         CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo
+  FROM sh GROUP BY supp_nation, cust_nation, l_year
+)
+"""
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    return spark.sql(_Q7_BODY.format(IDIV="div"))
+
+
+SQL_TPCH_Q7 = _Q7_BODY.format(IDIV="//")
+
+
+# ── TPC-H Q9-shaped: profit by nation and year ────────────────────────────
+# Part joins the fact table (the fixtures have no partsupp, so supply cost
+# is p_retailprice·quantity — same plan shape: two dims + nation rollup).
+# Both terms land in the same 1e-4-dollar fixed-point unit, so the profit
+# difference is exact BIGINT arithmetic.
+
+_Q9_BODY = """
+WITH pr AS (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           - CAST(round(p_retailprice * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)
+           AS amount_u
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_type = 'PROMO'
+)
+SELECT nation, o_year,
+       (CAST(hi AS DOUBLE) * 1e6 + CAST(lo AS DOUBLE)) / 1e4 AS sum_profit
+FROM (
+  SELECT nation, o_year,
+         CAST(SUM(amount_u {IDIV} 1000000) AS BIGINT) AS hi,
+         CAST(SUM(amount_u % 1000000) AS BIGINT) AS lo
+  FROM pr GROUP BY nation, o_year
+)
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
+    return spark.sql(_Q9_BODY.format(IDIV="div"))
+
+
+SQL_TPCH_Q9 = _Q9_BODY.format(IDIV="//")
+
+
+# ── TPC-H Q15-shaped: top supplier by quarter revenue ─────────────────────
+# Scalar MAX over a derived aggregate (the reference view), equality join
+# back — ties all surface (no LIMIT 1 nondeterminism).
+
+_Q15_BODY = """
+WITH li AS (
+  SELECT l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100) AS BIGINT) AS dc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+),
+rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) * 1000000
+           + CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS total_u
+  FROM li GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_u AS DOUBLE) / 1e4 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_u = (SELECT max(total_u) FROM rev)
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame form, NOT the SQL scalar subquery: Spark plans the scalar
+    # max as a separate subquery execution with no exchange reuse, so the
+    # SQL form pays the lineitem aggregation TWICE (measured 0.67 s vs
+    # 0.42 s at sf0.1, plans show 6 scans vs 4).  The whole-frame window
+    # computes the global max in the same pass; its input is the
+    # POST-aggregation frame — one narrow row per distinct supplier, the
+    # same cardinality any engine must funnel to one place for a global
+    # argmax — never fact rows.
+    from pyspark.sql import Window
+
+    _view(spark, sf_dir, "supplier", "lineitem")
+    li = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("dc"),
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        (
+            F.sum(F.expr("(pc * (100 - dc)) div 1000000")).cast("long") * 1000000
+            + F.sum((F.col("pc") * (100 - F.col("dc"))) % 1000000).cast("long")
+        ).alias("total_u")
+    )
+    top = rev.withColumn(
+        "mx", F.max("total_u").over(Window.partitionBy())
+    ).filter(F.col("total_u") == F.col("mx"))
+    return top.join(
+        spark.table("supplier"), F.col("s_suppkey") == F.col("l_suppkey")
+    ).select(
+        "s_suppkey",
+        "s_name",
+        (F.col("total_u").cast("double") / 1e4).alias("total_revenue"),
+    )
+
+
+SQL_TPCH_Q15 = _Q15_BODY.format(IDIV="//")
+
+
+# ── TPC-H Q16-shaped: supplier count by part attributes ───────────────────
+# NOT IN anti-join (non-null key, so no null-semantics trap) + a
+# count(DISTINCT) over three grouping columns.  The fixtures have no
+# partsupp: lineitem IS the part↔supplier relation.
+
+_Q16_BODY = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(_Q16_BODY)
+
+
+SQL_TPCH_Q16 = _Q16_BODY
+
+
+# ── TPC-H Q17-shaped: small-quantity-order revenue ────────────────────────
+# Correlated scalar AVG per part, decorrelated to an agg join.  The 0.2·avg
+# threshold runs in EXACT integer math on both engines (qc < 0.2·sum/cnt ⇔
+# 5·qc·cnt < sum), so the boundary can't flip on float division.
+
+_Q17_BODY = """
+WITH pl AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem
+),
+pa AS (
+  SELECT l_partkey AS pk, CAST(sum(qc) AS BIGINT) AS sum_qc,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM pl GROUP BY l_partkey
+)
+SELECT p_brand, CAST(sum(pc) AS DOUBLE) / 700.0 AS avg_yearly
+FROM pl
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pk = l_partkey
+WHERE 5 * qc * cnt < sum_qc
+GROUP BY p_brand
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "part", "lineitem")
+    return spark.sql(_Q17_BODY)
+
+
+SQL_TPCH_Q17 = _Q17_BODY
+
+
+# ── TPC-H Q21-shaped: sole returning supplier in multi-supplier orders ────
+# The double-correlated EXISTS + NOT EXISTS topology (the hardest Q21
+# feature) over the columns the fixtures carry: suppliers who were the ONLY
+# supplier with returned lines ('R') in a finished multi-supplier order.
+
+_Q21_BODY = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_Q21_BODY)
+
+
+SQL_TPCH_Q21 = _Q21_BODY
+
+
 # ── M10: duplicated-span fraction (exact substring dedup signal) ──────────
 # Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
 # Better") deduplicate EXACT repeated substrings, not just whole documents
@@ -1972,10 +2202,18 @@ def dup_span_extents_frame(docs: DataFrame) -> DataFrame:
     )
     # cross-document collision frequency over per-doc-distinct hashes (a doc
     # repeating its own span must not count as duplication by itself) — but
-    # every POSITION of a cross-doc span inside a doc is a duplicated extent
-    dh = wins.select("doc_id", "h").distinct()
-    freq = dh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
-    dupw = wins.join(freq.filter(F.col("nd") > 1), "h").select("doc_id", "i")
+    # every POSITION of a cross-doc span inside a doc is a duplicated extent.
+    # ONE h-shuffle does both: a per-(h, doc) first-row marker dedups, and
+    # summing the markers per h counts distinct owner docs — the
+    # distinct+groupBy+join formulation re-executed the whole scan+explode+
+    # hash map side for the join's probe branch (measured 1.20 → 1.04 s at
+    # sf0.1; both windows reuse the same hash(h) exchange).
+    w1 = Window.partitionBy("h", "doc_id").orderBy("i")
+    w2 = Window.partitionBy("h")
+    marked = wins.withColumn(
+        "f", (F.row_number().over(w1) == 1).cast("long")
+    ).withColumn("nd", F.sum("f").over(w2))
+    dupw = marked.filter(F.col("nd") > 1).select("doc_id", "i")
 
     w = Window.partitionBy("doc_id").orderBy("i")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2106,6 +2344,13 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "tpch_q12_priority_lines": (q_tpch_q12, SQL_TPCH_Q12),
     "tpch_q13_order_dist": (q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q22_dormant_balance": (q_tpch_q22, SQL_TPCH_Q22),
+    # r7 join-shape widening (catalog tail; selfcheck-gated):
+    "tpch_q7_nation_volume": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q9_profit": (q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q15_top_supplier": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q16_supplier_cnt": (q_tpch_q16, SQL_TPCH_Q16),
+    "tpch_q17_small_qty": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q21_sole_returns": (q_tpch_q21, SQL_TPCH_Q21),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
