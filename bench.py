@@ -67,6 +67,8 @@ HEADLINE = [
     "tpch_q16_supplier_cnt",
     "tpch_q17_small_qty",
     "tpch_q21_sole_returns",
+    "leakage_safe_split",
+    "ann_recall",
 ]
 
 

@@ -1850,6 +1850,61 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q22 = _Q22_BODY
 
 
+# ── Leakage-safe train/val/test split (dedup-aware assignment) ────────────
+# Splitting a corpus doc-by-doc leaks: exact duplicates land on both sides
+# of the train/test boundary and inflate eval scores.  The standard fix
+# (pre-training pipelines split by CANONICAL CONTENT GROUP): hash the
+# content, take min(doc_id) per hash as the group id, and derive the split
+# from a hash of the GROUP — every duplicate twin lands in the same split
+# by construction.  98/1/1 buckets; shape = dedup_exact's single content-
+# hash shuffle plus one group join, scale-safe at 100 TB.
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.functions.hashing import fast_hash64
+
+    g = _corpus(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    canon = g.groupBy("h").agg(F.min("doc_id").alias("gid"))
+    b = F.pmod(fast_hash64(F.col("gid").cast("string")), F.lit(100))
+    split = (
+        F.when(b < 98, F.lit("train")).when(b == 98, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        g.join(canon, "h")
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("gid").alias("n_groups"),
+        )
+    )
+
+
+def _leakage_safe_split_sql() -> str:
+    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb as fh
+
+    return f"""
+WITH {_CORPUS},
+g AS (SELECT doc_id, md5(text) AS h FROM corpus),
+canon AS (SELECT h, min(doc_id) AS gid FROM g GROUP BY h),
+assigned AS (
+    SELECT doc_id, gid,
+           CASE WHEN {fh('CAST(gid AS VARCHAR)')} % 100 < 98 THEN 'train'
+                WHEN {fh('CAST(gid AS VARCHAR)')} % 100 = 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM g JOIN canon USING (h)
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT gid) AS BIGINT) AS n_groups
+FROM assigned GROUP BY split
+"""
+
+
+SQL_LEAKAGE_SAFE_SPLIT = _leakage_safe_split_sql()
+
+
 # ── TPC-H Q7-shaped: volume shipping between a nation pair ────────────────
 # The one join topology Q5 lacks: nation joined TWICE (supplier side and
 # customer side) with a symmetric OR over the pair, then a (nation, nation,
@@ -2378,4 +2433,6 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     # M10b (r7): actionable span extents + excision proof (catalog tail —
     # gated by selfcheck now, driver window slot at the next rotation)
     "dup_span_extents": (q_dup_span_extents, SQL_DUP_SPAN_EXTENTS),
+    # r7: dedup-aware train/val/test assignment (duplicate twins co-split)
+    "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
 }

@@ -1637,6 +1637,58 @@ FROM labels GROUP BY cluster_id
 SQL_DUP_CLUSTERS = _dup_clusters_sql()
 
 
+# ── ANN recall evaluation (IVF vs brute-force ground truth) ───────────────
+# An approximate index without a measured recall is unusable in production:
+# this operator joins the IVF top-k against the exact cosine top-k over the
+# SAME probes and reports recall@k in exact integer ppm.  Shape: both
+# operands are already top-k-bounded frames (k·|probes| rows), so the join
+# and rollup are trivially scale-safe; the expensive sides reuse the shared
+# ANN index and the documented brute-force baseline respectively.
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.queries.pipeline import q_cosine_topk
+
+    bf = q_cosine_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    iv = q_ivf_topk(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    j = bf.join(iv, ["probe_id", "neighbor_id"], "left")
+    return (
+        j.agg(
+            F.countDistinct("probe_id").alias("n_probes"),
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .select(
+            "n_probes",
+            "n_true",
+            "n_hit",
+            F.expr("(n_hit * 1000000) div n_true").alias("recall_ppm"),
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    from kafka_backup_spark.queries.pipeline import SQL_COSINE_TOPK
+
+    return f"""
+WITH bf AS (SELECT probe_id, neighbor_id FROM ({SQL_COSINE_TOPK})),
+iv AS (SELECT probe_id, neighbor_id FROM ({SQL_IVF_TOPK}))
+SELECT n_probes, n_true, n_hit, (n_hit * 1000000) // n_true AS recall_ppm
+FROM (
+    SELECT CAST(count(DISTINCT bf.probe_id) AS BIGINT) AS n_probes,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN iv.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+    FROM bf LEFT JOIN iv
+      ON bf.probe_id = iv.probe_id AND bf.neighbor_id = iv.neighbor_id
+)
+"""
+
+
+SQL_ANN_RECALL = _ann_recall_sql()
+
+
 TEXTOPS_QUERIES: dict[str, tuple] = {
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "text_analysis": (q_text_analysis, SQL_TEXT_ANALYSIS),
@@ -1654,4 +1706,6 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "embedding_dup_clusters": (q_embedding_dup_clusters, SQL_EMBEDDING_DUP_CLUSTERS),
     # M10 (r6): semantic mixture balance over the shared IVF quantizer
     "cluster_balance": (q_cluster_balance, SQL_CLUSTER_BALANCE),
+    # r7: recall@k of the IVF index vs the exact-cosine ground truth
+    "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
 }

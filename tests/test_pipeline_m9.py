@@ -308,3 +308,39 @@ def test_dup_span_extents_match_python_oracle(spark, sf_dir):
         if d >= 1_000_000:  # planted copy: entire doc is one duplicated span
             assert r["n_spans"] == 1 and r["dup_chars"] >= len(t) - SPAN_STRIDE, d
     assert n_with_spans > 0  # the planted copies guarantee real extents
+
+
+def test_leakage_safe_split_groups_never_cross(spark, sf_dir):
+    """Every content group maps to exactly ONE split (the whole point of a
+    dedup-aware split): the per-split group counts must sum to the global
+    distinct-content count — a group crossing splits would be counted
+    twice.  Planted duplicate twins share content, hence a group, hence a
+    split; doc counts reconcile with the corpus."""
+    from pyspark.sql import functions as F
+
+    rows = _q("leakage_safe_split", spark, sf_dir).collect()
+    by = {r["split"]: r for r in rows}
+    assert set(by) <= {"train", "val", "test"} and "train" in by
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0)
+    n_docs = docs.count() + planted.count()
+    n_groups = docs.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_groups"] for r in rows) == n_groups  # no group crosses
+    assert by["train"]["n_docs"] / n_docs > 0.90  # ~98/1/1 buckets
+
+
+def test_ann_recall_structural_invariants(spark, sf_dir):
+    """recall@k bookkeeping: the ground-truth side contributes exactly k
+    rows per probe, hits never exceed truths, and the ppm ratio is the
+    exact integer division of those counters.  (No recall FLOOR asserted:
+    the synthetic embeddings are near-uniform, so exact-vs-quantized
+    cosine orderings legitimately disagree on near-ties — measuring that
+    is what the operator is for.)"""
+    from kafka_backup_spark.queries.pipeline import TOP_K
+
+    r = _q("ann_recall", spark, sf_dir).collect()[0]
+    assert r["n_true"] == TOP_K * r["n_probes"]
+    assert 0 <= r["n_hit"] <= r["n_true"]
+    assert r["recall_ppm"] == r["n_hit"] * 1_000_000 // r["n_true"]

@@ -552,8 +552,10 @@ def test_all_catalog_plans_are_hygienic(spark):
     cosine_topk is the one allowed cartesian: it is the deliberate
     all-pairs recall baseline for ivf_topk (probes × corpus with a fixed
     tiny probe set), kept brute-force so the approximate path has an exact
-    yardstick — SCALE.md documents it as non-scale-path."""
-    allowed_cartesian = {"cosine_topk"}
+    yardstick — SCALE.md documents it as non-scale-path.  ann_recall
+    embeds that same baseline as its ground-truth side (a recall
+    evaluation NEEDS the exact answer), so it inherits the allowance."""
+    allowed_cartesian = {"cosine_topk", "ann_recall"}
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, fn in catalog.queries().items():
