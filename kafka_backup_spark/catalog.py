@@ -60,6 +60,14 @@ _CHECKED_LLM = [
     "cluster_balance",  # semantic cluster-balance over the shared IVF index
     "tpch_q13_order_dist",  # LEFT OUTER with ON-clause filter + histogram
     "tpch_q22_dormant_balance",  # scalar subquery + correlated NOT EXISTS
+    # r7-born operators, gated the round they land (the builder's own
+    # displacement discipline): the M10b extents flagship, the two new
+    # pipeline capabilities, and the hardest of the six new join shapes
+    # (the other five TPC-H shapes stay selfcheck+bench-gated in the tail):
+    "dup_span_extents",  # merged extents + excision proof
+    "leakage_safe_split",  # dedup-aware split, groups never cross
+    "ann_recall",  # IVF recall@k vs exact ground truth
+    "tpch_q21_sole_returns",  # double-correlated EXISTS / NOT EXISTS
 ]
 # past-the-window by choice: redundant with a checked entry's semantics.
 # Displaced in r3 for the three pipeline staples (VERDICT r2 #2):
@@ -116,6 +124,17 @@ _BEYOND_WINDOW = {
     #   cross-check in tests; shares the md5-bucket path with dedup_exact
     "multimodal_meta",  # mapInPandas shape shared with the checked ANN
     #   kernels; schema/batch plumbing pytest-pinned in test_multimodal.py
+    # Displaced in r7 (second rotation, for the r7-born operators).  Each
+    # has green CORRECTNESS rows r1-r6 and a checked twin:
+    "evidence_digest",  # F5/F6 sha/base64 paths pytest-pinned
+    #   (test_evidence.py); scalar_hashes tail twin
+    "offset_mapping_capture",  # S7 produce+capture pytest-pinned
+    #   (test_produce_capture.py, test_three_phase.py); the mapping it
+    #   emits is consumed by checked asof_offset_lookup/group_reset_plan
+    "set_difference_topics",  # P3/U2: same filters.topic path as checked
+    #   topic_glob_filter; anti-join shape held by checked resume_anti_join
+    "reset_percentiles",  # A10: exact-percentile machinery also gated by
+    #   checked quality_quantile_filter; rollup pytest-pinned
 }
 _FIRST = [
     *(n for n in CORE_QUERIES if n not in _BEYOND_WINDOW),
