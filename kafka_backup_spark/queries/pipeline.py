@@ -2158,20 +2158,31 @@ def dup_span_fraction_frame(docs: DataFrame) -> DataFrame:
     from kafka_backup_spark.functions.hashing import fast_hash64
 
     c = docs.filter(F.length("text") >= SPAN_LEN)
+    from pyspark.sql import Window
+
     wins = c.select(
         "doc_id",
         F.explode(
             F.sequence(F.lit(1), F.length("text") - (SPAN_LEN - 1), F.lit(SPAN_STRIDE))
         ).alias("i"),
         "text",
-    ).select("doc_id", F.expr(f"substring(text, i, {SPAN_LEN})").alias("span"))
+    ).select("doc_id", fast_hash64(F.expr(f"substring(text, i, {SPAN_LEN})")).alias("h"))
     # per-(doc, span-hash) dedup so a doc repeating its own span doesn't
-    # inflate the cross-document count; one shuffle on the hash pair
-    dh = wins.select("doc_id", fast_hash64(F.col("span")).alias("h")).distinct()
-    freq = dh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    # inflate the cross-document count.  ONE hash(h) exchange feeds both
+    # windows: a per-(h, doc) first-row marker dedups, the per-h marker sum
+    # counts distinct owner docs — same shape as dup_span_extents, which
+    # the 20× tier smoke measured FASTER than the old distinct+groupBy+join
+    # (the join re-executed the scan+explode+hash map side for its probe
+    # branch: 2.03 s vs 1.84 s warm at 20×, wash at 1×).
+    w1 = Window.partitionBy("h", "doc_id").orderBy(F.lit(1))
+    w2 = Window.partitionBy("h")
+    dh = (
+        wins.withColumn("f", (F.row_number().over(w1) == 1).cast("long"))
+        .withColumn("nd", F.sum("f").over(w2))
+        .filter(F.col("f") == 1)
+    )
     return (
-        dh.join(freq, "h")
-        .groupBy("doc_id")
+        dh.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.sum((F.col("nd") > 1).cast("long")).alias("n_dup_spans"),
