@@ -2141,32 +2141,102 @@ SQL_TPCH_Q21 = _Q21_BODY
 # — the practical signal is the fraction of a document's fixed-length
 # character windows that also occur in other documents.  The suffix-array
 # formulation is inherently sequential; the Spark-native equivalent samples
-# windows on a stride and counts cross-document window-hash collisions:
-# strided explode bounds rows at len/STRIDE per doc, and every shuffle keys
-# on a 56-bit hash (uniform by construction) — the shape that survives
-# 100 TB.  The corpus includes the planted copies (_CORPUS), whose spans
-# collide with their originals by construction.
+# windows at CONTENT-DEFINED anchor positions and counts cross-document
+# window-hash collisions.  Sampling rule (r7 — replaces the original fixed
+# stride): windows start at the char positions of ANCHOR WORDS — words
+# whose (length·31 + first-char-code) % SPAN_ANCHOR_MOD == 0 — plus the
+# first word unconditionally so every ≥SPAN_LEN doc contributes a window.
+# Content-defined positions depend only on the text itself, so a block
+# copied at ANY offset produces the same anchors inside the block — the
+# fixed stride only collided when the copies' alignments matched mod 16
+# (a ~1/16 recall for arbitrary-offset copies, exposed by the r7
+# hypothesis property test: a block planted at offsets 20 vs 0 produced
+# ZERO collisions).  Word anchors beat a per-char CDC polynomial on Spark
+# because substring(text, i, 1) walks i bytes (UTF-8): the char-hash
+# formulation measured 6.4 s at sf0.1 vs 0.56 s for word anchors and
+# 0.30 s for the blind stride.  Expected density ≈ 1/SPAN_ANCHOR_MOD
+# words (~every 22 chars on the fixtures); degenerate space-free texts
+# fall back to the single position-1 window (documented).  Every shuffle
+# keys on a 56-bit hash — the shape that survives 100 TB.  The corpus
+# includes the planted copies (_CORPUS), whose spans collide with their
+# originals by construction.
 
 SPAN_LEN = 40
-SPAN_STRIDE = 16
+SPAN_ANCHOR_MOD = 4  # ~1/4 of words anchor ⇒ ~every 22 chars on fixtures
+SPAN_ANCHOR_MULT = 31
+
+# DuckDB twin of _span_windows (shared by the fraction and extents oracles):
+# lockstep unnest of (index, word), char position via running length sum,
+# the same content-defined word-anchor rule as the Spark side.  Consumes a
+# docs0(doc_id, text) CTE; yields wins(doc_id, text, i).
+_WINS_WORD_ANCHOR_CTE = f"""wins AS (
+    SELECT doc_id, text, i
+    FROM (
+        SELECT doc_id, text, j, w,
+               CAST(1 + coalesce(sum(length(w) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS i
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, len(ws))) AS j,
+                   unnest(ws) AS w
+            FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM docs0)
+        )
+    )
+    WHERE (j = 1 OR (length(w) * {SPAN_ANCHOR_MULT}
+                     + CASE WHEN length(w) > 0 THEN ascii(substring(w, 1, 1)) ELSE 0 END)
+                    % {SPAN_ANCHOR_MOD} = 0)
+      AND i <= length(text) - {SPAN_LEN - 1}
+),"""
+
+
+def _span_windows(c: DataFrame) -> DataFrame:
+    """(doc_id, i, h) rows for the content-defined sampled windows of a
+    (doc_id, text) frame: posexplode the words, recover each word's 1-based
+    char position with a running length sum (one doc_id-keyed window pass
+    over word rows — data-proportional, O(1) primitives only), keep the
+    anchor words, then hash the SPAN_LEN-char window at each surviving
+    position (substring's O(position) byte walk runs on ~1/4 of the words,
+    not every char position)."""
+    from pyspark.sql import Window
+
+    from kafka_backup_spark.functions.hashing import fast_hash64
+
+    words = c.select(
+        "doc_id", "text", F.posexplode(F.split(F.col("text"), " ")).alias("j", "w")
+    )
+    prev = Window.partitionBy("doc_id").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pos = (F.coalesce(F.sum(F.length("w") + 1).over(prev), F.lit(0)) + 1).alias("i")
+    first_code = F.when(
+        F.length("w") > 0, F.ascii(F.expr("substring(w, 1, 1)"))
+    ).otherwise(F.lit(0))
+    anchor = F.pmod(
+        F.length("w") * SPAN_ANCHOR_MULT + first_code, F.lit(SPAN_ANCHOR_MOD)
+    ) == 0
+    return (
+        words.select("doc_id", "text", "j", "w", pos)
+        .filter(
+            ((F.col("j") == 0) | anchor)
+            & (F.col("i") <= F.length("text") - (SPAN_LEN - 1))
+        )
+        .select(
+            "doc_id",
+            "i",
+            fast_hash64(F.expr(f"substring(text, i, {SPAN_LEN})")).alias("h"),
+        )
+    )
 
 
 def dup_span_fraction_frame(docs: DataFrame) -> DataFrame:
     """Duplicated-span fraction over any (doc_id, text) frame — factored so
     the CLI (`corpus stats --dup-spans`) and the catalog fixture query share
     one implementation."""
-    from kafka_backup_spark.functions.hashing import fast_hash64
-
-    c = docs.filter(F.length("text") >= SPAN_LEN)
     from pyspark.sql import Window
 
-    wins = c.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - (SPAN_LEN - 1), F.lit(SPAN_STRIDE))
-        ).alias("i"),
-        "text",
-    ).select("doc_id", fast_hash64(F.expr(f"substring(text, i, {SPAN_LEN})")).alias("h"))
+    c = docs.filter(F.length("text") >= SPAN_LEN)
+    wins = _span_windows(c).select("doc_id", "h")
     # per-(doc, span-hash) dedup so a doc repeating its own span doesn't
     # inflate the cross-document count.  ONE hash(h) exchange feeds both
     # windows: a per-(h, doc) first-row marker dedups, the per-h marker sum
@@ -2207,18 +2277,12 @@ def _dup_span_sql() -> str:
 
     return f"""
 WITH {_CORPUS},
-wins AS (
-    -- unnest(generate_series(...)) in the select list: DuckDB's table-
-    -- function form can't lateral-reference the text column
-    SELECT doc_id, substring(text, CAST(i AS INT), {SPAN_LEN}) AS span
-    FROM (
-        SELECT doc_id, text,
-               unnest(generate_series(1, length(text) - {SPAN_LEN - 1}, {SPAN_STRIDE})) AS i
-        FROM corpus WHERE length(text) >= {SPAN_LEN}
-    )
-),
+docs0 AS (SELECT doc_id, text FROM corpus WHERE length(text) >= {SPAN_LEN}),
+{_WINS_WORD_ANCHOR_CTE}
 dh AS (
-    SELECT DISTINCT doc_id, {fast_hash64_duckdb('span')} AS h FROM wins
+    SELECT DISTINCT doc_id,
+           {fast_hash64_duckdb(f'substring(text, CAST(i AS INT), {SPAN_LEN})')} AS h
+    FROM wins
 ),
 freq AS (SELECT h, count(*) AS nd FROM dh GROUP BY h)
 SELECT doc_id,
@@ -2255,17 +2319,7 @@ def dup_span_extents_frame(docs: DataFrame) -> DataFrame:
     from kafka_backup_spark.functions.hashing import fast_hash64
 
     c = docs.filter(F.length("text") >= SPAN_LEN)
-    wins = c.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.length("text") - (SPAN_LEN - 1), F.lit(SPAN_STRIDE))
-        ).alias("i"),
-        "text",
-    ).select(
-        "doc_id",
-        "i",
-        fast_hash64(F.expr(f"substring(text, i, {SPAN_LEN})")).alias("h"),
-    )
+    wins = _span_windows(c)
     # cross-document collision frequency over per-doc-distinct hashes (a doc
     # repeating its own span must not count as duplication by itself) — but
     # every POSITION of a cross-doc span inside a doc is a duplicated extent.
@@ -2338,18 +2392,17 @@ def _dup_span_extents_sql() -> str:
 
     return f"""
 WITH {_CORPUS},
-docs AS (SELECT doc_id, text FROM corpus WHERE length(text) >= {SPAN_LEN}),
-wins AS (
-    SELECT doc_id, i, {fast_hash64_duckdb(f'substring(text, i, {SPAN_LEN})')} AS h
-    FROM (
-        SELECT doc_id, text,
-               CAST(unnest(generate_series(1, length(text) - {SPAN_LEN - 1}, {SPAN_STRIDE})) AS INT) AS i
-        FROM docs
-    )
+docs0 AS (SELECT doc_id, text FROM corpus WHERE length(text) >= {SPAN_LEN}),
+docs AS (SELECT * FROM docs0),
+{_WINS_WORD_ANCHOR_CTE}
+wh AS (
+    SELECT doc_id, CAST(i AS INT) AS i,
+           {fast_hash64_duckdb(f'substring(text, CAST(i AS INT), {SPAN_LEN})')} AS h
+    FROM wins
 ),
-dh AS (SELECT DISTINCT doc_id, h FROM wins),
+dh AS (SELECT DISTINCT doc_id, h FROM wh),
 freq AS (SELECT h, count(*) AS nd FROM dh GROUP BY h),
-dupw AS (SELECT w.doc_id, w.i FROM wins w JOIN freq USING (h) WHERE nd > 1),
+dupw AS (SELECT w.doc_id, w.i FROM wh w JOIN freq USING (h) WHERE nd > 1),
 isl AS (
     SELECT doc_id, i,
            CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= {SPAN_LEN}

@@ -358,3 +358,78 @@ def test_offset_asof_matches_python_reference(spark, pairs, probes):
         else:
             expect.add((t, p, x, None))
     assert expect == got
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=40, max_size=160), min_size=2, max_size=8
+    ),
+    data=st.data(),
+)
+@SET
+def test_dup_span_extents_property(spark, texts, data):
+    """Generative check of the extents pipeline on adversarial corpora: a
+    tiny alphabet makes cross-document 40-char window collisions common
+    (overlapping merges, spans at both text boundaries), and a planted
+    shared block lands at ARBITRARY misaligned offsets — the case the r7
+    content-defined anchors exist for (a fixed stride only collided when
+    alignments matched mod 16).  Oracle = the same Python reference the
+    fixture cross-check uses."""
+    import hashlib
+    from collections import defaultdict
+
+    from test_pipeline_m9 import _anchor_starts
+
+    from kafka_backup_spark.queries.pipeline import SPAN_LEN, dup_span_extents_frame
+
+    # plant one shared block into two docs at misaligned offsets
+    block = data.draw(st.text(alphabet="wxyz", min_size=120, max_size=120))
+    docs = {i: t for i, t in enumerate(texts)}
+    docs[0] = docs[0][:21] + block + docs[0][21:]
+    docs[1] = block + docs[1]
+    corpus = {d: t for d, t in docs.items() if len(t) >= SPAN_LEN}
+
+    owners = defaultdict(set)
+    for d, t in corpus.items():
+        for i in _anchor_starts(t):
+            owners[t[i : i + SPAN_LEN]].add(d)
+
+    def expected(d, t):
+        dup = [
+            i for i in _anchor_starts(t) if len(owners[t[i : i + SPAN_LEN]]) > 1
+        ]
+        merged = []
+        for i in dup:
+            s, e = i, i + SPAN_LEN - 1
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        clean = "".join(
+            t[(0 if k == 0 else merged[k - 1][1] + 1) : (merged[k][0] if k < len(merged) else len(t))]
+            for k in range(len(merged) + 1)
+        )
+        return (
+            len(merged),
+            sum(e - s + 1 for s, e in merged),
+            ";".join(f"{s + 1}-{e + 1}" for s, e in merged),
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dup_span_extents_frame(df).collect()}
+    assert set(rows) == set(corpus)
+    for d, t in corpus.items():
+        n, chars, span_str, clean_hash = expected(d, t)
+        r = rows[d]
+        assert (r["n_spans"], r["dup_chars"], r["spans"], r["clean_hash"]) == (
+            n, chars, span_str, clean_hash,
+        ), (d, t)
+    # anchors are content-defined, so the misaligned copies share interior
+    # anchor windows with high probability; when the Python oracle finds an
+    # extent, Spark must agree (the exact-match loop above already enforces
+    # equality — this pins that the scenario is usually non-trivial)
+    if expected(0, docs[0])[0] >= 1:
+        assert rows[0]["n_spans"] >= 1
