@@ -773,6 +773,43 @@ def cmd_evidence(args, doc) -> int:
     return 0
 
 
+def cmd_compact(args, _doc) -> int:
+    """Operational segment compaction (the reference's 128 MB segment
+    discipline re-applied to an incrementally-grown store).  ``--dry-run``
+    prints the greedy-prefix packing plan from the persisted manifest —
+    pure metadata, no record data touched; without it the store is
+    rewritten via :meth:`SegmentStore.compact` (write-new → swap)."""
+    spark = get_spark("cli-compact")
+    from kafka_backup_spark.manifest import compaction_plan
+
+    if args.dry_run:
+        if not args.backup_id:
+            print("compact --dry-run requires --backup-id (manifest to plan from)",
+                  file=sys.stderr)
+            return 2
+        m = ManifestStore(args.store, args.backup_id).load(spark)
+        if m is None:
+            print("no manifest found", file=sys.stderr)
+            return 1
+        plan = compaction_plan(m, args.target_bytes).orderBy(
+            "topic", "partition", "bucket"
+        )
+        rows = _rows(plan)
+        _emit({
+            "target_bytes": args.target_bytes,
+            "n_output_segments": len(rows),
+            "n_input_segments": sum(r["n_segments"] for r in rows),
+            "plan": rows,
+        })
+        return 0
+    store = SegmentStore(args.store)
+    before = store.read(spark).count()
+    store.compact(spark)
+    after = store.read(spark).count()
+    _emit({"compacted": True, "records_before": before, "records_after": after})
+    return 0 if before == after else 1
+
+
 COMMANDS = {
     "backup": cmd_backup,
     "restore": cmd_restore,
@@ -792,6 +829,7 @@ COMMANDS = {
     "metrics-runtime": cmd_metrics_runtime,
     "corpus": cmd_corpus,
     "catalog": cmd_catalog,
+    "compact": cmd_compact,
 }
 
 # commands that inspect local files only — no segment/manifest store needed
@@ -813,6 +851,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sign-key", help="evidence: ECDSA P-256 private key PEM path")
     ap.add_argument("--pdf", help="evidence: also render the report as PDF to this path")
     ap.add_argument("--watch", action="store_true", help="status: live polling mode")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="compact: print the packing plan from the manifest, touch nothing")
+    ap.add_argument("--target-bytes", type=int, default=128 << 20,
+                    help="compact --dry-run: output segment size target (default 128 MB)")
     ap.add_argument("--interval", type=float, default=2.0, help="status --watch: seconds between ticks")
     ap.add_argument("--iterations", type=int, default=2**31, help="status --watch / metrics-runtime: tick count (tests use small values)")
     ap.add_argument("--port", type=int, default=0, help="metrics-runtime: bind port (0 = ephemeral)")

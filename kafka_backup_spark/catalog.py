@@ -135,6 +135,9 @@ _BEYOND_WINDOW = {
     #   topic_glob_filter; anti-join shape held by checked resume_anti_join
     "reset_percentiles",  # A10: exact-percentile machinery also gated by
     #   checked quality_quantile_filter; rollup pytest-pinned
+    # r7-born tail entries (selfcheck-gated; next rotation's candidates):
+    "compaction_plan",  # greedy-prefix packing twin of checked
+    #   sequence_packing; manifest rollup twin of checked manifest_build
 }
 _FIRST = [
     *(n for n in CORE_QUERIES if n not in _BEYOND_WINDOW),

@@ -88,6 +88,37 @@ def manifest_totals(manifest: DataFrame) -> DataFrame:
     )
 
 
+def compaction_plan(manifest: DataFrame, target_bytes: int) -> DataFrame:
+    """Dry-run for :meth:`SegmentStore.compact`: greedy-prefix bin packing
+    of each partition's offset-ordered segments into ~``target_bytes``
+    output files.  Bucket = (cumulative compressed bytes BEFORE this
+    segment) div target — the same deterministic two-level prefix-sum shape
+    as sequence packing, so a bucket only exceeds the target by the one
+    boundary-crossing segment.  Pure manifest metadata (no data read):
+    at 100 TB the plan is millions of rows of rollup, never record data."""
+    w = (
+        Window.partitionBy("topic", "partition")
+        .orderBy("start_offset")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("compressed_size").over(w), F.lit(0))
+    # integer `div`, not float floor: exact on longs past 2^53 (the same
+    # exactness discipline as the fixed-point money aggregates)
+    return (
+        manifest.withColumn("_cb", before)
+        .withColumn("bucket", F.expr(f"_cb div {target_bytes}"))
+        .drop("_cb")
+        .groupBy("topic", "partition", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("compressed_size").alias("bucket_bytes"),
+            F.sum("record_count").alias("n_records"),
+            F.min("start_offset").alias("start_offset"),
+            F.max("end_offset").alias("end_offset"),
+        )
+    )
+
+
 def describe(manifest: DataFrame) -> DataFrame:
     """A2: per-(topic, partition) + per-topic + global rollup
     (commands/describe.rs:48-181). ``rollup`` emits all three levels in one

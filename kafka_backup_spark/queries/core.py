@@ -155,6 +155,41 @@ FROM manifest
 """
 
 
+# fixture-scale demo target for the oracle-checked plan query; the CLI and
+# SegmentStore.compact default to the production 128 MB segment discipline
+COMPACT_TARGET_BYTES = 512
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dry-run compaction plan over the manifest fixture: greedy-prefix
+    packing of each partition's offset-ordered segments into ~512-byte
+    output buckets (fixture segments are 111-248 bytes, so partitions pack
+    2-4 segments per bucket — enough structure for the hash gate)."""
+    return mani.compaction_plan(manifest_df(spark, sf_dir), COMPACT_TARGET_BYTES)
+
+
+SQL_COMPACTION_PLAN = f"""
+WITH {RECORDS_CTE}, {manifest_cte()},
+planned AS (
+    SELECT topic, "partition", record_count, compressed_size,
+           start_offset, end_offset,
+           CAST(coalesce(sum(compressed_size) OVER (
+               PARTITION BY topic, "partition" ORDER BY start_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {COMPACT_TARGET_BYTES} AS BIGINT) AS bucket
+    FROM manifest
+)
+SELECT topic, "partition", bucket,
+       count(*) AS n_segments,
+       CAST(sum(compressed_size) AS BIGINT) AS bucket_bytes,
+       CAST(sum(record_count) AS BIGINT) AS n_records,
+       min(start_offset) AS start_offset,
+       max(end_offset) AS end_offset
+FROM planned
+GROUP BY topic, "partition", bucket
+"""
+
+
 def q_manifest_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mani.manifest_totals(manifest_df(spark, sf_dir))
 
@@ -749,6 +784,7 @@ CORE_QUERIES: dict[str, tuple] = {
     "topic_rename": (q_topic_rename, SQL_TOPIC_RENAME),
     "manifest_build": (q_manifest_build, SQL_MANIFEST_BUILD),
     "manifest_totals": (q_manifest_totals, SQL_MANIFEST_TOTALS),
+    "compaction_plan": (q_compaction_plan, SQL_COMPACTION_PLAN),
     "describe_rollup": (q_describe_rollup, SQL_DESCRIBE_ROLLUP),
     "list_summary": (q_list_summary, SQL_LIST_SUMMARY),
     "dry_run_estimate": (q_dry_run, SQL_DRY_RUN),

@@ -530,6 +530,35 @@ def test_cli_corpus_stats_cluster_balance(spark, capsys, sf_dir, tmp_path):
     assert "--embeddings-parquet" in capsys.readouterr().err
 
 
+def test_cli_compact_dry_run_and_rewrite(spark, capsys, cfg_path, store_dir, sf_dir):
+    """compact --dry-run prints the greedy-prefix packing plan from the
+    manifest (metadata only); the real mode rewrites the store losslessly
+    (record count identical, plan checked against manifest totals)."""
+    run(capsys, [
+        "backup", "--config", cfg_path, "--store", store_dir,
+        "--source-parquet", f"{sf_dir}/events.parquet",
+    ])
+    out = run(capsys, [
+        "compact", "--store", store_dir, "--backup-id", "bk-cli",
+        "--dry-run", "--target-bytes", "4096",
+    ])
+    assert out["target_bytes"] == 4096
+    assert 0 < out["n_output_segments"] <= out["n_input_segments"]
+    for r in out["plan"]:
+        assert r["n_segments"] >= 1 and r["start_offset"] <= r["end_offset"]
+        assert r["bucket_bytes"] > 0
+    # greedy prefix: buckets per partition are consecutive from 0
+    by_part: dict = {}
+    for r in out["plan"]:
+        by_part.setdefault((r["topic"], r["partition"]), []).append(r["bucket"])
+    for buckets in by_part.values():
+        assert sorted(buckets) == list(range(len(buckets)))
+
+    out2 = run(capsys, ["compact", "--store", store_dir])
+    assert out2["compacted"] is True
+    assert out2["records_before"] == out2["records_after"] > 0
+
+
 def test_catalog_list_and_explain(capsys, spark):
     rc = main(["catalog", "list"])
     assert rc == 0

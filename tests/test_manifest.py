@@ -95,3 +95,39 @@ def test_pitr_restore_window(spark, sf_dir, tmp_path):
     ).count()
     assert out.count() == expected
     assert out.filter(F.unix_millis("timestamp") < lo).count() == 0
+
+
+def test_compaction_plan_reconciles_and_packs_greedily(spark):
+    """compaction_plan invariants: bucket totals reconcile with the input
+    manifest exactly, buckets are consecutive per partition, offset ranges
+    nest without overlap, and each bucket crosses the target at most via
+    its final boundary segment (greedy prefix)."""
+    from kafka_backup_spark import manifest as mani
+
+    rows = [
+        # (topic, partition, key, start, end, s_ts, e_ts, records, unc, comp)
+        ("t", 0, f"seg-{i}", i * 100, i * 100 + 99, 0, 1, 100, 600, sz)
+        for i, sz in enumerate([300, 300, 300, 100, 700, 50, 50, 50])
+    ] + [("t", 1, "seg-x", 0, 99, 0, 1, 100, 600, 120)]
+    m = spark.createDataFrame(
+        rows,
+        "topic string, partition int, key string, start_offset long, "
+        "end_offset long, start_ts long, end_ts long, record_count long, "
+        "uncompressed_size long, compressed_size long",
+    )
+    plan = mani.compaction_plan(m, 512).collect()
+    assert sum(r["bucket_bytes"] for r in plan) == 300 * 3 + 100 + 700 + 50 * 3 + 120
+    assert sum(r["n_segments"] for r in plan) == 9
+    p0 = sorted((r for r in plan if r["partition"] == 0), key=lambda r: r["bucket"])
+    # greedy prefix with target 512 over sizes [300,300,300,100,700,50,50,50]:
+    # cum-before: 0,300,600,900,1000,1700,1750,1800 → buckets 0,0,1,1,1,3,3,3
+    assert [(r["bucket"], r["n_segments"], r["bucket_bytes"]) for r in p0] == [
+        (0, 2, 600), (1, 3, 1100), (3, 3, 150),
+    ]
+    # offset ranges are disjoint and ordered per partition
+    spans = [(r["start_offset"], r["end_offset"]) for r in p0]
+    assert spans == sorted(spans) and all(
+        a[1] < b[0] for a, b in zip(spans, spans[1:])
+    )
+    p1 = [r for r in plan if r["partition"] == 1]
+    assert [(r["bucket"], r["n_segments"]) for r in p1] == [(0, 1)]
