@@ -436,8 +436,16 @@ def cmd_corpus(args, _doc) -> int:
             from kafka_backup_spark.queries.pipeline import dup_span_extents_frame
 
             ext = dup_span_extents_frame(
-                store.read_corpus(spark).select("doc_id", "text")
+                store.read_corpus(spark).select("doc_id", "text"),
+                with_clean_text=bool(args.write_clean),
             )
+            if args.write_clean:
+                # materialize the excision (the Lee et al. pipeline's real
+                # output): cleaned corpus parquet, spans removed
+                ext.select("doc_id", "n_spans", "dup_chars", "clean_text").write.mode(
+                    "overwrite"
+                ).parquet(args.write_clean)
+                ext = ext.drop("clean_text")
             summary = ext.agg(
                 F.count(F.lit(1)).alias("n_docs"),
                 F.sum((F.col("n_spans") > 0).cast("long")).alias("docs_with_dup_spans"),
@@ -879,6 +887,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="corpus stats: semantic cluster-balance rollup over --embeddings-parquet")
     ap.add_argument("--embeddings-parquet",
                     help="corpus stats --cluster-balance: parquet with (vec_id, embedding[, label])")
+    ap.add_argument("--write-clean",
+                    help="corpus stats --dup-spans: also write the span-excised corpus parquet here")
     ap.add_argument("--query", help="catalog explain: catalog query name")
     # no machine-specific absolute default (ADVICE r6): on another host that
     # path silently points nowhere and dies with an opaque parquet error.

@@ -2311,9 +2311,13 @@ SQL_DUP_SPAN_FRACTION = _dup_span_sql()
 # corpus — no UDFs, no driver loops; survives 100 TB.
 
 
-def dup_span_extents_frame(docs: DataFrame) -> DataFrame:
+def dup_span_extents_frame(docs: DataFrame, with_clean_text: bool = False) -> DataFrame:
     """Merged duplicated-span extents + excision hash over any
-    (doc_id, text) frame — shared by the catalog query and the CLI."""
+    (doc_id, text) frame — shared by the catalog query and the CLI.
+    ``with_clean_text=True`` additionally materializes the excised text
+    itself (the Lee et al. pipeline's actual output) — used by the CLI's
+    ``--write-clean`` path; the catalog twin ships only the md5 so the
+    driver hash compare stays narrow."""
     from pyspark.sql import Window
 
     from kafka_backup_spark.functions.hashing import fast_hash64
@@ -2374,13 +2378,16 @@ def dup_span_extents_frame(docs: DataFrame) -> DataFrame:
                             - IF(k = 1, 1, element_at(ee, k - 1) + 1) + 1,
                             0))), ''))"""
     )
-    return joined.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
         F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias("dup_chars"),
         span_str.alias("spans"),
         F.md5(clean.cast("binary")).alias("clean_hash"),
-    )
+    ]
+    if with_clean_text:
+        cols.append(clean.alias("clean_text"))
+    return joined.select(*cols)
 
 
 def q_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:

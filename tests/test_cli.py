@@ -508,6 +508,25 @@ def test_cli_corpus_stats_dup_spans(spark, capsys, tmp_path):
     assert len(out["top_docs"]) == 2
     assert all(t["spans"] and t["clean_hash"] for t in out["top_docs"])
 
+    # --write-clean materializes the excision: cleaned parquet, spans gone
+    clean_path = str(tmp_path / "clean.parquet")
+    out2 = run(capsys, [
+        "corpus", "stats", "--store", root, "--dup-spans",
+        "--write-clean", clean_path,
+    ])
+    assert out2["dup_spans"] == s  # identical summary either way
+    cleaned = {
+        r["doc_id"]: r for r in spark.read.parquet(clean_path).collect()
+    }
+    assert len(cleaned) == 3
+    import hashlib
+
+    by_id = {t["doc_id"]: t for t in out2["top_docs"]}
+    for d, r in cleaned.items():
+        assert base not in r["clean_text"]  # the shared block is excised
+        if d in by_id:  # clean_text hashes to the reported clean_hash
+            assert hashlib.md5(r["clean_text"].encode()).hexdigest() == by_id[d]["clean_hash"]
+
 
 def test_cli_corpus_stats_cluster_balance(spark, capsys, sf_dir, tmp_path):
     """corpus stats --cluster-balance: rollup over a user-supplied
