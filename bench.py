@@ -69,6 +69,7 @@ HEADLINE = [
     "tpch_q21_sole_returns",
     "leakage_safe_split",
     "ann_recall",
+    "compaction_plan",
 ]
 
 

@@ -433,3 +433,45 @@ def test_dup_span_extents_property(spark, texts, data):
     # equality — this pins that the scenario is usually non-trivial)
     if expected(0, docs[0])[0] >= 1:
         assert rows[0]["n_spans"] >= 1
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=2000), min_size=1, max_size=40),
+    target=st.integers(min_value=1, max_value=1500),
+)
+@SET
+def test_compaction_plan_matches_greedy_reference(spark, sizes, target):
+    """Generative check of the greedy-prefix packing against a pure-Python
+    reference: bucket assignment, per-bucket totals, and offset ranges must
+    match for arbitrary segment-size sequences and targets (including
+    oversized single segments and target=1)."""
+    from kafka_backup_spark import manifest as mani
+
+    rows = [
+        ("t", 0, f"s{i}", i * 10, i * 10 + 9, 0, 1, 10, sz * 2, sz)
+        for i, sz in enumerate(sizes)
+    ]
+    m = spark.createDataFrame(
+        rows,
+        "topic string, partition int, key string, start_offset long, "
+        "end_offset long, start_ts long, end_ts long, record_count long, "
+        "uncompressed_size long, compressed_size long",
+    )
+    got = {
+        r["bucket"]: (r["n_segments"], r["bucket_bytes"], r["start_offset"], r["end_offset"])
+        for r in mani.compaction_plan(m, target).collect()
+    }
+    # python reference: bucket = cumulative-before // target
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0, None, None])
+    cum = 0
+    for i, sz in enumerate(sizes):
+        b = cum // target
+        w = want[b]
+        w[0] += 1
+        w[1] += sz
+        w[2] = i * 10 if w[2] is None else w[2]
+        w[3] = i * 10 + 9
+        cum += sz
+    assert got == {b: tuple(w) for b, w in want.items()}
