@@ -83,6 +83,44 @@ def test_tpch_q5_uses_broadcast_joins_only(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_tpch_streamed_scans_prune_lineitem_columns(spark, monkeypatch):
+    """Blanket pruning audit for every TPC-H catalog entry on the STREAMED
+    path (pin gate forced off, so the parquet scans are visible): each
+    lineitem scan's ReadSchema must exclude the wide columns the query
+    doesn't touch — a scan reading all 11 lineitem columns for a 4-column
+    query would multiply 100-TB scan bytes by ~3×."""
+    from kafka_backup_spark.queries import common, pipeline
+
+    monkeypatch.setattr(common, "_HOT_TABLE_MAX_BYTES", 1)
+    # fresh views: the memo may hold pinned-path views from other tests
+    for k in [k for k in pipeline._VIEWS]:
+        pipeline._VIEWS.pop(k, None)
+    try:
+        tpch = [n for n in catalog.ALL_QUERIES if n.startswith("tpch_")]
+        assert len(tpch) >= 12
+        qs = catalog.queries()
+        catalog.release_plan_cache(spark)
+        for name in tpch:
+            plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
+            li_scans = [
+                l for l in plan.splitlines()
+                if "ReadSchema" in l and "l_orderkey" in l or
+                   ("ReadSchema" in l and "l_suppkey" in l)
+            ]
+            if not li_scans:  # query doesn't read lineitem (q13/q22)
+                continue
+            for line in li_scans:
+                ncols = line.count(":")  # struct<a:long,b:double,...>
+                assert ncols <= 8, (name, line)
+                # the unused payload columns never survive to the scan
+                if name in ("tpch_q1_pricing", "tpch_q6_forecast"):
+                    assert "l_partkey" not in line, name
+    finally:
+        for k in [k for k in pipeline._VIEWS]:
+            pipeline._VIEWS.pop(k, None)
+        catalog.release_plan_cache(spark)
+
+
 def test_hashing_paths_have_no_python_udfs(spark):
     qs = catalog.queries()
     for name in ("minhash_signatures", "lsh_candidates", "simhash", "dedup_exact",
