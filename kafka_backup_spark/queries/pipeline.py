@@ -1860,12 +1860,12 @@ SQL_TPCH_Q22 = _Q22_BODY
 # hash shuffle plus one group join, scale-safe at 100 TB.
 
 
-def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def leakage_safe_split_frame(docs: DataFrame) -> DataFrame:
+    """Split rollup over any (doc_id, text) frame — factored so the
+    generative property test drives the exact shipped expressions."""
     from kafka_backup_spark.functions.hashing import fast_hash64
 
-    g = _corpus(spark, sf_dir).select(
-        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
-    )
+    g = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
     canon = g.groupBy("h").agg(F.min("doc_id").alias("gid"))
     b = F.pmod(fast_hash64(F.col("gid").cast("string")), F.lit(100))
     split = (
@@ -1880,6 +1880,10 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("gid").alias("n_groups"),
         )
     )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return leakage_safe_split_frame(_corpus(spark, sf_dir))
 
 
 def _leakage_safe_split_sql() -> str:

@@ -475,3 +475,50 @@ def test_compaction_plan_matches_greedy_reference(spark, sizes, target):
         w[3] = i * 10 + 9
         cum += sz
     assert got == {b: tuple(w) for b, w in want.items()}
+
+
+@given(
+    texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=15),
+    dups=st.lists(st.integers(min_value=0, max_value=14), max_size=10),
+)
+@SET
+def test_leakage_safe_split_property(spark, texts, dups):
+    """Generative invariant for the dedup-aware split: for arbitrary corpora
+    with arbitrary planted duplicates, (a) every document appears exactly
+    once across splits, (b) per-split group counts sum to the global
+    distinct-content count (no group straddles a boundary), and (c) the
+    split of each group matches the Python recomputation of the bucket
+    rule."""
+    import hashlib
+
+    from kafka_backup_spark.queries.pipeline import leakage_safe_split_frame
+
+    docs = {i: t for i, t in enumerate(texts)}
+    base = len(texts)
+    for n, src in enumerate(d for d in dups if d < len(texts)):
+        docs[base + n] = texts[src]  # planted duplicate at a new doc_id
+
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    rows = leakage_safe_split_frame(df).collect()
+    # python reference of the same rule
+    groups: dict[str, int] = {}
+    for d in sorted(docs):
+        groups.setdefault(hashlib.md5(docs[d].encode()).hexdigest(), d)
+    def py_split(gid: int) -> str:
+        hv = int.from_bytes(hashlib.md5(str(gid).encode()).digest()[8:15], "big") % 100
+        return "train" if hv < 98 else ("val" if hv == 98 else "test")
+    want_docs: dict[str, int] = {}
+    want_groups: dict[str, set] = {}
+    for d in docs:
+        gid = groups[hashlib.md5(docs[d].encode()).hexdigest()]
+        s = py_split(gid)
+        want_docs[s] = want_docs.get(s, 0) + 1
+        want_groups.setdefault(s, set()).add(gid)
+    assert {r["split"]: r["n_docs"] for r in rows} == want_docs
+    assert {r["split"]: r["n_groups"] for r in rows} == {
+        s: len(v) for s, v in want_groups.items()
+    }
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    assert sum(r["n_groups"] for r in rows) == len(groups)
