@@ -70,6 +70,7 @@ HEADLINE = [
     "leakage_safe_split",
     "ann_recall",
     "compaction_plan",
+    "dup_membership",
 ]
 
 

@@ -1581,6 +1581,48 @@ def _lss_labels(
     )
 
 
+def q_dup_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cluster membership + keep/drop flag — the ACTIONABLE
+    form of ``dup_clusters``: the rollup tells you cluster sizes, this
+    tells you exactly which doc_ids to delete (keep = the component-min
+    canonical).  Shares the persisted edge frame with dup_clusters (same
+    tag), so running both costs one edge build."""
+    pairs = q_near_dup_pipeline(spark, sf_dir).select("doc_a", "doc_b")
+    a, b = pairs.columns[0], pairs.columns[1]
+    edges = _tagged_persist(
+        spark,
+        f"dupc_edges:{sf_dir}",  # deliberately the dup_clusters tag
+        pairs.union(pairs.select(F.col(b), F.col(a))).toDF("s", "d"),
+    )
+    labels = _lss_labels(spark, edges)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("keep"),
+    )
+
+
+def _dup_membership_sql() -> str:
+    return f"""
+WITH RECURSIVE p AS (
+    SELECT doc_a, doc_b FROM ({SQL_NEAR_DUP_PIPELINE})
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM p
+          UNION ALL SELECT doc_b AS s, doc_a AS d FROM p),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node AS r FROM nodes
+    UNION
+    SELECT e.d AS node, r.r FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id, (node = min(r)) AS keep
+FROM reach GROUP BY node
+"""
+
+
+SQL_DUP_MEMBERSHIP = _dup_membership_sql()
+
+
 def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup groups: connected components over the verified
     embedding near-dup pairs (the ANN twin of ``dup_clusters``) — the
@@ -1708,4 +1750,6 @@ TEXTOPS_QUERIES: dict[str, tuple] = {
     "cluster_balance": (q_cluster_balance, SQL_CLUSTER_BALANCE),
     # r7: recall@k of the IVF index vs the exact-cosine ground truth
     "ann_recall": (q_ann_recall, SQL_ANN_RECALL),
+    # r7: per-doc keep/drop membership (the actionable dedup output)
+    "dup_membership": (q_dup_membership, SQL_DUP_MEMBERSHIP),
 }

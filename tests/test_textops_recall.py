@@ -247,3 +247,27 @@ def test_cluster_balance_partitions_the_corpus(spark, sf_dir):
         assert 0 < r["purity_ppm"] <= 1_000_000
         assert r["majority_label"] in labels
         assert r["n_vectors"] >= 1
+
+
+def test_dup_membership_keeps_exactly_one_per_cluster(spark, sf_dir):
+    """The keep/drop flags are the actionable dedup output: exactly one
+    keep per cluster (the component-min), membership reconciles with the
+    dup_clusters rollup, and every planted copy (doc_id >= 1e6) is
+    DROPPED (its original has the smaller id)."""
+    from collections import Counter
+
+    from kafka_backup_spark import catalog
+
+    rows = catalog.queries()["dup_membership"](spark, sf_dir).collect()
+    clusters = {
+        r["cluster_id"]: r
+        for r in catalog.queries()["dup_clusters"](spark, sf_dir).collect()
+    }
+    sizes = Counter(r["cluster_id"] for r in rows)
+    assert dict(sizes) == {c: r["n_members"] for c, r in clusters.items()}
+    keeps = [r for r in rows if r["keep"]]
+    assert len(keeps) == len(clusters)
+    assert all(r["doc_id"] == r["cluster_id"] for r in keeps)
+    assert all(r["doc_id"] >= r["cluster_id"] for r in rows)
+    planted = [r for r in rows if r["doc_id"] >= 1_000_000]
+    assert planted and all(not r["keep"] for r in planted)
