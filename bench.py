@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -138,16 +139,26 @@ def main() -> int:
     floor = round(floor, 3)
 
     spread_doc, summary_doc = build_output(timings, spreads, floor, sf, repeats)
-    spread_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_spreads.json")
     try:
-        with open(spread_path, "w") as fh:
+        with open(spreads_path(), "w") as fh:
             json.dump(spread_doc, fh)
     except OSError:
-        pass  # read-only checkout: the stdout line below still carries them
+        pass  # unwritable target: the stdout line below still carries them
     print(json.dumps(spread_doc))
     print(json.dumps(summary_doc))
     spark.stop()
     return 0
+
+
+def spreads_path() -> str:
+    """Side-file location for the per-repeat spreads.  Defaults OUTSIDE the
+    checkout (ADVICE r7: writing next to the script dirtied the git tree on
+    every run); $SPARK_GRAFT_SPREADS_PATH overrides, and oracle_bench.py
+    reads the same resolver so the fallback stays in lockstep."""
+    return os.environ.get(
+        "SPARK_GRAFT_SPREADS_PATH",
+        os.path.join(tempfile.gettempdir(), "kbs_bench_spreads.json"),
+    )
 
 
 def build_output(

@@ -424,10 +424,18 @@ def cmd_corpus(args, _doc) -> int:
             _emit({"cluster_balance": _rows(rollup), "n_vectors": n})
             return 0
         if not _os.path.isdir(store.corpus_path()):
-            # never-written store: no corpus dir yet — empty rollup, not a
+            # never-written store: no corpus dir yet — empty document in the
+            # SHAPE the caller asked for (ADVICE r7: a --dup-spans caller
+            # expects the dup_spans document, not the stats rollup), not a
             # traceback.  (Only this case; a real read failure on an
             # existing corpus must surface, not exit 0 with empty stats.)
-            _emit({"stats": []})
+            if getattr(args, "dup_spans", False):
+                _emit({
+                    "dup_spans": {"n_docs": 0, "docs_with_dup_spans": 0, "dup_chars": 0},
+                    "top_docs": [],
+                })
+            else:
+                _emit({"stats": []})
             return 0
         if getattr(args, "dup_spans", False):
             # duplicated-span extents over the stored corpus (M10b): summary

@@ -353,6 +353,15 @@ def q_asof_offset_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ASOF_OFFSET_LOOKUP = f"""
 WITH {RECORDS_CTE}, {MAPPING_CTE},
+mapping_d AS (
+    -- tie-break mirror of lookup_target_offsets (ADVICE r7): the Spark side
+    -- totally orders duplicate-source mapping rows so the running `last`
+    -- yields the MAX target among (topic, partition, source_offset) ties;
+    -- a plain ASOF JOIN would pick an arbitrary duplicate, so pre-dedup to
+    -- the same argmax before the as-of scan
+    SELECT topic, "partition", source_offset, max(target_offset) AS target_offset
+    FROM mapping GROUP BY topic, "partition", source_offset
+),
 probes AS (
     SELECT topic, "partition", "offset" + 3 AS source_offset
     FROM records WHERE "offset" % 7 = 0
@@ -360,7 +369,7 @@ probes AS (
 SELECT p.topic, p."partition", p.source_offset,
        m.target_offset + (p.source_offset - m.source_offset) AS target_offset
 FROM probes p
-ASOF LEFT JOIN mapping m
+ASOF LEFT JOIN mapping_d m
   ON p.topic = m.topic AND p."partition" = m."partition"
  AND p.source_offset >= m.source_offset
 """

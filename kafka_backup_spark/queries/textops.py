@@ -1706,7 +1706,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_probes",
             "n_true",
             "n_hit",
-            F.expr("(n_hit * 1000000) div n_true").alias("recall_ppm"),
+            # n_true = 0 guard (ADVICE r7): on an empty probe set Spark's div
+            # yields NULL but DuckDB's // errors — pin 0 identically on both
+            F.expr(
+                "CASE WHEN n_true = 0 THEN 0 ELSE (n_hit * 1000000) div n_true END"
+            ).alias("recall_ppm"),
         )
     )
 
@@ -1717,7 +1721,8 @@ def _ann_recall_sql() -> str:
     return f"""
 WITH bf AS (SELECT probe_id, neighbor_id FROM ({SQL_COSINE_TOPK})),
 iv AS (SELECT probe_id, neighbor_id FROM ({SQL_IVF_TOPK}))
-SELECT n_probes, n_true, n_hit, (n_hit * 1000000) // n_true AS recall_ppm
+SELECT n_probes, n_true, n_hit,
+       CASE WHEN n_true = 0 THEN 0 ELSE (n_hit * 1000000) // n_true END AS recall_ppm
 FROM (
     SELECT CAST(count(DISTINCT bf.probe_id) AS BIGINT) AS n_probes,
            CAST(count(*) AS BIGINT) AS n_true,

@@ -54,8 +54,15 @@ def resolve_storage_path(path: str) -> tuple[str, dict[str, str]]:
         # FS built under store A's creds keeps serving after store B's conf
         # lands).  Azure keys are already per-account-host; GCS has no
         # per-bucket spelling — see the gs arm's single-keyfile note.
+        # DOTTED bucket names (ADVICE r7): Hadoop parses the per-bucket token
+        # up to the next '.', so fs.s3a.bucket.my.backups.prod.endpoint would
+        # scope to bucket "my" and silently misapply — fall back to the
+        # global fs.s3a.* namespace for such buckets (correct, but process-
+        # global like the GCS keyfile: one dotted-bucket store per process).
+        dotted = "." in bucket
+
         def _bk(opt: str) -> str:
-            return f"fs.s3a.bucket.{bucket}.{opt}"
+            return f"fs.s3a.{opt}" if dotted else f"fs.s3a.bucket.{bucket}.{opt}"
 
         if "region" in q:
             conf[_bk("endpoint.region")] = q["region"]

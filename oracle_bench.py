@@ -89,10 +89,15 @@ def main() -> int:
     spark_spreads = bench.get("repeat_times", {})
     if not spark_spreads:
         # r7 bench.py moves spreads to a side file so the driver's tail
-        # capture can parse the compact summary line (VERDICT r6 #1)
-        side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_spreads.json")
+        # capture can parse the compact summary line (VERDICT r6 #1); r8
+        # parks the file outside the checkout — share bench's resolver so
+        # the fallback always reads the path bench actually wrote
+        import bench as _bench
+
         try:
-            spark_spreads = json.load(open(side)).get("repeat_times", {})
+            spark_spreads = json.load(open(_bench.spreads_path())).get(
+                "repeat_times", {}
+            )
         except (OSError, ValueError):
             pass
     print(
