@@ -2017,10 +2017,19 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes the global max in the same pass; its input is the
     # POST-aggregation frame — one narrow row per distinct supplier, the
     # same cardinality any engine must funnel to one place for a global
-    # argmax — never fact rows.
+    # argmax — never fact rows; max over the unbounded frame needs no sort.
+    # PINNED NEGATIVE RESULT (VERDICT r7 #4): the broadcast scalar-max join
+    # (rev ⋈ broadcast(rev.agg(max))) was built and A/B-measured — 0.66 s
+    # vs 0.36 s for the window at sf0.1, min-of-5 one session — because the
+    # rev aggregation executes twice (exchange reuse does not materialize
+    # across the agg/probe branch shapes on the bench write path, even with
+    # the join's isnotnull null-filter mirrored onto both branches).  The
+    # partitionless window is therefore deliberate and whitelisted in
+    # test_plan_quality's partitionless-window audit; revisit only if the
+    # per-supplier cardinality ever approaches fact-row scale.
+    _view(spark, sf_dir, "supplier", "lineitem")
     from pyspark.sql import Window
 
-    _view(spark, sf_dir, "supplier", "lineitem")
     li = spark.table("lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))

@@ -592,8 +592,22 @@ def test_all_catalog_plans_are_hygienic(spark):
     tiny probe set), kept brute-force so the approximate path has an exact
     yardstick — SCALE.md documents it as non-scale-path.  ann_recall
     embeds that same baseline as its ground-truth side (a recall
-    evaluation NEEDS the exact answer), so it inherits the allowance."""
+    evaluation NEEDS the exact answer), so it inherits the allowance.
+
+    Partitionless windows (Window.partitionBy() — every row funneled to a
+    single partition) are flagged too (VERDICT r7 #4).  The allowed
+    exceptions all run their window over a POST-AGGREGATION frame whose
+    cardinality is the group-key domain, never fact rows: tpch_q15 (one row
+    per supplier; the broadcast scalar-max alternative was A/B-measured ~2×
+    slower at sf0.1 because the rev aggregation executes twice — negative
+    result pinned in the q15 docstring) and the two mixture rollups (one
+    row per source; the normalizing sum must see every source)."""
     allowed_cartesian = {"cosine_topk", "ann_recall"}
+    allowed_partitionless_window = {
+        "tpch_q15_top_supplier",
+        "mixture_weights",
+        "filtered_mixture",
+    }
     sf = "/root/testdata/sf0.001"
     offenders = {}
     for name, fn in catalog.queries().items():
@@ -603,6 +617,11 @@ def test_all_catalog_plans_are_hygienic(spark):
             flags.append("row-python")
         if ("Join Cross" in plan or "CartesianProduct" in plan) and name not in allowed_cartesian:
             flags.append("cartesian")
+        if (
+            "windowspecdefinition(specifiedwindowframe" in plan
+            and name not in allowed_partitionless_window
+        ):
+            flags.append("partitionless-window")
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
