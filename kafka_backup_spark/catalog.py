@@ -29,45 +29,45 @@ _MERGED: dict[str, tuple] = {
 _CHECKED_LLM = [
     "dedup_exact",
     "contamination_check",
-    "minhash_signatures",
-    "lsh_candidates",
     "near_dup_pipeline",
     "simhash",
     "text_analysis",
     "embedding_near_dup",
     "ivf_topk",
-    # M8 training-pipeline five, driver-gated per VERDICT r3 #2:
-    "sequence_packing",
     "pii_redaction",
-    "ngram_topk",
-    "mixture_weights",
-    "incremental_dedup",
     # M9 representatives, driver-gated per VERDICT r4 #3:
     "repetition_metrics",  # Gopher-quality repetition filters — the staple
     "dup_clusters",  # connected components — the only graph-shaped operator
-    # M9 tail + semantic dedup, driver-gated per VERDICT r5 #3 (the seven
-    # entries that had never produced a green driver row):
-    "token_histogram",
+    # M9 tail + semantic dedup, driver-gated per VERDICT r5 #3:
     "filtered_mixture",
     "vocab_coverage",
     "packing_efficiency",
     "token_budget_selection",
     "quality_quantile_filter",
-    "embedding_dup_clusters",
-    # M10 + r6 join shapes, driver-gated per VERDICT r6 #1 (the four entries
-    # that had never produced a green driver row):
-    "dup_span_fraction",  # Lee et al. exact-substring dedup signal
+    # M10 + r6 join shapes, driver-gated per VERDICT r6 #1:
     "cluster_balance",  # semantic cluster-balance over the shared IVF index
     "tpch_q13_order_dist",  # LEFT OUTER with ON-clause filter + histogram
     "tpch_q22_dormant_balance",  # scalar subquery + correlated NOT EXISTS
-    # r7-born operators, gated the round they land (the builder's own
-    # displacement discipline): the M10b extents flagship, the two new
-    # pipeline capabilities, and the hardest of the six new join shapes
-    # (the other five TPC-H shapes stay selfcheck+bench-gated in the tail):
+    # r7-born operators, gated the round they land:
     "dup_span_extents",  # merged extents + excision proof
     "leakage_safe_split",  # dedup-aware split, groups never cross
     "ann_recall",  # IVF recall@k vs exact ground truth
     "tpch_q21_sole_returns",  # double-correlated EXISTS / NOT EXISTS
+    # r8 rotation (VERDICT r7 #1): the 12 catalog entries that had NEVER
+    # produced a driver CORRECTNESS row — after this window every one of
+    # the 102 queries has a driver-hash proof.  Nine TPC-H shapes
+    # (r3-era q4/q12/q14/q19 plus the r7-born five), the compaction plan
+    # and offset-gap scan (via CORE/EXTRA below), and dup_membership:
+    "tpch_q4_exists",
+    "tpch_q12_priority_lines",
+    "tpch_q14_promo",
+    "tpch_q19_disjunctive",
+    "tpch_q7_nation_volume",
+    "tpch_q9_profit",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty",
+    "dup_membership",  # per-doc keep/drop flags over the shared edge frame
 ]
 # past-the-window by choice: redundant with a checked entry's semantics.
 # Displaced in r3 for the three pipeline staples (VERDICT r2 #2):
@@ -90,7 +90,6 @@ _CHECKED_LLM = [
 #                          through the same filters.topic_filter code path
 # All stay in the catalog tail, so selfcheck still verifies every one.
 _BEYOND_WINDOW = {
-    "offset_gap_scan",  # lag-window twin; integrity_scan holds the A11 slot
     "scalar_hashes",
     "dedup_records",
     "topk_events",
@@ -135,9 +134,33 @@ _BEYOND_WINDOW = {
     #   topic_glob_filter; anti-join shape held by checked resume_anti_join
     "reset_percentiles",  # A10: exact-percentile machinery also gated by
     #   checked quality_quantile_filter; rollup pytest-pinned
-    # r7-born tail entries (selfcheck-gated; next rotation's candidates):
-    "compaction_plan",  # greedy-prefix packing twin of checked
-    #   sequence_packing; manifest rollup twin of checked manifest_build
+    # Displaced in r8 for the 12 never-driver-checked entries (VERDICT r7
+    # #1 — compaction_plan and offset_gap_scan REJOIN the window from here;
+    # these 12 leave it).  Every one is r7 driver-green and keeps a checked
+    # twin gating its shape:
+    "minhash_signatures",  # band chain fully embedded in checked
+    #   near_dup_pipeline (one _bands_cte_chain definition on both engines)
+    "lsh_candidates",  # same — the checked pipeline IS candidates+verify
+    "sequence_packing",  # prefix-sum bucketing twin of checked
+    #   packing_efficiency AND the newly checked compaction_plan
+    "mixture_weights",  # per-source rollup twin of checked filtered_mixture
+    "ngram_topk",  # n-gram extraction gated by checked vocab_coverage;
+    #   TakeOrdered shape by checked describe_rollup / TPC-H sorts
+    "token_histogram",  # bucketed histogram agg, same shape as checked
+    #   tpch_q13_order_dist; token counting inside checked text_analysis
+    "embedding_dup_clusters",  # LSS connected components — one code path
+    #   with checked dup_clusters (textops._lss); ANN candidates gated by
+    #   checked embedding_near_dup
+    "dup_span_fraction",  # span family gated by checked dup_span_extents
+    #   (same _span_windows + persisted dedup; fraction is the subset rollup)
+    "timestamp_asof",  # J2 twin of checked asof_offset_lookup — same
+    #   union-window machinery in operators/asof.py
+    "manifest_merge",  # U1/J6 union-dedupe twin of checked manifest_build;
+    #   merge-on-write path pytest-pinned in test_manifest.py
+    "validation_message_count",  # A4 composed verbatim into checked
+    #   validation_summary (same manifest⋈watermark join)
+    "incremental_dedup",  # anti-join shape gated by checked
+    #   resume_anti_join; fingerprint dedup by checked dedup_exact
 }
 _FIRST = [
     *(n for n in CORE_QUERIES if n not in _BEYOND_WINDOW),
