@@ -88,20 +88,29 @@ def manifest_totals(manifest: DataFrame) -> DataFrame:
     )
 
 
-def compaction_plan(manifest: DataFrame, target_bytes: int) -> DataFrame:
+def compaction_plan(
+    manifest: DataFrame, target_bytes: int, size_col: str = "compressed_size"
+) -> DataFrame:
     """Dry-run for :meth:`SegmentStore.compact`: greedy-prefix bin packing
     of each partition's offset-ordered segments into ~``target_bytes``
     output files.  Bucket = (cumulative compressed bytes BEFORE this
     segment) div target — the same deterministic two-level prefix-sum shape
     as sequence packing, so a bucket only exceeds the target by the one
     boundary-crossing segment.  Pure manifest metadata (no data read):
-    at 100 TB the plan is millions of rows of rollup, never record data."""
+    at 100 TB the plan is millions of rows of rollup, never record data.
+
+    ``size_col`` selects the packing axis: bytes for capacity planning (the
+    catalog/CLI default), ``record_count`` to predict the exact file layout
+    :meth:`SegmentStore.compact` produces with ``maxRecordsPerFile`` — in
+    the many-tiny-segments regime compaction exists for, the plan's buckets
+    and the executed layout coincide file-for-file
+    (test_compact_metrics.py::test_compaction_plan_matches_executed_layout)."""
     w = (
         Window.partitionBy("topic", "partition")
         .orderBy("start_offset")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum("compressed_size").over(w), F.lit(0))
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
     # integer `div`, not float floor: exact on longs past 2^53 (the same
     # exactness discipline as the fixed-point money aggregates)
     return (

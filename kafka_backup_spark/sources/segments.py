@@ -149,7 +149,13 @@ class SegmentStore:
             # one shuffle so each (topic, partition) is written by one task →
             # no small-file explosion at 1000 executors
             .repartition("topic", "partition")
-            .sortWithinPartitions("offset")
+            # sort by the PARTITION COLUMNS first, then offset: the dynamic
+            # partition writer requires ordering on its partition columns and
+            # inserts its own NON-STABLE sort when the child doesn't provide
+            # it — a bare offset sort was silently destroyed, leaving files
+            # offset-shuffled within each partition dir (caught by the
+            # compaction plan→execution parity test)
+            .sortWithinPartitions("topic", "partition", "offset")
             .write.option("maxRecordsPerFile", max_records_per_file)
         )
         if compression is not None:
@@ -272,7 +278,7 @@ class SegmentStore:
         tmp_root = f"{self.root}/.compact-tmp"
         (
             current.repartition("topic", "partition")
-            .sortWithinPartitions("offset")
+            .sortWithinPartitions("topic", "partition", "offset")
             .write.option("maxRecordsPerFile", max_records_per_file)
             .partitionBy("topic", "partition")
             .mode("overwrite")

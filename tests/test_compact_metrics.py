@@ -73,3 +73,70 @@ def test_progress_metrics_listener(spark, sf_dir, tmp_path):
     row = throughput_summary(progress).collect()[0]
     assert row["records_total"] == records.count()
     assert row["batches"] >= 1
+
+
+def test_compaction_plan_matches_executed_layout(spark, tmp_path):
+    """VERDICT r7 #6: plan→execution parity.  Stream four incremental
+    backups of tiny uniform segments, plan compaction on the physical
+    per-file manifest (record_count axis, target = the compact call's
+    maxRecordsPerFile), execute :meth:`SegmentStore.compact`, and assert
+    the resulting file layout IS the plan's buckets — same file count,
+    record counts, and offset ranges per (topic, partition) — while the
+    manifest totals stay invariant."""
+    import datetime
+
+    from kafka_backup_spark.manifest import build_manifest, compaction_plan, manifest_totals
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (None, b"v%d" % o, t, p, o, t0 + datetime.timedelta(seconds=o), 0, None)
+        for t in ("alpha", "beta")
+        for p in (0, 1)
+        for o in range(400)
+    ]
+    records = spark.createDataFrame(rows, schema="key binary, value binary, topic string, partition int, offset long, timestamp timestamp, timestampType int, headers array<struct<key:string,value:binary>>")
+    store = SegmentStore(str(tmp_path / "store"))
+    for i in range(4):  # 4 incremental micro-batch backups of 100 offsets
+        store.write(
+            records.filter((F.col("offset") >= i * 100) & (F.col("offset") < (i + 1) * 100)),
+            max_records_per_file=100,
+        )
+
+    def phys_manifest():
+        return (
+            store.read(spark)
+            .withColumn("f", F.input_file_name())
+            .groupBy("topic", "partition", "f")
+            .agg(
+                F.min("offset").alias("start_offset"),
+                F.max("offset").alias("end_offset"),
+                F.count(F.lit(1)).alias("record_count"),
+            )
+            .withColumn("compressed_size", F.col("record_count"))
+        )
+
+    pre = phys_manifest()
+    assert pre.count() == 16  # 2 topics × 2 partitions × 4 segments
+    totals_before = manifest_totals(build_manifest(records)).collect()[0]
+
+    plan = compaction_plan(pre, 200, size_col="record_count")
+    plan_rows = {
+        (r["topic"], r["partition"], r["start_offset"]): (r["n_records"], r["end_offset"], r["n_segments"])
+        for r in plan.collect()
+    }
+    # 2 buckets per (topic, partition), each packing 2 whole segments
+    assert len(plan_rows) == 8
+    assert all(v == (200, s + 199, 2) for (t, p, s), v in plan_rows.items())
+
+    store.compact(spark, max_records_per_file=200)
+
+    post = phys_manifest()
+    layout = {
+        (r["topic"], r["partition"], r["start_offset"]): (r["record_count"], r["end_offset"])
+        for r in post.collect()
+    }
+    # executed layout == plan buckets, file for file
+    assert layout == {k: (n, e) for k, (n, e, _s) in plan_rows.items()}
+    totals_after = manifest_totals(build_manifest(store.read(spark))).collect()[0]
+    assert totals_after["total_records"] == totals_before["total_records"]
+    assert totals_after["total_segments"] == totals_before["total_segments"]

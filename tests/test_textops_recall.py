@@ -311,3 +311,19 @@ def test_lsh_bucket_cap_bounds_degenerate_corpus(spark, caplog):
     # default cap (256 > every fixture bucket): results identical to uncapped
     raw = _band_candidates(arrs.limit(0))  # smoke: empty frame doesn't warn
     assert raw.count() == 0
+
+
+def test_ann_recall_floor(spark):
+    """VERDICT r7 #5: ann_recall MEASURES recall but nothing failed when the
+    IVF index degraded.  Pin a floor at the shipped nprobe: the synthetic
+    near-uniform embeddings make this corpus an adversarially hard ANN case
+    (measured 533k ppm at sf0.001, 400k ppm at sf0.01), so the floor is set
+    with noise margin below the measured values — a broken index (wrong
+    cell assignment, empty probe list) lands at or near zero and fails
+    loudly, while legitimate geometry drift does not."""
+    from kafka_backup_spark.queries.textops import q_ann_recall
+
+    for sf_dir, floor in (("/root/testdata/sf0.001", 400_000), ("/root/testdata/sf0.01", 300_000)):
+        r = q_ann_recall(spark, sf_dir).collect()[0]
+        assert r["n_true"] > 0, sf_dir
+        assert r["recall_ppm"] >= floor, (sf_dir, r.asDict())

@@ -43,6 +43,50 @@ ASOF_QUERIES = ["asof_offset_lookup", "timestamp_asof", "group_reset_plan"]
 CLUSTER_QUERIES = ["dup_clusters", "embedding_dup_clusters", "cluster_balance"]
 
 
+def lsh_cap_recall_row(spark, tier_dir: str, factor: int) -> dict:
+    """Measured recall impact of the LSH bucket cap (VERDICT r7 #3/#4): the
+    candidate pair count with the shipped cap vs an effectively-uncapped
+    run over the same amplified corpus.  At high tiers the replicated
+    near-dup buckets exceed the cap, so retained_ppm < 1e6 is EXPECTED —
+    the number quantifies the recall a production corpus would trade for
+    the quadratic-bucket guard."""
+    from kafka_backup_spark.queries.textops import (
+        _band_candidates,
+        _shared_band_table,
+        _shared_gram_arrays,
+    )
+
+    arrs = _shared_gram_arrays(spark, tier_dir)
+    bands = _shared_band_table(spark, tier_dir)
+    capped = _band_candidates(arrs, bands).count()
+    spark.conf.set("spark.kafkaBackupSpark.lshBucketCap", "1000000000")
+    try:
+        uncapped = _band_candidates(arrs, bands).count()
+    finally:
+        spark.conf.unset("spark.kafkaBackupSpark.lshBucketCap")
+    return {
+        "tier": factor,
+        "query": "lsh_cap_recall",
+        "capped_pairs": capped,
+        "uncapped_pairs": uncapped,
+        "retained_ppm": round(capped * 1_000_000 / uncapped) if uncapped else 1_000_000,
+    }
+
+
+def ann_recall_row(spark, qs, tier_dir: str, factor: int) -> dict:
+    """recall@k of the IVF index vs exact ground truth on the amplified
+    embeddings — the quality floor the index must hold as data grows
+    (VERDICT r7 #5)."""
+    r = qs["ann_recall"](spark, tier_dir).collect()[0]
+    return {
+        "tier": factor,
+        "query": "ann_recall",
+        "n_true": r["n_true"],
+        "n_hit": r["n_hit"],
+        "recall_ppm": r["recall_ppm"],
+    }
+
+
 def amplify_events(spark, src_dir: str, factor: int, out_dir: str) -> int:
     """Replicate events with shifted event_id (offset) and ts: same topics
     and partitions, ×factor offsets/mapping-pairs per partition and an
@@ -250,6 +294,10 @@ def main() -> int:
                     }))
             finally:
                 common._HOT_TABLE_MAX_BYTES = saved
+        if "text" in fams:
+            print(json.dumps(lsh_cap_recall_row(spark, tier_dir, factor)))
+        if "cluster" in fams:
+            print(json.dumps(ann_recall_row(spark, qs, tier_dir, factor)))
         release_all(spark)
     spark.stop()
     return 0
