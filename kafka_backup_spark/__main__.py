@@ -440,13 +440,24 @@ def cmd_corpus(args, _doc) -> int:
         if getattr(args, "dup_spans", False):
             # duplicated-span extents over the stored corpus (M10b): summary
             # + the worst offenders, so an operator sees both the corpus-
-            # level contamination and where to look
+            # level contamination and where to look.  Served from the
+            # PERSISTED span index when every version has one (ingests with
+            # --excise-spans, or a store.ensure_span_index retrofit) — at
+            # corpus scale that skips re-hashing every text window; the
+            # scan fallback keeps partially-indexed stores correct.
             from kafka_backup_spark.queries.pipeline import dup_span_extents_frame
 
-            ext = dup_span_extents_frame(
-                store.read_corpus(spark).select("doc_id", "text"),
-                with_clean_text=bool(args.write_clean),
-            )
+            if store.span_index_covers():
+                source = "index"
+                ext = store.dup_span_extents_from_index(
+                    spark, with_clean_text=bool(args.write_clean)
+                )
+            else:
+                source = "scan"
+                ext = dup_span_extents_frame(
+                    store.read_corpus(spark).select("doc_id", "text"),
+                    with_clean_text=bool(args.write_clean),
+                )
             if args.write_clean:
                 # materialize the excision (the Lee et al. pipeline's real
                 # output): cleaned corpus parquet, spans removed
@@ -462,7 +473,11 @@ def cmd_corpus(args, _doc) -> int:
             top = ext.filter(F.col("n_spans") > 0).orderBy(
                 F.col("dup_chars").desc(), "doc_id"
             ).limit(10)
-            _emit({"dup_spans": summary.asDict(), "top_docs": _rows(top)})
+            _emit({
+                "dup_spans": summary.asDict(),
+                "top_docs": _rows(top),
+                "source": source,
+            })
             return 0
         corpus = store.read_corpus(spark)
         rollup = (
@@ -476,7 +491,9 @@ def cmd_corpus(args, _doc) -> int:
         _emit({"stats": _rows(rollup)})
         return 0
     entry = store.write_version(
-        spark.read.parquet(args.source_parquet), near_dedup=args.near_dedup
+        spark.read.parquet(args.source_parquet),
+        near_dedup=args.near_dedup,
+        excise_spans=getattr(args, "excise_spans", False),
     )
     _emit(entry)
     return 0
@@ -889,6 +906,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sasl-kerberos-service-name", help="GSSAPI: broker service name (default kafka)")
     ap.add_argument("--near-dedup", action="store_true",
                     help="corpus add: also drop LSH band-matches of any stored doc (persistent signature index)")
+    ap.add_argument("--excise-spans", action="store_true",
+                    help="corpus add: cut spans the corpus already stores out of incoming docs (persistent span-hash index)")
     ap.add_argument("--dup-spans", action="store_true",
                     help="corpus stats: duplicated-span extents summary + worst offenders (Lee et al. exact-substring signal)")
     ap.add_argument("--cluster-balance", action="store_true",

@@ -114,7 +114,176 @@ class CorpusStore:
             f"{self.signatures_path()}/version=*"
         )
 
-    def write_version(self, docs: DataFrame, near_dedup: bool = False) -> dict:
+    # ── span-hash index (incremental Lee et al. excision — VERDICT r7 #8) ──
+    def span_index_path(self) -> str:
+        return f"{self.root}/span_index"
+
+    def _has_span_index(self) -> bool:
+        try:
+            return any(
+                e.startswith("version=") for e in os.listdir(self.span_index_path())
+            )
+        except FileNotFoundError:
+            return False
+
+    def _read_span_index(self, spark: SparkSession) -> DataFrame:
+        """The persistent span-hash index: (doc_id, sh, ii) per stored
+        document — one row per distinct duplicated-window hash with its
+        sorted start positions.  Reads are filtered to MANIFEST-COMMITTED
+        versions (partition-pruned ``isin``): a crash between the index
+        write and the manifest append leaves an orphan ``version=N``
+        partition, and excising a replayed batch against its own orphan
+        rows would silently change the replay's output (non-idempotent) —
+        the manifest commit is the version's point of existence for the
+        index exactly as for the data."""
+        committed = [e["version"] for e in self.versions() if e.get("n_new", 0) > 0]
+        df = spark.read.option("basePath", self.span_index_path()).parquet(
+            f"{self.span_index_path()}/version=*"
+        )
+        return df.filter(F.col("version").isin(committed))
+
+    def span_index_covers(self) -> bool:
+        """True when every non-empty committed version has a span-index
+        partition — the gate for serving ``corpus stats --dup-spans`` from
+        the index instead of a full text re-hash."""
+        try:
+            have = {
+                int(e.split("=", 1)[1])
+                for e in os.listdir(self.span_index_path())
+                if e.startswith("version=")
+            }
+        except FileNotFoundError:
+            have = set()
+        need = {e["version"] for e in self.versions() if e.get("n_new", 0) > 0}
+        return bool(need) and need <= have
+
+    @staticmethod
+    def _span_index_rows(docs: DataFrame) -> DataFrame:
+        """(doc_id, sh, ii) span-window rows for a stored document frame —
+        the SAME content-defined word-anchor windows as the catalog's
+        ``dup_span_fraction``/``dup_span_extents`` (pipeline._span_windows),
+        collapsed to one row per (doc, window-hash) carrying the sorted
+        start positions.  ~one row per anchor word run; never the text."""
+        from kafka_backup_spark.queries.pipeline import SPAN_LEN, _span_windows
+
+        c = docs.select("doc_id", "text").filter(F.length("text") >= SPAN_LEN)
+        return (
+            _span_windows(c)
+            .groupBy("doc_id", F.col("h").alias("sh"))
+            .agg(F.sort_array(F.collect_list("i")).alias("ii"))
+        )
+
+    def _write_span_index_partition(self, spark: SparkSession, version: int) -> None:
+        """Derive version N's index rows from the WRITTEN version (crash
+        replay regenerates identical rows) under the same dynamic-overwrite
+        discipline as the data and signature partitions."""
+        (
+            self._span_index_rows(self.read_version(spark, version))
+            .withColumn("version", F.lit(version))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("version")
+            .mode("overwrite")
+            .parquet(self.span_index_path())
+        )
+
+    def _backfill_span_index(self, spark: SparkSession, prior: list[dict]) -> None:
+        """Index any non-empty committed version that lacks a span-index
+        partition (versions ingested before the flag existed or without
+        it).  Idempotent per version; runs under the writer lock."""
+        try:
+            have = {
+                int(e.split("=", 1)[1])
+                for e in os.listdir(self.span_index_path())
+                if e.startswith("version=")
+            }
+        except FileNotFoundError:
+            have = set()
+        for entry in prior:
+            if entry.get("n_new", 0) > 0 and entry["version"] not in have:
+                self._write_span_index_partition(spark, entry["version"])
+
+    def ensure_span_index(self, spark: SparkSession) -> None:
+        """Build the span index for every committed version (public entry
+        for retrofitting an existing store so stats can serve from the
+        index).  Takes the writer lock — index writes race version writes."""
+        with self._writer_lock():
+            self._backfill_span_index(spark, self.versions())
+
+    def _excise_against_index(self, spark: SparkSession, docs: DataFrame) -> DataFrame:
+        """Cut every span of an incoming batch that the CORPUS already
+        contains (Lee et al. 2022 applied at ingest): window the batch with
+        the shared content-defined anchors, semi-join window hashes against
+        the committed index, island-merge the hits and excise — the same
+        plan shape as ``dup_span_extents`` with the candidate side swapped
+        for the persisted index.  Within-batch duplicated spans are
+        retained, matching ``near_dedup``'s "nothing the CORPUS has seen"
+        contract.  Shuffles carry (doc_id, i, hash) rows, never text; the
+        text loads once for the final excision join."""
+        from kafka_backup_spark.queries.pipeline import (
+            SPAN_LEN,
+            _span_windows,
+            span_extents_from_positions,
+        )
+
+        seen = self._read_span_index(spark).select("sh").distinct()
+        c = docs.select("doc_id", "text").filter(F.length("text") >= SPAN_LEN)
+        wins = _span_windows(c)
+        dupw = wins.join(
+            seen, wins["h"] == seen["sh"], "left_semi"
+        ).select("doc_id", "i")
+        cleaned = (
+            span_extents_from_positions(c, dupw, with_clean_text=True)
+            .filter(F.col("n_spans") > 0)
+            .select("doc_id", "clean_text")
+        )
+        from pyspark import StorageLevel
+
+        # persisted: the excised frame feeds the hash/anti-join chain, the
+        # n_input count AND the final write — without materialization each
+        # consumer re-runs the window/semi-join/excision map side
+        return (
+            docs.join(cleaned, "doc_id", "left")
+            .withColumn("text", F.coalesce("clean_text", "text"))
+            .drop("clean_text")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    def dup_span_extents_from_index(
+        self, spark: SparkSession, with_clean_text: bool = False
+    ) -> DataFrame:
+        """The ``dup_span_extents`` report served from the PERSISTED index:
+        cross-doc frequency and position explode run over the tiny
+        (doc_id, sh, ii) rows — at corpus scale this skips the dominant
+        cost (re-hashing every text window); the text loads once, only for
+        the excision/extent join.  Output schema and values match
+        ``pipeline.dup_span_extents_frame`` on the same corpus (pinned by
+        test_corpus_store.test_dup_span_stats_from_index_match_scan)."""
+        from kafka_backup_spark.queries.pipeline import (
+            SPAN_LEN,
+            span_extents_from_positions,
+        )
+
+        idx = self._read_span_index(spark)
+        dup_sh = (
+            idx.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") > 1)
+            .select("sh")
+        )
+        dupw = idx.join(dup_sh, "sh").select("doc_id", F.explode("ii").alias("i"))
+        c = (
+            self.read_corpus(spark)
+            .select("doc_id", "text")
+            .filter(F.length("text") >= SPAN_LEN)
+        )
+        return span_extents_from_positions(c, dupw, with_clean_text=with_clean_text)
+
+    def write_version(
+        self,
+        docs: DataFrame,
+        near_dedup: bool = False,
+        excise_spans: bool = False,
+    ) -> dict:
         """Materialize a new version holding only never-seen documents.
 
         ``docs``: (doc_id, lang, source, text, ...) — any schema with a
@@ -135,6 +304,16 @@ class CorpusStore:
         "nothing we have (nearly) seen in the CORPUS", matching the
         cross-version exact-dedup semantics.
 
+        ``excise_spans=True`` cuts every ≥SPAN_LEN-char span the corpus has
+        ALREADY STORED out of the incoming documents before they are hashed
+        and written (the Lee et al. 2022 repeated-substring signal applied
+        incrementally at ingest): each version persists its surviving
+        windows under ``span_index/version=N`` and the next ingest excises
+        against that index.  Within-batch duplicated spans are retained —
+        the same corpus-relative contract as ``near_dedup``.  Documents a
+        prior ingest would have stored verbatim may land span-trimmed; the
+        content hash describes the trimmed text.
+
         Crash-safe: the parquet write targets its version partition with
         dynamic partition OVERWRITE, so a replay after a crash between the
         data write and the manifest append rewrites version N instead of
@@ -145,6 +324,16 @@ class CorpusStore:
             spark = docs.sparkSession
             prior = self.versions()
             version = prior[-1]["version"] + 1 if prior else 0
+            if excise_spans and prior:
+                # cut corpus-seen spans BEFORE hashing: the content hash
+                # (and therefore the exact-dedup anti-join and the stored
+                # ``h``) describes the EXCISED text, so replaying the same
+                # batch re-excises identically (the index read is committed-
+                # versions-only) and re-dedups to n_new=0 — the idempotent-
+                # ingest contract survives the new transform
+                self._backfill_span_index(spark, prior)
+                if self._has_span_index():
+                    docs = self._excise_against_index(spark, docs)
             hashed = docs.withColumn(
                 "h", F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
             )
@@ -227,6 +416,10 @@ class CorpusStore:
                     .mode("overwrite")
                     .parquet(self.signatures_path())
                 )
+            if excise_spans and n_new > 0:
+                # persist the survivors' span windows — the index future
+                # ingests excise against (and stats serve from)
+                self._write_span_index_partition(spark, version)
             entry = {
                 "version": version,
                 "n_input": n_input,
@@ -311,7 +504,11 @@ class CorpusStore:
 
 
 def stream_into_corpus(
-    stream_docs: DataFrame, store: CorpusStore, checkpoint: str, near_dedup: bool = False
+    stream_docs: DataFrame,
+    store: CorpusStore,
+    checkpoint: str,
+    near_dedup: bool = False,
+    excise_spans: bool = False,
 ):
     """Continuous corpus ingestion: each micro-batch becomes one deduped
     version (T1-style incremental semantics over documents instead of Kafka
@@ -325,7 +522,9 @@ def stream_into_corpus(
     def _sink(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.write_version(batch_df, near_dedup=near_dedup)
+        store.write_version(
+            batch_df, near_dedup=near_dedup, excise_spans=excise_spans
+        )
 
     return (
         stream_docs.writeStream.foreachBatch(_sink)

@@ -2345,10 +2345,6 @@ def dup_span_extents_frame(docs: DataFrame, with_clean_text: bool = False) -> Da
     itself (the Lee et al. pipeline's actual output) — used by the CLI's
     ``--write-clean`` path; the catalog twin ships only the md5 so the
     driver hash compare stays narrow."""
-    from pyspark.sql import Window
-
-    from kafka_backup_spark.functions.hashing import fast_hash64
-
     c = docs.filter(F.length("text") >= SPAN_LEN)
     wins = _span_windows(c)
     # cross-document collision frequency over per-doc-distinct hashes (a doc
@@ -2381,6 +2377,21 @@ def dup_span_extents_frame(docs: DataFrame, with_clean_text: bool = False) -> Da
         .select("h")
     )
     dupw = per_hd.join(dup_h, "h").select("doc_id", F.explode("ii").alias("i"))
+    return span_extents_from_positions(c, dupw, with_clean_text=with_clean_text)
+
+
+def span_extents_from_positions(
+    c: DataFrame, dupw: DataFrame, with_clean_text: bool = False
+) -> DataFrame:
+    """Merged extents + excision over pre-computed duplicated-window
+    positions: ``c`` is the (doc_id, text, ...) frame, ``dupw`` the
+    (doc_id, i) rows marking each duplicated SPAN_LEN window start.
+    Factored from ``dup_span_extents_frame`` so the corpus store's
+    PERSISTED span index (corpus_store.py) can feed the same
+    island-merge/excision shape without re-hashing every text window —
+    the candidate-position source differs, the downstream plan is one
+    implementation."""
+    from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("i")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -528,6 +528,39 @@ def test_cli_corpus_stats_dup_spans(spark, capsys, tmp_path):
             assert hashlib.md5(r["clean_text"].encode()).hexdigest() == by_id[d]["clean_hash"]
 
 
+def test_cli_corpus_add_excise_spans_and_index_stats(spark, capsys, tmp_path):
+    """corpus add --excise-spans (VERDICT r7 #8): the second batch lands
+    span-trimmed, and corpus stats --dup-spans reports source "index" —
+    served from the persisted span-hash index, not a text re-scan."""
+    root = str(tmp_path / "corpus")
+    header = (
+        "this standard license header paragraph is repeated verbatim across "
+        "every file of the project and carries no information at all"
+    )
+    rows0 = [(1, "en", "s", header + " original body about offsets and manifests")]
+    rows1 = [(2, "en", "s", header + " fresh follow-up body on restore validation")]
+    for i, rows in enumerate((rows0, rows1)):
+        src = str(tmp_path / f"batch{i}.parquet")
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, text string"
+        ).write.parquet(src)
+        run(capsys, [
+            "corpus", "add", "--store", root, "--source-parquet", src,
+            "--excise-spans",
+        ])
+    out = run(capsys, ["corpus", "stats", "--store", root, "--dup-spans"])
+    assert out["source"] == "index"
+    assert out["dup_spans"]["n_docs"] == 2
+    from kafka_backup_spark.corpus_store import CorpusStore
+
+    stored = {
+        r["doc_id"]: r["text"]
+        for r in CorpusStore(root).read_corpus(spark).collect()
+    }
+    assert "standard license header paragraph" not in stored[2]
+    assert "restore validation" in stored[2]
+
+
 def test_cli_corpus_stats_cluster_balance(spark, capsys, sf_dir, tmp_path):
     """corpus stats --cluster-balance: rollup over a user-supplied
     embeddings parquet; cell sizes must sum to the vector count and the

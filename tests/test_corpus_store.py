@@ -234,3 +234,122 @@ def test_near_dedup_backfills_exact_only_versions(spark, tmp_path):
     assert e["n_new"] == 0  # near-copy of the exact-only version is dropped
     sigs = store._read_signatures(spark)
     assert sigs.filter(F.col("version") == 0).count() > 0  # backfilled
+
+
+def test_excise_spans_cuts_corpus_seen_spans(spark, tmp_path):
+    """excise_spans=True (incremental Lee et al.): a later batch's document
+    that embeds a span the corpus already stores lands with that span CUT,
+    while its genuinely new text survives verbatim; the span index
+    partitions exist for both the backfilled v0 and the new version."""
+    import os
+
+    store = CorpusStore(str(tmp_path / "c"))
+    header = (
+        "this standard license header paragraph is repeated verbatim across "
+        "every file of the project and carries no information at all"
+    )
+    store.write_version(
+        _mk(spark, [(0, "en", header + " original body about offsets and manifests")])
+    )  # exact-only ingest — no index yet; the next ingest must backfill it
+    e = store.write_version(
+        _mk(
+            spark,
+            [
+                (
+                    10,
+                    "en",
+                    header
+                    + " a brand new continuation describing restore validation checks",
+                )
+            ],
+        ),
+        excise_spans=True,
+    )
+    assert e["n_new"] == 1
+    stored = store.read_version(spark, 1).collect()[0]["text"]
+    assert "standard license header paragraph" not in stored  # excised
+    assert "restore validation checks" in stored  # new tail survives
+    have = {
+        d for d in os.listdir(store.span_index_path()) if d.startswith("version=")
+    }
+    assert have == {"version=0", "version=1"}
+    assert store.span_index_covers()
+
+
+def test_excise_spans_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay of an excising ingest: the index read is committed-
+    versions-only, so a replayed batch re-excises identically (never
+    against its own orphan partition), re-dedups to no new rows, and the
+    index partition regenerates without duplicates."""
+    import json
+
+    store = CorpusStore(str(tmp_path / "c"))
+    header = (
+        "this standard license header paragraph is repeated verbatim across "
+        "every file of the project and carries no information at all"
+    )
+    store.write_version(
+        _mk(spark, [(0, "en", header + " original body about offsets and manifests")]),
+        excise_spans=True,
+    )
+    batch = _mk(
+        spark,
+        [(10, "en", header + " fresh second-version content on watermark checks")],
+    )
+    store.write_version(batch, excise_spans=True)
+    text1 = store.read_version(spark, 1).collect()[0]["text"]
+    n_idx = (
+        store._read_span_index(spark).filter(F.col("version") == 1).count()
+    )
+    entries = store.versions()
+    with open(store._manifest_path(), "w") as fh:
+        json.dump(entries[:-1], fh)  # crash between index write and commit
+    store.write_version(batch, excise_spans=True)
+    assert store.read_version(spark, 1).collect()[0]["text"] == text1
+    assert (
+        store._read_span_index(spark).filter(F.col("version") == 1).count() == n_idx
+    )
+    assert store.read_version(spark, 1).count() == 1
+
+
+def test_dup_span_stats_from_index_match_scan(spark, tmp_path):
+    """The index-served extents report equals the full-scan operator row
+    for row on a multi-version store (ensure_span_index retrofits the
+    version ingested without the flag)."""
+    from kafka_backup_spark.queries.pipeline import dup_span_extents_frame
+
+    store = CorpusStore(str(tmp_path / "c"))
+    shared = (
+        "an often repeated boilerplate notice sentence that shows up in many "
+        "documents of this synthetic corpus for testing purposes"
+    )
+    store.write_version(
+        _mk(
+            spark,
+            [
+                (0, "en", shared + " first unique documentary tail right here"),
+                (1, "en", "wholly distinct text on segment rotation and compaction plans"),
+            ],
+        ),
+        excise_spans=True,
+    )
+    # second version ingested WITHOUT the flag — the shared span persists
+    # in the corpus and its index partition is missing until the retrofit
+    store.write_version(
+        _mk(spark, [(10, "en", shared + " second unique closing words over there")])
+    )
+    assert not store.span_index_covers()
+    store.ensure_span_index(spark)
+    assert store.span_index_covers()
+    via_index = sorted(
+        (r["doc_id"], r["n_spans"], r["dup_chars"], r["spans"], r["clean_hash"])
+        for r in store.dup_span_extents_from_index(spark).collect()
+    )
+    via_scan = sorted(
+        (r["doc_id"], r["n_spans"], r["dup_chars"], r["spans"], r["clean_hash"])
+        for r in dup_span_extents_frame(
+            store.read_corpus(spark).select("doc_id", "text")
+        ).collect()
+    )
+    assert via_index == via_scan
+    assert any(n > 0 for _, n, _, _, _ in via_index)  # the signal is real
