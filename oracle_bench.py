@@ -61,7 +61,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # Spark-written tables are DIRECTORIES of part files (the sf1
+        # amplifier's output); the driver's testdata are single files —
+        # glob the directory form so both layouts register
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     sqls = catalog.oracle_sql()
 
     named = [(n, s) for n, s in timings.items() if sqls.get(n) is not None]
