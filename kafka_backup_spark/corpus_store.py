@@ -240,7 +240,10 @@ class CorpusStore:
 
         # persisted: the excised frame feeds the hash/anti-join chain, the
         # n_input count AND the final write — without materialization each
-        # consumer re-runs the window/semi-join/excision map side
+        # consumer re-runs the window/semi-join/excision map side.  The
+        # HANDLE is released by write_version's finally once the manifest
+        # commits (ADVICE r8 #2: a long-running stream_into_corpus ingests
+        # many batches, and an unreleased per-batch cache grows unbounded).
         return (
             docs.join(cleaned, "doc_id", "left")
             .withColumn("text", F.coalesce("clean_text", "text"))
@@ -264,13 +267,28 @@ class CorpusStore:
         )
 
         idx = self._read_span_index(spark)
+        # cross-doc frequency counts DISTINCT OWNER DOCS, not index rows: the
+        # index is partitioned by version, so a doc_id re-ingested with
+        # updated text (different content hash, shared >=SPAN_LEN span with
+        # its earlier edition) holds rows in TWO partitions — counting rows
+        # would report nd=2 for what the full-scan operator (grouped on
+        # (h, doc_id)) treats as one owner, wrongly excising self-overlap
+        # (ADVICE r8 #1).  Same two-level shape as dup_span_extents_frame:
+        # dedupe on the composite (sh, doc_id) key first (uniform under a
+        # hot sh), then a plain count — no count-distinct expand, no per-sh
+        # window.  Positions likewise dedupe across versions.
+        owners = idx.select("sh", "doc_id").distinct()
         dup_sh = (
-            idx.groupBy("sh")
+            owners.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("nd"))
             .filter(F.col("nd") > 1)
             .select("sh")
         )
-        dupw = idx.join(dup_sh, "sh").select("doc_id", F.explode("ii").alias("i"))
+        dupw = (
+            idx.join(dup_sh, "sh")
+            .select("doc_id", F.explode("ii").alias("i"))
+            .distinct()
+        )
         c = (
             self.read_corpus(spark)
             .select("doc_id", "text")
@@ -324,6 +342,7 @@ class CorpusStore:
             spark = docs.sparkSession
             prior = self.versions()
             version = prior[-1]["version"] + 1 if prior else 0
+            excised = None
             if excise_spans and prior:
                 # cut corpus-seen spans BEFORE hashing: the content hash
                 # (and therefore the exact-dedup anti-join and the stored
@@ -333,102 +352,125 @@ class CorpusStore:
                 # ingest contract survives the new transform
                 self._backfill_span_index(spark, prior)
                 if self._has_span_index():
-                    docs = self._excise_against_index(spark, docs)
-            hashed = docs.withColumn(
-                "h", F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
-            )
-            if prior and self._has_data():
-                # prior side: ONLY the hash column loads (pruned scan),
-                # distinct collapses it map-side; anti-join ships 16-byte keys
-                seen = self.read_corpus(spark).select("h").distinct()
-                fresh = hashed.join(seen, "h", "left_anti")
-            else:
-                # first version (or all prior versions empty — no partition
-                # dir exists yet) still dedups WITHIN the batch below
-                fresh = hashed
-            if near_dedup and prior:
-                # the contract is "band-match ANY prior document" — versions
-                # ingested without near_dedup have no signature partition,
-                # so backfill them first (one-time cost per such version;
-                # signatures derive from the stored docs themselves)
-                self._backfill_signatures(spark, prior)
-            if near_dedup and prior and self._has_signatures():
-                # a doc is near-seen iff ANY of its band signatures appears
-                # in the index: semi-join the batch bands, collect matched
-                # hashes, anti-join them away.  Shuffles carry (h, band, sig)
-                # rows — never text.
-                near_seen = (
-                    self._band_signatures(fresh)
-                    .join(
-                        self._read_signatures(spark).select("band", "sig"),
-                        ["band", "sig"],
-                        "left_semi",
-                    )
-                    .select("h")
-                    .distinct()
+                    docs = excised = self._excise_against_index(spark, docs)
+            try:
+                return self._write_version_body(
+                    spark, docs, prior, version, near_dedup, excise_spans
                 )
-                fresh = fresh.join(near_seen, "h", "left_anti")
-            # within-batch dedup: first writer wins per hash (min doc_id),
-            # the same min(struct) shape as dedup_keep_best — no window
-            fresh = (
-                fresh.withColumn(
-                    "_all", F.struct(*[c for c in fresh.columns if c != "h"])
+            finally:
+                if excised is not None:
+                    # every consumer (count, dedup write, index write) has
+                    # materialized by now — release the per-batch cache so a
+                    # long-running ingest stream holds at most one handle
+                    excised.unpersist()
+
+    def _write_version_body(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        prior: list[dict],
+        version: int,
+        near_dedup: bool,
+        excise_spans: bool,
+    ) -> dict:
+        """The dedup/write/commit tail of ``write_version`` — factored
+        out so the excised-frame cache release wraps it in one finally;
+        runs under the writer lock."""
+        hashed = docs.withColumn(
+            "h", F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+        )
+        if prior and self._has_data():
+            # prior side: ONLY the hash column loads (pruned scan),
+            # distinct collapses it map-side; anti-join ships 16-byte keys
+            seen = self.read_corpus(spark).select("h").distinct()
+            fresh = hashed.join(seen, "h", "left_anti")
+        else:
+            # first version (or all prior versions empty — no partition
+            # dir exists yet) still dedups WITHIN the batch below
+            fresh = hashed
+        if near_dedup and prior:
+            # the contract is "band-match ANY prior document" — versions
+            # ingested without near_dedup have no signature partition,
+            # so backfill them first (one-time cost per such version;
+            # signatures derive from the stored docs themselves)
+            self._backfill_signatures(spark, prior)
+        if near_dedup and prior and self._has_signatures():
+            # a doc is near-seen iff ANY of its band signatures appears
+            # in the index: semi-join the batch bands, collect matched
+            # hashes, anti-join them away.  Shuffles carry (h, band, sig)
+            # rows — never text.
+            near_seen = (
+                self._band_signatures(fresh)
+                .join(
+                    self._read_signatures(spark).select("band", "sig"),
+                    ["band", "sig"],
+                    "left_semi",
                 )
-                .groupBy("h")
-                .agg(F.min("_all").alias("_all"))
-                .select("h", "_all.*")
+                .select("h")
+                .distinct()
             )
-            n_input = docs.count()
-            # no repartition("version"): the column is constant per write, so
-            # shuffling on it would collapse the whole version into ONE task;
-            # partitionBy alone routes every task's rows to the partition dir
-            # and maxRecordsPerFile bounds file sizes within each task.
+            fresh = fresh.join(near_seen, "h", "left_anti")
+        # within-batch dedup: first writer wins per hash (min doc_id),
+        # the same min(struct) shape as dedup_keep_best — no window
+        fresh = (
+            fresh.withColumn(
+                "_all", F.struct(*[c for c in fresh.columns if c != "h"])
+            )
+            .groupBy("h")
+            .agg(F.min("_all").alias("_all"))
+            .select("h", "_all.*")
+        )
+        n_input = docs.count()
+        # no repartition("version"): the column is constant per write, so
+        # shuffling on it would collapse the whole version into ONE task;
+        # partitionBy alone routes every task's rows to the partition dir
+        # and maxRecordsPerFile bounds file sizes within each task.
+        (
+            fresh.withColumn("version", F.lit(version))
+            .write.option("maxRecordsPerFile", 1_000_000)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("version")
+            .mode("overwrite")
+            .parquet(self.corpus_path())
+        )
+        # an all-duplicate (or empty) batch writes no partition dir at
+        # all — the version still exists in the manifest with n_new=0.
+        # Only the MISSING-DIR case maps to 0: a transient count failure
+        # must raise, not record n_new=0 forever (that would skip the
+        # signature write and blind every future near-dedup ingest to
+        # this version's documents).
+        vdir = os.path.join(self.corpus_path(), f"version={version}")
+        n_new = (
+            self.read_version(spark, version).count()
+            if os.path.isdir(vdir)
+            else 0
+        )
+        if near_dedup and n_new > 0:
+            # persist the survivors' band signatures — the index future
+            # ingests probe.  Re-derived from the WRITTEN version so a
+            # crash replay regenerates identical rows under the same
+            # dynamic-overwrite discipline as the data itself.
             (
-                fresh.withColumn("version", F.lit(version))
-                .write.option("maxRecordsPerFile", 1_000_000)
-                .option("partitionOverwriteMode", "dynamic")
+                self._band_signatures(self.read_version(spark, version))
+                .withColumn("version", F.lit(version))
+                .write.option("partitionOverwriteMode", "dynamic")
                 .partitionBy("version")
                 .mode("overwrite")
-                .parquet(self.corpus_path())
+                .parquet(self.signatures_path())
             )
-            # an all-duplicate (or empty) batch writes no partition dir at
-            # all — the version still exists in the manifest with n_new=0.
-            # Only the MISSING-DIR case maps to 0: a transient count failure
-            # must raise, not record n_new=0 forever (that would skip the
-            # signature write and blind every future near-dedup ingest to
-            # this version's documents).
-            vdir = os.path.join(self.corpus_path(), f"version={version}")
-            n_new = (
-                self.read_version(spark, version).count()
-                if os.path.isdir(vdir)
-                else 0
-            )
-            if near_dedup and n_new > 0:
-                # persist the survivors' band signatures — the index future
-                # ingests probe.  Re-derived from the WRITTEN version so a
-                # crash replay regenerates identical rows under the same
-                # dynamic-overwrite discipline as the data itself.
-                (
-                    self._band_signatures(self.read_version(spark, version))
-                    .withColumn("version", F.lit(version))
-                    .write.option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("version")
-                    .mode("overwrite")
-                    .parquet(self.signatures_path())
-                )
-            if excise_spans and n_new > 0:
-                # persist the survivors' span windows — the index future
-                # ingests excise against (and stats serve from)
-                self._write_span_index_partition(spark, version)
-            entry = {
-                "version": version,
-                "n_input": n_input,
-                "n_new": n_new,
-                "parent": prior[-1]["version"] if prior else None,
-                "created_at": int(time.time() * 1000),
-            }
-            self._append_manifest(entry)
-            return entry
+        if excise_spans and n_new > 0:
+            # persist the survivors' span windows — the index future
+            # ingests excise against (and stats serve from)
+            self._write_span_index_partition(spark, version)
+        entry = {
+            "version": version,
+            "n_input": n_input,
+            "n_new": n_new,
+            "parent": prior[-1]["version"] if prior else None,
+            "created_at": int(time.time() * 1000),
+        }
+        self._append_manifest(entry)
+        return entry
 
     def _backfill_signatures(self, spark: SparkSession, prior: list[dict]) -> None:
         """Write the signature partition for any non-empty prior version

@@ -2266,15 +2266,18 @@ def dup_span_fraction_frame(docs: DataFrame) -> DataFrame:
     measured +30% at sf0.1, while the persist variant runs FASTER than the
     r7 hot-key window: 0.67 s vs 0.80 s warm).  Pinned by
     test_skew.py::test_span_operators_have_no_hot_key_window."""
-    from pyspark import StorageLevel
+    from kafka_backup_spark.queries.textops import _tagged_persist
 
     c = docs.filter(F.length("text") >= SPAN_LEN)
     wins = _span_windows(c).select("doc_id", "h")
-    dh = (
-        wins.groupBy("h", "doc_id")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # tagged persist (ADVICE r8 #2): a repeated caller (CLI loop, per-batch
+    # stream stats) releases the PREVIOUS call's handle instead of leaking
+    # one cached frame per invocation; within one call both the owner-count
+    # branch and the join probe still share the materialization
+    dh = _tagged_persist(
+        docs.sparkSession,
+        "dup_span_fraction:dh",
+        wins.groupBy("h", "doc_id").agg(F.lit(1).alias("_one")).drop("_one"),
     )
     freq = dh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     return (
@@ -2363,12 +2366,15 @@ def dup_span_extents_frame(docs: DataFrame, with_clean_text: bool = False) -> Da
     # frame carries the position ARRAY (bounded by a doc's own anchor
     # count) so neither the owner-count branch nor the join probe ever
     # re-executes the substring-hash map side
-    from pyspark import StorageLevel
+    from kafka_backup_spark.queries.textops import _tagged_persist
 
-    per_hd = (
-        wins.groupBy("h", "doc_id")
-        .agg(F.sort_array(F.collect_list("i")).alias("ii"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # tagged persist: same handle-release contract as dup_span_fraction_frame
+    per_hd = _tagged_persist(
+        docs.sparkSession,
+        "dup_span_extents:per_hd",
+        wins.groupBy("h", "doc_id").agg(
+            F.sort_array(F.collect_list("i")).alias("ii")
+        ),
     )
     dup_h = (
         per_hd.groupBy("h")

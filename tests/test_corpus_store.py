@@ -353,3 +353,63 @@ def test_dup_span_stats_from_index_match_scan(spark, tmp_path):
     )
     assert via_index == via_scan
     assert any(n > 0 for _, n, _, _, _ in via_index)  # the signal is real
+
+
+def test_index_stats_ignore_same_doc_across_versions(spark, tmp_path):
+    """A doc_id re-ingested with UPDATED text (new content hash, shared
+    >=SPAN_LEN span with its earlier edition) holds span-index rows in two
+    version partitions; the index-served stats must count it as ONE owner —
+    row-counting would report nd=2 and wrongly excise self-overlap
+    (ADVICE r8 #1).  The full-scan operator (grouped on (h, doc_id)) is the
+    semantic reference; parity must hold on exactly this shape."""
+    from kafka_backup_spark.queries.pipeline import dup_span_extents_frame
+
+    store = CorpusStore(str(tmp_path / "c"))
+    shared = (
+        "an often repeated boilerplate notice sentence that shows up in many "
+        "documents of this synthetic corpus for testing purposes"
+    )
+    store.write_version(
+        _mk(spark, [(5, "en", shared + " first edition documentary tail here")])
+    )
+    # same doc_id, updated text: survives exact dedup (different hash) but
+    # shares the long boilerplate span with its own earlier edition
+    store.write_version(
+        _mk(spark, [(5, "en", shared + " revised edition with new closing words")])
+    )
+    store.ensure_span_index(spark)
+    assert store.span_index_covers()
+    via_index = sorted(
+        (r["doc_id"], r["n_spans"], r["dup_chars"], r["spans"], r["clean_hash"])
+        for r in store.dup_span_extents_from_index(spark).collect()
+    )
+    via_scan = sorted(
+        (r["doc_id"], r["n_spans"], r["dup_chars"], r["spans"], r["clean_hash"])
+        for r in dup_span_extents_frame(
+            store.read_corpus(spark).select("doc_id", "text")
+        ).collect()
+    )
+    assert via_index == via_scan
+    # the shared span is SELF-overlap only — no cross-doc duplication exists
+    assert all(n == 0 for _, n, _, _, _ in via_index)
+
+
+def test_excise_ingest_releases_batch_cache(spark, tmp_path):
+    """_excise_against_index persists each incoming batch for its multiple
+    consumers; write_version must RELEASE the handle once the manifest
+    commits, or a long-running stream leaks one cached frame per micro-batch
+    (ADVICE r8 #2)."""
+    store = CorpusStore(str(tmp_path / "c"))
+    store.write_version(
+        _mk(spark, [(0, "en", "a sufficiently long first document about segment rotation plans")]),
+        excise_spans=True,
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for k in range(1, 4):
+        store.write_version(
+            _mk(spark, [(k, "en", f"batch {k} carries wholly new text on compaction manifests and offsets")]),
+            excise_spans=True,
+        )
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, f"excise ingest leaked cached frames: {before} -> {after}"
