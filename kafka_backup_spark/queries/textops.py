@@ -368,9 +368,10 @@ def _hashed_gram_sets(c: DataFrame) -> DataFrame:
 
 _GRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
 _TAGGED: dict[tuple[str, str], DataFrame] = {}
-# registry bounds: 2 gram-stage frames per sf_dir, 2 ANN index tags per
-# sf_dir — room for ~4 concurrently-hot sf_dirs before oldest-inserted
-# entries unpersist (guards long-lived many-directory sessions)
+# registry bounds: 2 gram-stage frames per sf_dir (gram arrays + the sized
+# band table), 2 ANN index tags per sf_dir — room for ~4 concurrently-hot
+# sf_dirs before oldest-inserted entries unpersist (guards long-lived
+# many-directory sessions)
 _GRAM_CACHE_CAP = 8
 _ANN_INDEX_CAP = 8
 
@@ -560,16 +561,25 @@ LSH_BUCKET_CAP = 256  # bucket-size guard; spark.kafkaBackupSpark.lshBucketCap o
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of the band self-join probe the shared persisted band
     # table (the LSH index — see _shared_band_table); the interpreted
-    # seeded-min signature lambdas run once per session, not per call
+    # seeded-min signature lambdas run once per session, not per call, and
+    # the bucket-cap sizes ride along as the persisted `_n` column
     return _band_candidates(
         _shared_gram_arrays(spark, sf_dir), _shared_band_table(spark, sf_dir)
     )
 
 
-def _bands_cte_chain() -> str:
+def _bands_cte_chain(cap: int = LSH_BUCKET_CAP) -> str:
     """The shared corpus→grams→hashed→sigs→bands CTE chain — ONE definition
     of the LSH candidate generator, so lsh_candidates and near_dup_pipeline
-    can never silently test different generators."""
+    can never silently test different generators.
+
+    ``cap`` parameterizes the bucket-size guard (ADVICE r8 #4): the module
+    SQL constants are built at the compile-time default, so the catalog's
+    STATIC oracle strings are parity-valid only when
+    ``spark.kafkaBackupSpark.lshBucketCap`` is unset/default — a session
+    that overrides the knob must rebuild its oracle via
+    ``_bands_cte_chain(_lsh_bucket_cap(spark))`` (pinned by
+    test_textops_recall.test_bucket_cap_override_oracle_parity)."""
     from kafka_backup_spark.functions.hashing import fast_hash64_duckdb, seeded_hash_duckdb
 
     mins = ",\n           ".join(
@@ -583,7 +593,6 @@ def _bands_cte_chain() -> str:
         + " AS sig FROM sigs"
         for b in range(N_SEEDS // BAND_SIZE)
     )
-    cap = LSH_BUCKET_CAP
     keyed = fast_hash64_duckdb(
         "CAST(doc_id AS VARCHAR) || '|' || CAST(band AS VARCHAR) || '|' || sig"
     )
@@ -1010,7 +1019,14 @@ def _shared_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (app, f"bands:{sf_dir}")
     if key not in _GRAM_CACHE:
         _evict_oldest(_GRAM_CACHE, _GRAM_CACHE_CAP)
-        _GRAM_CACHE[key] = _band_table(_shared_gram_arrays(spark, sf_dir)).persist()
+        # persist the SIZED band table (one `_n` long per row): bucket sizes
+        # are computed exactly once per (session, sf_dir), the bucket cap
+        # becomes a pure filter inside every consumer's plan, and the
+        # over-cap warning runs here — once, over the just-persisted frame —
+        # instead of as an eager job inside plan construction (ADVICE r8 #3)
+        sized = _sized_bands(_band_table(_shared_gram_arrays(spark, sf_dir))).persist()
+        _GRAM_CACHE[key] = sized
+        _warn_over_cap(sized, _lsh_bucket_cap(spark))
     return _GRAM_CACHE[key]
 
 
@@ -1024,6 +1040,39 @@ def _lsh_bucket_cap(spark: SparkSession | None) -> int:
         return LSH_BUCKET_CAP
 
 
+def _band_sizes(bands: DataFrame) -> DataFrame:
+    """(band, sig, _n) bucket sizes — partial-agg-safe two-level count."""
+    return bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("_n"))
+
+
+def _sized_bands(bands: DataFrame) -> DataFrame:
+    """Band rows annotated with their bucket size ``_n`` (one size join) —
+    the shape the shared cache persists so the cap becomes a pure FILTER at
+    execution time."""
+    return bands.join(_band_sizes(bands), ["band", "sig"])
+
+
+def _warn_over_cap(sized: DataFrame, cap: int) -> None:
+    """LOUD drop announcement (the no-silent-caps rule): names the bucket
+    count and row count sampled away.  Runs ONE small aggregate job — the
+    shared path pays it once per (session, sf_dir) at band-cache build
+    (over the just-persisted frame); the ad-hoc path (tests, external band
+    tables) pays it per call, documented in ``_capped_bands``."""
+    import logging
+
+    over = sized.filter(F.col("_n") > cap).agg(
+        F.count_distinct(F.col("band"), F.col("sig")).alias("b"),
+        F.count(F.lit(1)).alias("r"),
+    ).first()
+    if over["b"]:
+        logging.getLogger(__name__).warning(
+            "LSH bucket cap %d: %d over-cap buckets (%d rows) sampled down to "
+            "~%d members each; near-dup recall inside those buckets is "
+            "approximate (raise spark.kafkaBackupSpark.lshBucketCap to keep "
+            "more)", cap, over["b"], over["r"], cap,
+        )
+
+
 def _capped_bands(bands: DataFrame) -> DataFrame:
     """Bucket-size guard for the band self-join (VERDICT r7 #3): an uncapped
     (band, sig) bucket is QUADRATIC in bucket size, and a degenerate corpus
@@ -1035,35 +1084,27 @@ def _capped_bands(bands: DataFrame) -> DataFrame:
     of vanishing (a skip-the-bucket guard would silently drop the whole
     cluster).  The sampling hash is the engine-portable ``fast_hash64`` so
     the DuckDB oracle applies the IDENTICAL cap (see ``_bands_cte_chain``).
-    The drop is LOUD: a warning names the bucket count and row count sampled
-    away (the no-silent-caps rule).  Skew notes: bucket sizes come from a
-    partial-agg-safe two-level count, and the size join back is one row per
-    (band, sig) on the small side — AQE-splittable, no hot windows."""
-    import logging
 
+    Cost contract (ADVICE r8 #3): when ``bands`` already carries ``_n``
+    (the shared persisted band table — ``_shared_band_table`` bakes the
+    size join in ONCE per session/sf_dir and warns there), the cap is a
+    pure codegen filter — NO job at plan construction, NO extra join or
+    aggregate at execution.  A bare band table (ad-hoc callers, tests)
+    derives sizes here and emits the warning eagerly — acceptable off the
+    hot path, and the drop stays loud for every caller.  The cap itself is
+    read from the session conf at plan-construction time, so overrides
+    apply without rebuilding the cache."""
     cap = _lsh_bucket_cap(bands.sparkSession)
-    sizes = bands.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("_n"))
-    over = sizes.filter(F.col("_n") > cap).agg(
-        F.count(F.lit(1)).alias("b"), F.coalesce(F.sum("_n"), F.lit(0)).alias("r")
-    ).first()
-    if over["b"]:
-        logging.getLogger(__name__).warning(
-            "LSH bucket cap %d: %d over-cap buckets (%d rows) sampled down to "
-            "~%d members each; near-dup recall inside those buckets is "
-            "approximate (raise spark.kafkaBackupSpark.lshBucketCap to keep "
-            "more)", cap, over["b"], over["r"], cap,
-        )
+    if "_n" not in bands.columns:
+        bands = _sized_bands(bands)
+        _warn_over_cap(bands, cap)
     from kafka_backup_spark.functions.hashing import fast_hash64
 
     rate = F.expr(f"(_n + {cap} - 1) div {cap}")  # exact integer ceil-div
     keyed = fast_hash64(
         F.concat_ws("|", F.col("doc_id").cast("string"), F.col("band").cast("string"), F.col("sig"))
     )
-    return (
-        bands.join(sizes, ["band", "sig"])
-        .filter((F.col("_n") <= cap) | (keyed % rate == 0))
-        .drop("_n")
-    )
+    return bands.filter((F.col("_n") <= cap) | (keyed % rate == 0)).drop("_n")
 
 
 def _band_candidates(arrs: DataFrame, bands: DataFrame | None = None) -> DataFrame:

@@ -617,11 +617,45 @@ def test_all_catalog_plans_are_hygienic(spark):
             flags.append("row-python")
         if ("Join Cross" in plan or "CartesianProduct" in plan) and name not in allowed_cartesian:
             flags.append("cartesian")
-        if (
-            "windowspecdefinition(specifiedwindowframe" in plan
-            and name not in allowed_partitionless_window
-        ):
+        if _partitionless_window_specs(plan) and name not in allowed_partitionless_window:
             flags.append("partitionless-window")
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def _partitionless_window_specs(plan: str) -> list[str]:
+    """Window specs whose PARTITION column list is empty — the single-
+    partition funnel the audit exists to catch.  A bare substring match on
+    'windowspecdefinition(specifiedwindowframe' missed Window.orderBy(x)
+    GLOBAL windows (order spec prints first, partition list still empty —
+    the exact same straggler class; ADVICE r8 #5).  Order columns are
+    recognized by their ASC/DESC direction tokens; everything before them
+    is a partition column."""
+    import re
+
+    specs = re.findall(
+        r"windowspecdefinition\(([^)]*?)(?:, specifiedwindowframe|\))", plan
+    )
+    bad = []
+    for spec in specs:
+        args = [a.strip() for a in spec.split(",") if a.strip()]
+        part_cols = [a for a in args if " ASC" not in a and " DESC" not in a]
+        if not part_cols:
+            bad.append(spec)
+    return bad
+
+
+def test_partitionless_window_audit_catches_global_orderby(spark):
+    """The audit helper must flag Window.orderBy(x) with no partitioning
+    (global funnel) and must NOT flag a properly partitioned window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).withColumn("k", F.col("id") % 2)
+    global_w = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert _partitionless_window_specs(_optimized(global_w))
+    part_w = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert not _partitionless_window_specs(_optimized(part_w))

@@ -52,8 +52,8 @@ def test_shared_gram_cache_single_entry_and_release(spark, sf_dir):
     q["lsh_candidates"](spark, sf_dir).count()
     app = spark.sparkContext.applicationId
     grams = [k for k in textops._GRAM_CACHE if k[0] == app]
-    # exactly TWO shared frames — the gram arrays and the LSH band table —
-    # regardless of how many calls ran
+    # exactly TWO shared frames — the gram arrays and the SIZED band table
+    # (bucket sizes ride along as `_n`) — regardless of how many calls ran
     assert len(grams) == 2
     for k in grams:
         assert textops._GRAM_CACHE[k].storageLevel.useMemory
@@ -327,3 +327,39 @@ def test_ann_recall_floor(spark):
         r = q_ann_recall(spark, sf_dir).collect()[0]
         assert r["n_true"] > 0, sf_dir
         assert r["recall_ppm"] >= floor, (sf_dir, r.asDict())
+
+
+def test_bucket_cap_override_oracle_parity(spark, sf_dir):
+    """ADVICE r8 #4: the catalog's STATIC oracle SQL bakes the default
+    bucket cap, so an overridden spark.kafkaBackupSpark.lshBucketCap must be
+    threaded into _bands_cte_chain(cap) to keep Spark/oracle parity.  cap=1
+    forces the sampling arm on EVERY bucket (keep iff H(doc_id|band|sig) %
+    n == 0), so any formula drift between the engines shows immediately."""
+    import duckdb
+
+    from kafka_backup_spark.queries.textops import (
+        _bands_cte_chain,
+        q_lsh_candidates,
+    )
+
+    spark.conf.set("spark.kafkaBackupSpark.lshBucketCap", "1")
+    try:
+        got = sorted(
+            (r["doc_a"], r["doc_b"]) for r in q_lsh_candidates(spark, sf_dir).collect()
+        )
+    finally:
+        spark.conf.unset("spark.kafkaBackupSpark.lshBucketCap")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            f"""WITH {_bands_cte_chain(cap=1)}
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id"""
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
