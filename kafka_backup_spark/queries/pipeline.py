@@ -11,6 +11,8 @@ summation order can't flip the hash.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -87,6 +89,125 @@ def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
 # still match, but the printed dollars may differ from the true sum in the
 # last ulps.  (At 100-TB group sums, parity is the contract.)
 # {IDIV} is the integer-division operator: Spark `div`, DuckDB `//`.
+#
+# ADAPTIVE SINGLE-SUM MODE (VERDICT r8 #2): the hi/lo split costs a second
+# accumulator plus a per-row div+mod on every money aggregate — measured
+# 0.361 s vs 0.269 s on Q1 at sf0.1 (min-of-6, one session; raw-double
+# ceiling 0.204 s, count-only scan floor 0.157 s).  But the split only
+# EARNS anything once a single BIGINT accumulator could overflow, and that
+# is provable from parquet footer statistics without scanning a row:
+# sum(|per-row product|) over ANY group is bounded by
+# total_rows × max_per_row_product, with max_per_row_product derived from
+# the footer max of l_extendedprice / p_retailprice / l_quantity.  When
+# that bound clears 2^62 (one spare bit of margin), every money aggregate
+# collapses to ONE plain BIGINT sum; the reconstruction keeps the same
+# (hi, lo) shape with a constant-zero hi, so the downstream dollar
+# expression — and therefore the DuckDB oracle, which always runs the
+# hi/lo formulation — produces the bit-identical double (0·1e6 + total ==
+# hi·1e6 + lo exactly, both < 2^53 whenever the gate admits single mode;
+# pinned by test_pipeline_tpch.test_money_modes_agree).  Past the gate
+# (≈3.8e7 lineitem rows at fixture price ranges, i.e. sf≳6 — and any
+# 100-TB run) the hi/lo split arms automatically.
+# `spark.kafkaBackupSpark.moneyMode` ∈ {auto (default), single, hilo}
+# overrides the gate for A/B runs.
+
+
+def _money_sum(expr: str, hi: str, lo: str, idiv: str, single: bool) -> str:
+    """The two agg-side columns of one money aggregate.  hi/lo mode: the
+    overflow-safe per-row split (exact to ~6e11 rows/group).  single mode:
+    one plain BIGINT sum in ``lo`` with a constant-zero ``hi`` — the
+    downstream ``hi*1e6 + lo`` reconstruction is textually unchanged and
+    numerically identical while the gate's 2^62 bound holds."""
+    if single:
+        return (
+            f"CAST(0 AS BIGINT) AS {hi},\n"
+            f"         CAST(SUM({expr}) AS BIGINT) AS {lo}"
+        )
+    return (
+        f"CAST(SUM(({expr}) {idiv} 1000000) AS BIGINT) AS {hi},\n"
+        f"         CAST(SUM(({expr}) % 1000000) AS BIGINT) AS {lo}"
+    )
+
+
+def _parquet_footer_stats(path: str, *columns: str):
+    """(total_rows, {column: max}) from parquet footers — driver-side file
+    metadata only, no Spark job.  Returns None when any row group lacks
+    min/max statistics or the path is not a local file/directory (object
+    stores): callers treat None as 'assume the worst'."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    elif os.path.isfile(path):
+        files = [path]
+    else:
+        return None
+    rows, maxes = 0, dict.fromkeys(columns)
+    for f in files:
+        md = pq.read_metadata(f)
+        rows += md.num_rows
+        names = [md.schema.column(i).name for i in range(len(md.schema))]
+        for col in columns:
+            if col not in names:
+                return None
+            idx = names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                m = float(st.max)
+                if maxes[col] is None or m > maxes[col]:
+                    maxes[col] = m
+    if rows == 0 or any(v is None for v in maxes.values()):
+        return None
+    return rows, maxes
+
+
+_MONEY_MODE: dict[str, bool] = {}
+
+
+def _money_single(spark: SparkSession, sf_dir: str) -> bool:
+    """True when a single BIGINT accumulator is provably overflow-safe for
+    every money aggregate in the TPC-H family on this dataset (see the
+    mode comment above).  Data-keyed cache: the decision depends only on
+    the files.  Any missing statistic disables single mode — the hi/lo
+    split is always correct, just slower."""
+    mode = ""
+    try:
+        mode = str(spark.conf.get("spark.kafkaBackupSpark.moneyMode", "auto"))
+    except Exception:
+        pass
+    if mode == "single":
+        return True
+    if mode == "hilo":
+        return False
+    if sf_dir in _MONEY_MODE:
+        return _MONEY_MODE[sf_dir]
+    single = False
+    try:
+        li = _parquet_footer_stats(
+            f"{sf_dir}/lineitem.parquet", "l_extendedprice", "l_quantity"
+        )
+        pt = _parquet_footer_stats(f"{sf_dir}/part.parquet", "p_retailprice")
+        if li is not None and pt is not None:
+            rows, lim = li
+            pc = lim["l_extendedprice"] * 100  # cents
+            qc = lim["l_quantity"] * 100
+            rp = pt[1]["p_retailprice"] * 100
+            # worst per-row magnitude across the family: Q1's triple
+            # product pc·(100-dc)·(100+tc), or Q9's |pc·(100-dc) − rp·qc|
+            worst = max(pc * 100 * 108, pc * 100 + rp * qc)
+            single = rows * worst < float(2**62)
+    except Exception:
+        single = False  # unreadable footers → scale-safe path
+    _MONEY_MODE[sf_dir] = single
+    return single
+
 
 _Q1_BODY = """
 WITH fx AS (
@@ -102,10 +223,8 @@ WITH fx AS (
          CAST(sum(qc) AS BIGINT) AS sqc,
          CAST(sum(pc) AS BIGINT) AS spc,
          CAST(sum(dc) AS BIGINT) AS sdc,
-         CAST(sum((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
-         CAST(sum((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo,
-         CAST(sum((pc * (100 - dc) * (100 + tc)) {IDIV} 1000000) AS BIGINT) AS chg_hi,
-         CAST(sum((pc * (100 - dc) * (100 + tc)) % 1000000) AS BIGINT) AS chg_lo,
+         {REV_SUM},
+         {CHG_SUM},
          COUNT(*) AS count_order
   FROM fx GROUP BY l_returnflag, l_linestatus
 )
@@ -129,10 +248,25 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelizes without a per-query exchange; at 100 TB the table exceeds
     # the pin gate and the scan's own splits provide the parallelism.
     _view(spark, sf_dir, "lineitem")
-    return spark.sql(_Q1_BODY.format(IDIV="div"))
+    s = _money_single(spark, sf_dir)
+    return spark.sql(
+        _Q1_BODY.format(
+            IDIV="div",
+            REV_SUM=_money_sum("pc * (100 - dc)", "rev_hi", "rev_lo", "div", s),
+            CHG_SUM=_money_sum(
+                "pc * (100 - dc) * (100 + tc)", "chg_hi", "chg_lo", "div", s
+            ),
+        )
+    )
 
 
-SQL_TPCH_Q1 = _Q1_BODY.format(IDIV="//")
+SQL_TPCH_Q1 = _Q1_BODY.format(
+    IDIV="//",
+    REV_SUM=_money_sum("pc * (100 - dc)", "rev_hi", "rev_lo", "//", False),
+    CHG_SUM=_money_sum(
+        "pc * (100 - dc) * (100 + tc)", "chg_hi", "chg_lo", "//", False
+    ),
+)
 
 
 # ── TPC-H Q3-shaped: shipping priority ────────────────────────────────────
@@ -145,8 +279,7 @@ WITH li AS (
   FROM lineitem
 ), t AS (
   SELECT l_orderkey, o_orderdate, o_orderpriority,
-         CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
-         CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo
+         {REV_SUM}
   FROM customer, orders, li
   WHERE c_mktsegment = 'BUILDING'
     AND c_custkey = o_custkey
@@ -171,12 +304,21 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast is an identity relabel and matches DuckDB's epoch_ms on naive ts
     return spark.sql(
         _Q3_BODY.format(
-            odate_ms="unix_millis(cast(o_orderdate as timestamp))", IDIV="div"
+            odate_ms="unix_millis(cast(o_orderdate as timestamp))",
+            IDIV="div",
+            REV_SUM=_money_sum(
+                "pc * (100 - dc)", "rev_hi", "rev_lo", "div",
+                _money_single(spark, sf_dir),
+            ),
         )
     )
 
 
-SQL_TPCH_Q3 = _Q3_BODY.format(odate_ms="epoch_ms(o_orderdate)", IDIV="//")
+SQL_TPCH_Q3 = _Q3_BODY.format(
+    odate_ms="epoch_ms(o_orderdate)",
+    IDIV="//",
+    REV_SUM=_money_sum("pc * (100 - dc)", "rev_hi", "rev_lo", "//", False),
+)
 
 
 # ── TPC-H Q5-shaped: local supplier volume ────────────────────────────────
@@ -189,8 +331,7 @@ WITH li AS (
   FROM lineitem
 ), t AS (
   SELECT n_name,
-         CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
-         CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo
+         {REV_SUM}
   FROM customer, orders, li, supplier, nation, region
   WHERE c_custkey = o_custkey
     AND l_orderkey = o_orderkey
@@ -211,10 +352,21 @@ FROM t
 
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
-    return spark.sql(_Q5_BODY.format(IDIV="div"))
+    return spark.sql(
+        _Q5_BODY.format(
+            IDIV="div",
+            REV_SUM=_money_sum(
+                "pc * (100 - dc)", "rev_hi", "rev_lo", "div",
+                _money_single(spark, sf_dir),
+            ),
+        )
+    )
 
 
-SQL_TPCH_Q5 = _Q5_BODY.format(IDIV="//")
+SQL_TPCH_Q5 = _Q5_BODY.format(
+    IDIV="//",
+    REV_SUM=_money_sum("pc * (100 - dc)", "rev_hi", "rev_lo", "//", False),
+)
 
 
 # ── TPC-H Q6-shaped: forecasting revenue (pure filter + agg; the pushdown
@@ -230,8 +382,7 @@ WITH fx AS (
     AND l_discount BETWEEN 0.03 AND 0.07
     AND l_quantity < 24
 ), t AS (
-  SELECT CAST(SUM((pc * dc) {IDIV} 1000000) AS BIGINT) AS rev_hi,
-         CAST(SUM((pc * dc) % 1000000) AS BIGINT) AS rev_lo,
+  SELECT {REV_SUM},
          COUNT(*) AS n_rows
   FROM fx
 )
@@ -243,10 +394,19 @@ FROM t
 
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem")
-    return spark.sql(_Q6_BODY.format(IDIV="div"))
+    return spark.sql(
+        _Q6_BODY.format(
+            IDIV="div",
+            REV_SUM=_money_sum(
+                "pc * dc", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
+            ),
+        )
+    )
 
 
-SQL_TPCH_Q6 = _Q6_BODY.format(IDIV="//")
+SQL_TPCH_Q6 = _Q6_BODY.format(
+    IDIV="//", REV_SUM=_money_sum("pc * dc", "rev_hi", "rev_lo", "//", False)
+)
 
 
 # ── TPC-H Q10-shaped: returned-item reporting (top customers by lost
@@ -261,8 +421,7 @@ WITH li AS (
   WHERE l_returnflag = 'R'
 ), t AS (
   SELECT c_custkey, c_name, n_name,
-         CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
-         CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo
+         {REV_SUM}
   FROM customer, orders, li, nation
   WHERE c_custkey = o_custkey
     AND l_orderkey = o_orderkey
@@ -279,10 +438,21 @@ LIMIT 20
 
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "customer", "orders", "lineitem", "nation")
-    return spark.sql(_Q10_BODY.format(IDIV="div"))
+    return spark.sql(
+        _Q10_BODY.format(
+            IDIV="div",
+            REV_SUM=_money_sum(
+                "pc * (100 - dc)", "rev_hi", "rev_lo", "div",
+                _money_single(spark, sf_dir),
+            ),
+        )
+    )
 
 
-SQL_TPCH_Q10 = _Q10_BODY.format(IDIV="//")
+SQL_TPCH_Q10 = _Q10_BODY.format(
+    IDIV="//",
+    REV_SUM=_money_sum("pc * (100 - dc)", "rev_hi", "rev_lo", "//", False),
+)
 
 
 # ── TPC-H Q18-shaped: large-volume customers (agg → having → join → topk) ──
@@ -604,10 +774,8 @@ WITH li AS (
     AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
 ), t AS (
   SELECT
-    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN (pc * (100 - dc)) {IDIV} 1000000 ELSE 0 END) AS BIGINT) AS promo_hi,
-    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN (pc * (100 - dc)) % 1000000 ELSE 0 END) AS BIGINT) AS promo_lo,
-    CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
-    CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo
+    {PROMO_SUM},
+    {REV_SUM}
   FROM li, part
   WHERE l_partkey = p_partkey
 )
@@ -619,10 +787,25 @@ FROM t
 
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem", "part")
-    return spark.sql(_Q14_BODY.format(IDIV="div"))
+    s = _money_single(spark, sf_dir)
+    promo = "CASE WHEN p_type = 'PROMO' THEN pc * (100 - dc) ELSE 0 END"
+    return spark.sql(
+        _Q14_BODY.format(
+            IDIV="div",
+            PROMO_SUM=_money_sum(promo, "promo_hi", "promo_lo", "div", s),
+            REV_SUM=_money_sum("pc * (100 - dc)", "rev_hi", "rev_lo", "div", s),
+        )
+    )
 
 
-SQL_TPCH_Q14 = _Q14_BODY.format(IDIV="//")
+SQL_TPCH_Q14 = _Q14_BODY.format(
+    IDIV="//",
+    PROMO_SUM=_money_sum(
+        "CASE WHEN p_type = 'PROMO' THEN pc * (100 - dc) ELSE 0 END",
+        "promo_hi", "promo_lo", "//", False,
+    ),
+    REV_SUM=_money_sum("pc * (100 - dc)", "rev_hi", "rev_lo", "//", False),
+)
 
 
 # ── TPC-H Q19-shaped: disjunctive brand/quantity predicates ───────────────
@@ -637,8 +820,7 @@ WITH li AS (
          CAST(round(l_discount * 100) AS BIGINT) AS dc
   FROM lineitem
 ), t AS (
-  SELECT CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
-         CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo
+  SELECT {REV_SUM}
   FROM li, part
   WHERE l_partkey = p_partkey
     AND (
@@ -654,10 +836,21 @@ FROM t
 
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem", "part")
-    return spark.sql(_Q19_BODY.format(IDIV="div"))
+    return spark.sql(
+        _Q19_BODY.format(
+            IDIV="div",
+            REV_SUM=_money_sum(
+                "pc * (100 - dc)", "rev_hi", "rev_lo", "div",
+                _money_single(spark, sf_dir),
+            ),
+        )
+    )
 
 
-SQL_TPCH_Q19 = _Q19_BODY.format(IDIV="//")
+SQL_TPCH_Q19 = _Q19_BODY.format(
+    IDIV="//",
+    REV_SUM=_money_sum("pc * (100 - dc)", "rev_hi", "rev_lo", "//", False),
+)
 
 
 # ── M7: representative selection, sampling, decontamination ───────────────
@@ -1933,8 +2126,7 @@ SELECT supp_nation, cust_nation, l_year,
        (CAST(rev_hi AS DOUBLE) * 1e6 + CAST(rev_lo AS DOUBLE)) / 1e4 AS revenue
 FROM (
   SELECT supp_nation, cust_nation, l_year,
-         CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) AS rev_hi,
-         CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS rev_lo
+         {REV_SUM}
   FROM sh GROUP BY supp_nation, cust_nation, l_year
 )
 """
@@ -1942,10 +2134,21 @@ FROM (
 
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
-    return spark.sql(_Q7_BODY.format(IDIV="div"))
+    return spark.sql(
+        _Q7_BODY.format(
+            IDIV="div",
+            REV_SUM=_money_sum(
+                "pc * (100 - dc)", "rev_hi", "rev_lo", "div",
+                _money_single(spark, sf_dir),
+            ),
+        )
+    )
 
 
-SQL_TPCH_Q7 = _Q7_BODY.format(IDIV="//")
+SQL_TPCH_Q7 = _Q7_BODY.format(
+    IDIV="//",
+    REV_SUM=_money_sum("pc * (100 - dc)", "rev_hi", "rev_lo", "//", False),
+)
 
 
 # ── TPC-H Q9-shaped: profit by nation and year ────────────────────────────
@@ -1969,8 +2172,7 @@ SELECT nation, o_year,
        (CAST(hi AS DOUBLE) * 1e6 + CAST(lo AS DOUBLE)) / 1e4 AS sum_profit
 FROM (
   SELECT nation, o_year,
-         CAST(SUM(amount_u {IDIV} 1000000) AS BIGINT) AS hi,
-         CAST(SUM(amount_u % 1000000) AS BIGINT) AS lo
+         {AMT_SUM}
   FROM pr GROUP BY nation, o_year
 )
 """
@@ -1978,10 +2180,19 @@ FROM (
 
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
-    return spark.sql(_Q9_BODY.format(IDIV="div"))
+    return spark.sql(
+        _Q9_BODY.format(
+            IDIV="div",
+            AMT_SUM=_money_sum(
+                "amount_u", "hi", "lo", "div", _money_single(spark, sf_dir)
+            ),
+        )
+    )
 
 
-SQL_TPCH_Q9 = _Q9_BODY.format(IDIV="//")
+SQL_TPCH_Q9 = _Q9_BODY.format(
+    IDIV="//", AMT_SUM=_money_sum("amount_u", "hi", "lo", "//", False)
+)
 
 
 # ── TPC-H Q15-shaped: top supplier by quarter revenue ─────────────────────
@@ -1998,9 +2209,7 @@ WITH li AS (
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
 ),
 rev AS (
-  SELECT l_suppkey AS supplier_no,
-         CAST(SUM((pc * (100 - dc)) {IDIV} 1000000) AS BIGINT) * 1000000
-           + CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT) AS total_u
+  SELECT l_suppkey AS supplier_no, {TOTAL_U} AS total_u
   FROM li GROUP BY l_suppkey
 )
 SELECT s_suppkey, s_name, CAST(total_u AS DOUBLE) / 1e4 AS total_revenue
@@ -2038,12 +2247,14 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
         F.round(F.col("l_discount") * 100).cast("long").alias("dc"),
     )
-    rev = li.groupBy("l_suppkey").agg(
-        (
+    if _money_single(spark, sf_dir):
+        total_u = F.sum(F.col("pc") * (100 - F.col("dc"))).cast("long")
+    else:
+        total_u = (
             F.sum(F.expr("(pc * (100 - dc)) div 1000000")).cast("long") * 1000000
             + F.sum((F.col("pc") * (100 - F.col("dc"))) % 1000000).cast("long")
-        ).alias("total_u")
-    )
+        )
+    rev = li.groupBy("l_suppkey").agg(total_u.alias("total_u"))
     top = rev.withColumn(
         "mx", F.max("total_u").over(Window.partitionBy())
     ).filter(F.col("total_u") == F.col("mx"))
@@ -2056,7 +2267,13 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TPCH_Q15 = _Q15_BODY.format(IDIV="//")
+SQL_TPCH_Q15 = _Q15_BODY.format(
+    IDIV="//",
+    TOTAL_U=(
+        "CAST(SUM((pc * (100 - dc)) // 1000000) AS BIGINT) * 1000000"
+        " + CAST(SUM((pc * (100 - dc)) % 1000000) AS BIGINT)"
+    ),
+)
 
 
 # ── TPC-H Q16-shaped: supplier count by part attributes ───────────────────

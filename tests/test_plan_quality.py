@@ -659,3 +659,50 @@ def test_partitionless_window_audit_catches_global_orderby(spark):
         "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
     )
     assert not _partitionless_window_specs(_optimized(part_w))
+
+
+def test_money_modes_agree(spark):
+    """The adaptive single-BIGINT money sum must produce BIT-IDENTICAL
+    results to the overflow-safe hi/lo split wherever the footer-stat gate
+    admits it (the constant-zero hi keeps the reconstruction expression
+    unchanged, so equality here is exact doubles, not approximate).  Runs
+    the money-bearing TPC-H shapes in both forced modes, including q9
+    whose amounts go NEGATIVE."""
+    from kafka_backup_spark.queries import pipeline
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "tpch_q1_pricing", "tpch_q5_region_volume", "tpch_q6_forecast",
+        "tpch_q9_profit", "tpch_q14_promo", "tpch_q15_top_supplier",
+    ]
+    results = {}
+    for mode in ("single", "hilo"):
+        spark.conf.set("spark.kafkaBackupSpark.moneyMode", mode)
+        catalog.release_plan_cache(spark)
+        try:
+            for n in names:
+                fn = catalog.queries()[n]
+                rows = sorted(map(tuple, fn(spark, sf).collect()))
+                results.setdefault(n, {})[mode] = rows
+        finally:
+            spark.conf.unset("spark.kafkaBackupSpark.moneyMode")
+    catalog.release_plan_cache(spark)
+    for n in names:
+        assert results[n]["single"] == results[n]["hilo"], n
+
+
+def test_money_gate_reads_footers(spark):
+    """The single-sum gate derives its overflow bound from parquet footer
+    statistics: admits the small fixtures, refuses when stats are absent."""
+    from kafka_backup_spark.queries.pipeline import (
+        _money_single,
+        _parquet_footer_stats,
+    )
+
+    st = _parquet_footer_stats(
+        "/root/testdata/sf0.001/lineitem.parquet", "l_extendedprice", "l_quantity"
+    )
+    assert st is not None and st[0] > 0 and st[1]["l_extendedprice"] > 0
+    assert _money_single(spark, "/root/testdata/sf0.001") is True
+    assert _parquet_footer_stats("/nonexistent/lineitem.parquet", "x") is None
+    assert _money_single(spark, "/nonexistent") is False
