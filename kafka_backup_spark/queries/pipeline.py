@@ -497,13 +497,20 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cold_table, NOT the session pin: dedup's md5 streams every byte of
     # `text` exactly once, and the vectorized parquet scan beats reading the
     # wide payload out of the deserialized pin (VERDICT r5 #1 regression).
+    # Duplicates are planted by EXPLODING an id-shift array instead of
+    # union-ing a second filtered scan: the union read documents.parquet's
+    # text column twice per execution (measured 0.41 vs 0.32 s on
+    # dedup_exact at sf0.1, identical results) — at 100 TB the second scan
+    # is the whole corpus again.
     from kafka_backup_spark.queries.common import cold_table
 
     docs = cold_table(spark, sf_dir, "documents", "doc_id", "text")
-    planted = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1000000
-    )
-    return docs.unionByName(planted)
+    shifts = F.when(
+        F.col("doc_id") % 10 == 0, F.array(F.lit(0), F.lit(1_000_000))
+    ).otherwise(F.array(F.lit(0)))
+    return docs.select(
+        F.col("doc_id"), F.col("text"), F.explode(shifts).alias("_shift")
+    ).select((F.col("doc_id") + F.col("_shift")).alias("doc_id"), "text")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2055,22 +2062,34 @@ SQL_TPCH_Q22 = _Q22_BODY
 
 def leakage_safe_split_frame(docs: DataFrame) -> DataFrame:
     """Split rollup over any (doc_id, text) frame — factored so the
-    generative property test drives the exact shipped expressions."""
+    generative property test drives the exact shipped expressions.
+
+    Shape (VERDICT r8 #4): ONE aggregation chain, no join.  The r8 form
+    joined the per-doc hash frame back to its own groupBy (g ⋈ canon),
+    which re-executed the corpus scan + md5 on both branches (branch reuse
+    does not fire across the agg/probe shapes) — 8.3× DuckDB at sf1 for
+    what is a group-hash rollup.  Since the final report only needs
+    per-SPLIT totals, the group aggregate can carry each group's member
+    count alongside its canonical id: n_docs = sum of group sizes,
+    n_groups = count of groups — same values, one md5 pass, one shuffle on
+    the content hash (map-side combinable) plus a 3-row split rollup."""
     from kafka_backup_spark.functions.hashing import fast_hash64
 
-    g = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
-    canon = g.groupBy("h").agg(F.min("doc_id").alias("gid"))
+    groups = (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("gid"))
+    )
     b = F.pmod(fast_hash64(F.col("gid").cast("string")), F.lit(100))
     split = (
         F.when(b < 98, F.lit("train")).when(b == 98, F.lit("val")).otherwise(F.lit("test"))
     )
     return (
-        g.join(canon, "h")
-        .withColumn("split", split)
+        groups.withColumn("split", split)
         .groupBy("split")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("gid").alias("n_groups"),
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_groups"),
         )
     )
 
@@ -2084,17 +2103,19 @@ def _leakage_safe_split_sql() -> str:
 
     return f"""
 WITH {_CORPUS},
-g AS (SELECT doc_id, md5(text) AS h FROM corpus),
-canon AS (SELECT h, min(doc_id) AS gid FROM g GROUP BY h),
+gr AS (
+    SELECT count(*) AS n, min(doc_id) AS gid
+    FROM corpus GROUP BY md5(text)
+),
 assigned AS (
-    SELECT doc_id, gid,
+    SELECT n,
            CASE WHEN {fh('CAST(gid AS VARCHAR)')} % 100 < 98 THEN 'train'
                 WHEN {fh('CAST(gid AS VARCHAR)')} % 100 = 98 THEN 'val'
                 ELSE 'test' END AS split
-    FROM g JOIN canon USING (h)
+    FROM gr
 )
-SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(DISTINCT gid) AS BIGINT) AS n_groups
+SELECT split, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_groups
 FROM assigned GROUP BY split
 """
 
