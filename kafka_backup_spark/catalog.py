@@ -19,155 +19,86 @@ _MERGED: dict[str, tuple] = {
     **EXTRA_QUERIES,
 }
 
-# The driver oracle-checks the FIRST 50 catalog entries only.  Order matters:
-# every SURVEY §2-mapped query (CORE + EXTRA) and one representative per
-# LLM-pipeline capability must land inside that window.  Entries past the cut
-# are deliberate redundancy — brute-force recall baselines (near_dup_jaccard,
-# cosine_topk), TPC-H join demos (bench-timed and plan-tested separately),
-# and the individual text queries whose columns the consolidated
-# text_analysis / fingerprints entries reproduce verbatim.
-_CHECKED_LLM = [
-    "dedup_exact",
-    "contamination_check",
-    "near_dup_pipeline",
-    "simhash",
-    "text_analysis",
-    "embedding_near_dup",
-    "ivf_topk",
-    "pii_redaction",
-    # M9 representatives, driver-gated per VERDICT r4 #3:
-    "repetition_metrics",  # Gopher-quality repetition filters — the staple
-    "dup_clusters",  # connected components — the only graph-shaped operator
-    # M9 tail + semantic dedup, driver-gated per VERDICT r5 #3:
-    "filtered_mixture",
-    "vocab_coverage",
-    "packing_efficiency",
-    "token_budget_selection",
-    "quality_quantile_filter",
-    # M10 + r6 join shapes, driver-gated per VERDICT r6 #1:
-    "cluster_balance",  # semantic cluster-balance over the shared IVF index
-    "tpch_q13_order_dist",  # LEFT OUTER with ON-clause filter + histogram
-    "tpch_q22_dormant_balance",  # scalar subquery + correlated NOT EXISTS
-    # r7-born operators, gated the round they land:
-    "dup_span_extents",  # merged extents + excision proof
-    "leakage_safe_split",  # dedup-aware split, groups never cross
-    "ann_recall",  # IVF recall@k vs exact ground truth
-    "tpch_q21_sole_returns",  # double-correlated EXISTS / NOT EXISTS
-    # r8 rotation (VERDICT r7 #1): the 12 catalog entries that had NEVER
-    # produced a driver CORRECTNESS row — after this window every one of
-    # the 102 queries has a driver-hash proof.  Nine TPC-H shapes
-    # (r3-era q4/q12/q14/q19 plus the r7-born five), the compaction plan
-    # and offset-gap scan (via CORE/EXTRA below), and dup_membership:
-    "tpch_q4_exists",
-    "tpch_q12_priority_lines",
-    "tpch_q14_promo",
-    "tpch_q19_disjunctive",
-    "tpch_q7_nation_volume",
-    "tpch_q9_profit",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
-    "dup_membership",  # per-doc keep/drop flags over the shared edge frame
-]
-# past-the-window by choice: redundant with a checked entry's semantics.
-# Displaced in r3 for the three pipeline staples (VERDICT r2 #2):
-#   scalar_hashes — F5/F6 already proven by evidence_digest
-#   dedup_records — T8 already pytest-proven (stateful twin) + dedup_exact
-#   topk_events   — orderBy/limit proven inside describe_rollup + TPC-H
-# Displaced in r4 for the M8 five (VERDICT r3 #2 named the first two):
-#   salted_topic_agg     — skew demo; two-phase plan asserted in test_skew.py
-#   windowed_throughput  — T5 watermark path already pytest-proven
-#   semi_join_topics     — U3 semi-join shape proven by the checked
-#                          contamination_check (broadcast left-semi) row
-#   time_format          — F8 epoch↔datetime conversions exercised inside
-#                          checked pitr_window/describe_rollup + pytest
-#   round_robin_repartition — R2/R3 fan-out twin of checked
-#                          murmur2_repartition; dispersal pytest-asserted
-# Displaced in r5 for the M9 representatives (VERDICT r4 #3):
-#   offset_interpolation — J1/F10 extrapolation twin of checked
-#                          asof_offset_lookup (same operators/asof.py family)
-#   topic_regex_filter   — P2 twin of checked topic_glob_filter; both run
-#                          through the same filters.topic_filter code path
-# All stay in the catalog tail, so selfcheck still verifies every one.
-_BEYOND_WINDOW = {
+# The driver oracle-checks the FIRST 50 catalog entries only.  Rotation
+# policy (VERDICT r8 #6): the catalog holds 102 queries, so the window
+# ALTERNATES between two halves round by round — each round's window is
+# (a) every entry whose last driver CORRECTNESS row is oldest (everything
+# displaced in a prior round), then (b) every entry whose implementation
+# CHANGED this round (a change invalidates its old proof).  With selfcheck
+# verifying all 102 per session, the maximum driver-proof staleness for any
+# entry is TWO rounds, and an entry never ships changed code on a stale
+# proof.  Entries past the cut stay in the catalog tail, so selfcheck and
+# the bench still cover them every round.
+_FIRST = [
+    # ── stale half: every entry displaced in a prior round, oldest proofs
+    # first (last driver row in parentheses).  Displaced r3 (r2 rows):
     "scalar_hashes",
     "dedup_records",
     "topk_events",
+    # displaced r4 (r3 rows):
     "salted_topic_agg",
     "windowed_throughput",
     "semi_join_topics",
     "time_format",
     "round_robin_repartition",
+    # displaced r5 (r4 rows):
     "offset_interpolation",
     "topic_regex_filter",
-    # Displaced in r6 for the seven never-driver-checked M9 entries
-    # (VERDICT r5 #3).  Each has ≥1 historical green CORRECTNESS row
-    # (r1-r5) and a checked twin that keeps its shape gated:
-    "reset_plan_summary",  # J3 rollup twin of checked group_reset_plan
-    "lag_metrics",  # A9 agg twin of checked describe_rollup
-    "list_summary",  # A3 agg twin of checked describe_rollup
-    "snapshot_import",  # J4/P11 rename path shared with checked topic_rename
-    "manifest_totals",  # A1 rollup twin of checked manifest_build/describe
-    "validation_offset_range",  # A5: same manifest⋈watermark join as checked
-    #   validation_message_count; composed result still gated by
-    #   validation_summary
-    "consumer_group_check",  # A6 composed into checked validation_summary
-    # Displaced in r7 for the four never-driver-checked r6 entries
-    # (VERDICT r6 #1).  Each has ≥1 historical green CORRECTNESS row
-    # (r1-r6) and a checked twin that keeps its shape gated:
-    "fingerprints",  # consolidated twin of tail kgram_fingerprint /
-    #   doc_fingerprint; winnowing k-gram path shuffle-free, pytest-pinned
-    "dedup_keep_best",  # packed-bigint min agg twin of checked dedup_exact;
-    #   keep-best tie-break pytest-pinned
-    "stratified_sample",  # zero-shuffle hash-mod; independent Python
-    #   cross-check in tests; shares the md5-bucket path with dedup_exact
-    "multimodal_meta",  # mapInPandas shape shared with the checked ANN
-    #   kernels; schema/batch plumbing pytest-pinned in test_multimodal.py
-    # Displaced in r7 (second rotation, for the r7-born operators).  Each
-    # has green CORRECTNESS rows r1-r6 and a checked twin:
-    "evidence_digest",  # F5/F6 sha/base64 paths pytest-pinned
-    #   (test_evidence.py); scalar_hashes tail twin
-    "offset_mapping_capture",  # S7 produce+capture pytest-pinned
-    #   (test_produce_capture.py, test_three_phase.py); the mapping it
-    #   emits is consumed by checked asof_offset_lookup/group_reset_plan
-    "set_difference_topics",  # P3/U2: same filters.topic path as checked
-    #   topic_glob_filter; anti-join shape held by checked resume_anti_join
-    "reset_percentiles",  # A10: exact-percentile machinery also gated by
-    #   checked quality_quantile_filter; rollup pytest-pinned
-    # Displaced in r8 for the 12 never-driver-checked entries (VERDICT r7
-    # #1 — compaction_plan and offset_gap_scan REJOIN the window from here;
-    # these 12 leave it).  Every one is r7 driver-green and keeps a checked
-    # twin gating its shape:
-    "minhash_signatures",  # band chain fully embedded in checked
-    #   near_dup_pipeline (one _bands_cte_chain definition on both engines)
-    "lsh_candidates",  # same — the checked pipeline IS candidates+verify
-    "sequence_packing",  # prefix-sum bucketing twin of checked
-    #   packing_efficiency AND the newly checked compaction_plan
-    "mixture_weights",  # per-source rollup twin of checked filtered_mixture
-    "ngram_topk",  # n-gram extraction gated by checked vocab_coverage;
-    #   TakeOrdered shape by checked describe_rollup / TPC-H sorts
-    "token_histogram",  # bucketed histogram agg, same shape as checked
-    #   tpch_q13_order_dist; token counting inside checked text_analysis
-    "embedding_dup_clusters",  # LSS connected components — one code path
-    #   with checked dup_clusters (textops._lss); ANN candidates gated by
-    #   checked embedding_near_dup
-    "dup_span_fraction",  # span family gated by checked dup_span_extents
-    #   (same _span_windows + persisted dedup; fraction is the subset rollup)
-    "timestamp_asof",  # J2 twin of checked asof_offset_lookup — same
-    #   union-window machinery in operators/asof.py
-    "manifest_merge",  # U1/J6 union-dedupe twin of checked manifest_build;
-    #   merge-on-write path pytest-pinned in test_manifest.py
-    "validation_message_count",  # A4 composed verbatim into checked
-    #   validation_summary (same manifest⋈watermark join)
-    "incremental_dedup",  # anti-join shape gated by checked
-    #   resume_anti_join; fingerprint dedup by checked dedup_exact
-}
-_FIRST = [
-    *(n for n in CORE_QUERIES if n not in _BEYOND_WINDOW),
-    *(n for n in EXTRA_QUERIES if n not in _BEYOND_WINDOW),
-    *_CHECKED_LLM,
+    # displaced r6 (r5 rows):
+    "reset_plan_summary",
+    "lag_metrics",
+    "list_summary",
+    "snapshot_import",
+    "manifest_totals",
+    "validation_offset_range",
+    "consumer_group_check",
+    # displaced r7 (r6 rows):
+    "fingerprints",
+    "dedup_keep_best",
+    "stratified_sample",
+    "multimodal_meta",
+    "evidence_digest",
+    "offset_mapping_capture",
+    "set_difference_topics",
+    "reset_percentiles",
+    # displaced r8 (r7 rows):
+    "minhash_signatures",
+    "lsh_candidates",
+    "sequence_packing",
+    "mixture_weights",
+    "ngram_topk",
+    "token_histogram",
+    "embedding_dup_clusters",
+    "dup_span_fraction",
+    "timestamp_asof",
+    "manifest_merge",
+    "validation_message_count",
+    "incremental_dedup",
+    # ── changed-this-round half (r9): the adaptive money aggregation
+    # rewrote every money-bearing TPC-H body; leakage_safe_split became a
+    # one-pass rollup; the LSH bucket cap moved into the shared sized band
+    # table (near_dup_pipeline embeds lsh_candidates above); _corpus now
+    # plants duplicates via explode (dedup_exact is its cheapest consumer
+    # proof).  Each needs a driver row on the NEW code.
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q5_region_volume",
+    "tpch_q6_forecast",
+    "tpch_q10_returns",
+    "tpch_q14_promo",
+    "tpch_q19_disjunctive",
+    "tpch_q7_nation_volume",
+    "tpch_q9_profit",
+    "tpch_q15_top_supplier",
+    "leakage_safe_split",
+    "near_dup_pipeline",
+    "dedup_exact",
 ]
+# every r8-window entry not re-listed above moves to the tail on a FRESH r8
+# proof; it re-enters by r10 under the alternating policy (max staleness 2
+# rounds).  selfcheck.py verifies the full 102 every session regardless.
 _FIRST = [n for n in _FIRST if n in _MERGED]
+assert len(_FIRST) == len(set(_FIRST)), "duplicate window entries"
 assert len(_FIRST) <= 50, f"driver checks only 50 entries, got {len(_FIRST)} priority queries"
 
 ALL_QUERIES: dict[str, tuple] = {n: _MERGED[n] for n in _FIRST}
