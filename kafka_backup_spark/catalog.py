@@ -75,16 +75,20 @@ _FIRST = [
     "validation_message_count",
     "incremental_dedup",
     # ── changed-this-round half (r9): the adaptive money aggregation
-    # rewrote every money-bearing TPC-H body; leakage_safe_split became a
-    # one-pass rollup; the LSH bucket cap moved into the shared sized band
-    # table (near_dup_pipeline embeds lsh_candidates above); _corpus now
-    # plants duplicates via explode (dedup_exact is its cheapest consumer
-    # proof).  Each needs a driver row on the NEW code.
+    # rewrote every money-bearing TPC-H body; q13 became aggregate-before-
+    # join; leakage_safe_split became a one-pass rollup; the LSH bucket cap
+    # moved into the shared sized band table (near_dup_pipeline embeds
+    # lsh_candidates above).  _corpus now plants duplicates via explode —
+    # proven through its in-window consumers dup_span_fraction (stale half)
+    # and leakage_safe_split, so dedup_exact itself stays in the tail on
+    # its fresh selfcheck rows.  Each entry here needs a driver row on the
+    # NEW code.
     "tpch_q1_pricing",
     "tpch_q3_priority",
     "tpch_q5_region_volume",
     "tpch_q6_forecast",
     "tpch_q10_returns",
+    "tpch_q13_order_dist",
     "tpch_q14_promo",
     "tpch_q19_disjunctive",
     "tpch_q7_nation_volume",
@@ -92,7 +96,6 @@ _FIRST = [
     "tpch_q15_top_supplier",
     "leakage_safe_split",
     "near_dup_pipeline",
-    "dedup_exact",
 ]
 # every r8-window entry not re-listed above moves to the tail on a FRESH r8
 # proof; it re-enters by r10 under the alternating policy (max staleness 2

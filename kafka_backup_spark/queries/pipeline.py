@@ -2004,8 +2004,31 @@ GROUP BY c_count
 
 
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-BEFORE-join (r9): counting a customer's surviving orders
+    needs no customer attributes, so the count runs first — a map-side
+    combinable groupBy that collapses the fact table to one narrow row per
+    ordering customer — and the LEFT OUTER join degrades to dim × dim
+    (zero-order customers surface through coalesce(n, 0), exactly the
+    ON-clause-filter semantics).  Catalyst does not reorder aggregates
+    through outer joins itself, so the shape is written this way; the
+    ORACLE keeps the reference LEFT OUTER + ON-filter formulation
+    (SQL_TPCH_Q13), so the driver hash-compare proves the rewrite
+    equivalent on every run.  Shuffle volume drops from |matching orders|
+    joined rows to |ordering customers| count rows."""
     _view(spark, sf_dir, "customer", "orders")
-    return spark.sql(_Q13_BODY)
+    return spark.sql("""
+WITH cnt AS (
+    SELECT o_custkey, count(*) AS n
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_custkey
+), c_orders AS (
+    SELECT c_custkey, coalesce(n, CAST(0 AS BIGINT)) AS c_count
+    FROM customer LEFT OUTER JOIN cnt ON c_custkey = o_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+""")
 
 
 SQL_TPCH_Q13 = _Q13_BODY

@@ -145,7 +145,13 @@ def main() -> int:
             ),
         )
 
-    save(amplified(emb, {"vec_id": 1_000_000}, k, emb_extra), "embeddings")
+    # shift by max+1 (=count for contiguous ids), NOT an arbitrary constant:
+    # the ANN family's planted-copy convention parks synthetic ids at
+    # +1_000_000 ABOVE the real id space and sizes its quantizer from the
+    # contiguous-ids contract (TESTDATA.md) — an r8 draft shifted replicas
+    # by exactly 1_000_000, colliding replica ids with planted ids, which
+    # the sf1 selfcheck caught as a Spark/DuckDB member-count divergence.
+    save(amplified(emb, {"vec_id": step(emb, "vec_id")}, k, emb_extra), "embeddings")
     spark.stop()
     return 0
 

@@ -42,6 +42,17 @@ def main() -> int:
     # passes over all queries, min per query — instead of 3 back-to-back
     # repeats that let one noise episode blanket a query's whole sample
     ap.add_argument("--repeats", type=int, default=5)
+    # harness hygiene, not an engine knob (VERDICT r8 #8): a handful of
+    # DuckDB twins are 30-100× slower than everything else at sf1
+    # (dup_membership rebuilds the whole LSH+verify chain, timestamp_asof's
+    # ASOF JOIN degrades super-linearly), and five repeats of those alone
+    # would dominate the oracle pass.  A query whose FIRST sample already
+    # exceeds this many seconds keeps that one honest sample instead of
+    # re-running on later passes — it is still timed and still verified,
+    # just not re-sampled; the summary names every capped query (the
+    # no-silent-caps rule).  min-of-1 vs min-of-5 noise only ever makes the
+    # ORACLE look slower, i.e. the comparison errs against Spark.
+    ap.add_argument("--slow-once-sec", type=float, default=15.0)
     args = ap.parse_args()
 
     if args.bench_json:
@@ -74,9 +85,20 @@ def main() -> int:
     samples: dict[str, list[float]] = {n: [] for n, _ in named}
     for _ in range(max(1, args.repeats)):
         for name, _s in named:
+            if samples[name] and min(samples[name]) > args.slow_once_sec:
+                continue  # slow twin: keep the single sample (see --slow-once-sec)
             t0 = time.perf_counter()
             con.sql(sqls[name]).fetchall()
             samples[name].append(time.perf_counter() - t0)
+    capped = sorted(
+        n for n, ts in samples.items() if len(ts) < max(1, args.repeats)
+    )
+    if capped:
+        print(
+            f"slow-once cap ({args.slow_once_sec:g}s): single-sampled "
+            + ", ".join(capped),
+            file=sys.stderr,
+        )
 
     rows = []
     tot_s = tot_o = tot_net = 0.0
@@ -119,6 +141,7 @@ def main() -> int:
                 "oracle_repeat_times": {
                     n: [round(x, 3) for x in ts] for n, ts in samples.items()
                 },
+                "oracle_single_sampled": capped,
                 "spark_repeat_times": spark_spreads,
                 "sf_dir": sf_dir,
             }

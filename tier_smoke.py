@@ -217,6 +217,60 @@ def graph_smoke(spark, factors: list[int]) -> None:
             }))
 
 
+def span_index_smoke(spark, src_dir: str, version_tiers: list[int], out: str) -> None:
+    """Incremental span-index scaling smoke (VERDICT r8 #7): ingest N
+    versions with excise_spans=True — every batch shares its boilerplate
+    prefix with the stored corpus, so each ingest excises against the
+    PERSISTED index — then serve the dup-span extents report from the index
+    and from a full re-scan.  Claims proven by the printed rows:
+    per-version ingest cost stays ~flat as the index grows (the excise
+    semi-join ships narrow (doc_id, i, hash) rows, never text), and the
+    index-served report beats the scan (it skips re-hashing every text
+    window).  Parity of the two paths is pinned separately by
+    test_corpus_store.test_dup_span_stats_from_index_match_scan."""
+    from kafka_backup_spark.corpus_store import CorpusStore
+    from kafka_backup_spark.queries.pipeline import dup_span_extents_frame
+
+    base = (
+        spark.read.parquet(f"{src_dir}/documents.parquet")
+        .select("doc_id", "lang", "text")
+    )
+    n_batch = base.count()
+    for nv in version_tiers:
+        path = f"{out}/span_store_v{nv}"
+        shutil.rmtree(path, ignore_errors=True)
+        store = CorpusStore(path)
+        ingest_s = []
+        for v in range(nv):
+            batch = base.select(
+                (F.col("doc_id") + F.lit(v * 10_000_000)).alias("doc_id"),
+                "lang",
+                F.concat(F.col("text"), F.lit(f" edition tail v{v}")).alias("text"),
+            )
+            t0 = time.perf_counter()
+            store.write_version(batch, excise_spans=True)
+            ingest_s.append(round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        idx_rows = store.dup_span_extents_from_index(spark).count()
+        index_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        scan_rows = dup_span_extents_frame(
+            store.read_corpus(spark).select("doc_id", "text")
+        ).count()
+        scan_s = time.perf_counter() - t0
+        print(json.dumps({
+            "span_index_versions": nv,
+            "batch_docs": n_batch,
+            "ingest_s": ingest_s,
+            "ingest_first_s": ingest_s[0],
+            "ingest_last_s": ingest_s[-1],
+            "index_report_s": round(index_s, 3),
+            "scan_report_s": round(scan_s, 3),
+            "index_rows": idx_rows,
+            "scan_rows": scan_rows,
+        }))
+
+
 def release_all(spark) -> None:
     from kafka_backup_spark import catalog
     from kafka_backup_spark.queries import common, textops
@@ -233,6 +287,9 @@ def main() -> int:
     ap.add_argument("--src", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--graphs", action="store_true",
                     help="run the LSS round-count smoke instead of the query tiers")
+    ap.add_argument("--span-index", action="store_true",
+                    help="run the incremental span-index ingest/report smoke "
+                         "(--factors = version counts, e.g. 2,10)")
     ap.add_argument("--families", default="text,asof,cluster",
                     help="comma list of query families to run (text,asof,cluster)")
     args = ap.parse_args()
@@ -244,6 +301,12 @@ def main() -> int:
     spark = get_spark("tier-smoke")
     if args.graphs:
         graph_smoke(spark, [int(f) for f in args.factors.split(",")])
+        spark.stop()
+        return 0
+    if args.span_index:
+        span_index_smoke(
+            spark, args.src, [int(f) for f in args.factors.split(",")], args.out
+        )
         spark.stop()
         return 0
     spark.read.parquet(f"{args.src}/documents.parquet").count()
