@@ -85,17 +85,20 @@ _FIRST = [
     # NEW code.
     "tpch_q1_pricing",
     "tpch_q3_priority",
-    "tpch_q5_region_volume",
-    "tpch_q6_forecast",
-    "tpch_q10_returns",
-    "tpch_q13_order_dist",
+    "tpch_q5_region_volume",  # r9 dims-first join order
+    "tpch_q10_returns",  # r9 aggregate-before-join
+    "tpch_q13_order_dist",  # r9 aggregate-before-join
     "tpch_q14_promo",
     "tpch_q19_disjunctive",
-    "tpch_q7_nation_volume",
+    "tpch_q7_nation_volume",  # r9 dims-first join order
     "tpch_q9_profit",
     "tpch_q15_top_supplier",
+    "tpch_q21_sole_returns",  # r9 decorrelated per-order aggregates
     "leakage_safe_split",
     "near_dup_pipeline",
+    # q6's only change is the shared _money_sum template — the identical
+    # fragment ten sibling queries above gate — so like dedup_exact it
+    # stays in the tail on fresh two-scale selfcheck rows.
 ]
 # every r8-window entry not re-listed above moves to the tail on a FRESH r8
 # proof; it re-enters by r10 under the alternating policy (max staleness 2
