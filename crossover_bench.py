@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Scale-crossover probe for a subset of catalog queries: run the Spark
+query AND its DuckDB twin at one sf_dir (min-of-N both sides, Spark via
+noop write), print one JSON line per query plus a summary.
+
+Built for the VERDICT r8 #2 question the per-round sf0.1 bench cannot
+answer: the TPC-H/small-join family is constant-factor slower than DuckDB
+at sf0.1 and sf1 — does it cross over at sf10?  Point this at a
+`make_sf1.py --factor 100` (or re-amplified) output:
+
+    python crossover_bench.py --sf-dir /tmp/sf10 --repeats 3
+
+Query selection defaults to the sf1 weak set (TPC-H family + dedup_exact
++ leakage_safe_split + cosine_topk).  DuckDB twins whose first run
+exceeds --slow-once-sec keep that single sample (named in output).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb
+
+from kafka_backup_spark import catalog
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+WEAK_SET = [
+    "tpch_q1_pricing", "tpch_q3_priority", "tpch_q5_region_volume",
+    "tpch_q6_forecast", "tpch_q10_returns", "tpch_q13_order_dist",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty", "tpch_q18_large_orders",
+    "tpch_q22_dormant_balance", "tpch_q7_nation_volume", "tpch_q9_profit",
+    "tpch_q15_top_supplier", "tpch_q21_sole_returns",
+    "dedup_exact", "leakage_safe_split", "cosine_topk",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--slow-once-sec", type=float, default=30.0)
+    ap.add_argument("--queries", help="comma list (default: the sf1 weak set)")
+    args = ap.parse_args()
+
+    names = args.queries.split(",") if args.queries else WEAK_SET
+
+    from kafka_backup_spark.session import get_spark
+
+    spark = get_spark("crossover")
+    spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").count()  # warm
+    qs = catalog.queries()
+    sqls = catalog.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{args.sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+    rows = []
+    for name in names:
+        s_ts, o_ts = [], []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            qs[name](spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+            s_ts.append(time.perf_counter() - t0)
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            con.sql(sqls[name]).fetchall()
+            o_ts.append(time.perf_counter() - t0)
+            if o_ts[-1] > args.slow_once_sec:
+                break  # slow twin: keep the honest single/partial sample
+        row = {
+            "query": name,
+            "spark_s": round(min(s_ts), 3),
+            "duck_s": round(min(o_ts), 3),
+            "ratio": round(min(s_ts) / max(min(o_ts), 1e-3), 2),
+            "spark_repeats": [round(x, 3) for x in s_ts],
+            "duck_repeats": [round(x, 3) for x in o_ts],
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    total_s = sum(r["spark_s"] for r in rows)
+    total_o = sum(r["duck_s"] for r in rows)
+    print(json.dumps({
+        "metric": "crossover_summary",
+        "sf_dir": args.sf_dir,
+        "queries": len(rows),
+        "spark_total_s": round(total_s, 3),
+        "duck_total_s": round(total_o, 3),
+        "ratio": round(total_s / max(total_o, 1e-3), 2),
+        "spark_faster": sorted(r["query"] for r in rows if r["ratio"] < 1.0),
+        "under_2x": sorted(r["query"] for r in rows if r["ratio"] < 2.0),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
