@@ -2460,8 +2460,36 @@ GROUP BY p_brand
 
 
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed decorrelation (r9): the agg-join form shuffles lineitem
+    twice (once for the per-part aggregate, once to sort-merge it back)
+    plus the final brand exchange.  A per-part window computes sum(qc)
+    and count(*) over the SAME single hash exchange the join needed, so
+    the self-join disappears: 3 exchanges + 1 SMJ → 2 exchanges + 0 SMJ
+    (part stays broadcast).  A/B at sf10, min-of-4: 7.13 → 4.29 s, with
+    the explicit-repartition agg-join at 5.08 s; collected results equal
+    on all three.  The ORACLE keeps the agg-join formulation
+    (SQL_TPCH_Q17), so every driver run proves the window form against
+    the reference shape."""
     _view(spark, sf_dir, "part", "lineitem")
-    return spark.sql(_Q17_BODY)
+    return spark.sql("""
+WITH pl AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem
+),
+plw AS (
+  SELECT l_partkey, qc, pc,
+         CAST(sum(qc) OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_qc,
+         CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS cnt
+  FROM pl
+)
+SELECT p_brand, CAST(sum(pc) AS DOUBLE) / 700.0 AS avg_yearly
+FROM plw
+JOIN part ON p_partkey = l_partkey
+WHERE 5 * qc * cnt < sum_qc
+GROUP BY p_brand
+""")
 
 
 SQL_TPCH_Q17 = _Q17_BODY
@@ -2499,9 +2527,14 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     so one (orderkey, suppkey) rollup (map-side combinable) plus one
     per-order rollup replaces both subqueries, and numwait sums the
     qualifying suppliers' own R-row counts.  A/B at sf1: 2.22 → 1.96 s,
-    collected results equal.  The ORACLE keeps the reference
-    double-correlated formulation (SQL_TPCH_Q21), so every driver run
-    proves the decorrelation equivalent."""
+    collected results equal.  Negative result (r9, sf10 min-of-4): an
+    explicit repartition("l_orderkey") before the first rollup to share
+    the exchange across both aggregates measured 14.16 s vs 13.55 s for
+    this form — AQE already coalesces the map-side-combined shuffle, so
+    the manual repartition only adds a row-copy; keep this form.  The
+    ORACLE keeps the reference double-correlated formulation
+    (SQL_TPCH_Q21), so every driver run proves the decorrelation
+    equivalent."""
     _view(spark, sf_dir, "supplier", "lineitem", "orders")
     return spark.sql("""
 WITH per_os AS (
