@@ -2125,8 +2125,33 @@ GROUP BY c_mktsegment
 
 
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-before-anti (r9): the NOT EXISTS plans as a left-anti
+    SMJ whose right side is every urgent ORDER ROW; collapsing it to
+    DISTINCT o_custkey first lets the partial aggregate dedupe map-side,
+    so the shuffle carries ~one row per urgent customer instead of one
+    per urgent order.  A/B at sf10 (min-of-4, interleaved): 2.57 →
+    1.76 s.  A BROADCAST hint on the distinct set measured 2.07 s —
+    slower here and the wrong 100-TB shape (the urgent-customer set
+    grows with the data); pinned as a negative result.  The ORACLE keeps
+    the reference NOT EXISTS formulation (SQL_TPCH_Q22)."""
     _view(spark, sf_dir, "customer", "orders")
-    return spark.sql(_Q22_BODY)
+    return spark.sql("""
+WITH cust AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+    FROM customer
+),
+thresh AS (
+    SELECT CAST(sum(bal_c) AS DOUBLE) / count(*) AS avg_c
+    FROM cust WHERE bal_c > 0
+),
+urg AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(bal_c) AS DOUBLE) / 100 AS totacctbal
+FROM cust LEFT ANTI JOIN urg ON urg.o_custkey = cust.c_custkey
+WHERE bal_c > (SELECT avg_c FROM thresh)
+GROUP BY c_mktsegment
+""")
 
 
 SQL_TPCH_Q22 = _Q22_BODY
@@ -2519,39 +2544,44 @@ GROUP BY s_name
 
 
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decorrelated per-order-supplier aggregate form (r9): the correlated
-    EXISTS + NOT EXISTS each re-scan and re-shuffle lineitem, so the fact
-    table is read three times.  Both predicates are functions of per-order
+    """Decorrelated + windowed form (r9): the correlated EXISTS + NOT
+    EXISTS each re-scan and re-shuffle lineitem, so the fact table is
+    read three times.  Both predicates are functions of per-order
     supplier aggregates — EXISTS(other supplier) ⇔ n_supp ≥ 2,
-    NOT EXISTS(other supplier with 'R') ⇔ n_supp_r = 1 given l1 is 'R' —
-    so one (orderkey, suppkey) rollup (map-side combinable) plus one
-    per-order rollup replaces both subqueries, and numwait sums the
-    qualifying suppliers' own R-row counts.  A/B at sf1: 2.22 → 1.96 s,
-    collected results equal.  Negative result (r9, sf10 min-of-4): an
-    explicit repartition("l_orderkey") before the first rollup to share
-    the exchange across both aggregates measured 14.16 s vs 13.55 s for
-    this form — AQE already coalesces the map-side-combined shuffle, so
-    the manual repartition only adds a row-copy; keep this form.  The
-    ORACLE keeps the reference double-correlated formulation
-    (SQL_TPCH_Q21), so every driver run proves the decorrelation
-    equivalent."""
+    NOT EXISTS(other supplier with 'R') ⇔ n_supp_r = 1 given l1 is 'R'.
+    Three plan moves stack on one orderkey exchange: (1) the per-order
+    o_orderstatus = 'F' predicate is constant within every window
+    partition, so the orders join runs FIRST and halves everything
+    downstream; (2) the (orderkey, suppkey) rollup needs only
+    ClusteredDistribution(orderkey, suppkey), which the orderkey
+    exchange already satisfies — no second shuffle; (3) the per-order
+    supplier counts become window aggregates over that same
+    distribution instead of a second rollup + self-join.  6 exchanges +
+    2 SMJ → 3 exchanges + 0 SMJ.  A/B at sf10 (min-of-4, interleaved):
+    agg-join form 25.1 s, window form 7.9 s, window-less shared-exchange
+    form 10.7 s; collected results equal on all three.  The ORACLE keeps
+    the reference double-correlated formulation (SQL_TPCH_Q21), so every
+    driver run proves the decorrelation equivalent."""
     _view(spark, sf_dir, "supplier", "lineitem", "orders")
     return spark.sql("""
-WITH per_os AS (
+WITH lf AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+), per_os AS (
   SELECT l_orderkey, l_suppkey,
          CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r_rows
-  FROM lineitem GROUP BY l_orderkey, l_suppkey
-), per_o AS (
-  SELECT l_orderkey, count(*) AS n_supp,
-         CAST(sum(CASE WHEN r_rows > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_supp_r
-  FROM per_os GROUP BY l_orderkey
+  FROM lf GROUP BY l_orderkey, l_suppkey
+), per AS (
+  SELECT l_suppkey, r_rows,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         sum(CASE WHEN r_rows > 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY l_orderkey) AS n_supp_r
+  FROM per_os
 )
 SELECT s_name, CAST(sum(r_rows) AS BIGINT) AS numwait
-FROM per_os
-JOIN per_o USING (l_orderkey)
-JOIN orders ON o_orderkey = l_orderkey
-JOIN supplier ON s_suppkey = l_suppkey
-WHERE r_rows > 0 AND n_supp >= 2 AND n_supp_r = 1 AND o_orderstatus = 'F'
+FROM per JOIN supplier ON s_suppkey = l_suppkey
+WHERE r_rows > 0 AND n_supp >= 2 AND n_supp_r = 1
 GROUP BY s_name
 """)
 
