@@ -299,6 +299,13 @@ LIMIT 10
 
 
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative result (r9, sf10 min-of-4 interleaved): pre-aggregating
+    lineitem revenue per orderkey before the orders join measured 4.05 s
+    vs 3.23 s for this form — the rewrite traded the optimizer's
+    broadcast of the BUILDING-customer-filtered orders side for a
+    SortMergeJoin on the aggregate (3 BHJ + 1 SMJ → 1 BHJ + 1 SMJ but
+    the surviving SMJ carried more rows).  Keep the reference shape and
+    let Catalyst order the joins."""
     _view(spark, sf_dir, "customer", "orders", "lineitem")
     # orders.o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC so the
     # cast is an identity relabel and matches DuckDB's epoch_ms on naive ts
@@ -2450,9 +2457,56 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+def _dim_broadcastable(sf_dir: str, table: str, limit_rows: int) -> bool:
+    """Footer-gated broadcast decision for a dimension that GROWS with the
+    scale factor (part, supplier, customer): True only when the parquet
+    footers prove the table's total row count is under `limit_rows`.
+    Missing/unreadable footers → False, i.e. the scale-safe shuffle join."""
+    try:
+        st = _parquet_footer_stats(f"{sf_dir}/{table}.parquet")
+        return st is not None and st[0] <= limit_rows
+    except Exception:
+        return False
+
+
 def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-first form (r9): probe lineitem's (partkey, suppkey) pairs
+    against the FILTERED part dim first, then anti-join negative-balance
+    suppliers, then one distinct-agg — the reference-shaped SQL planned a
+    part ⋈ lineitem SortMergeJoin that shuffled the whole fact table on
+    partkey before the ~1/8-selectivity part filter dropped anything.
+    A/B at sf10 (min-of-4, interleaved): base 3.13 s → join-first 1.92 s
+    (4 exchanges + 1 SMJ → 2 exchanges + 0 SMJ).  Negative result, same
+    run: a distinct-(partkey,suppkey) pre-aggregate before the joins
+    measured 7.68 s — the distinct shuffle dwarfs the join it feeds.
+    Both broadcasts are footer-gated (_dim_broadcastable): part and
+    supplier grow with the scale factor, so past ~8M/4M rows the hints
+    are withheld and Catalyst/AQE falls back to shuffle joins — the right
+    100-TB shape when a dim outgrows executor memory.  The ORACLE keeps
+    the reference NOT IN formulation (SQL_TPCH_Q16)."""
     _view(spark, sf_dir, "part", "lineitem", "supplier")
-    return spark.sql(_Q16_BODY)
+    pf = (
+        spark.table("part")
+        .where(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "MEDIUM")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    if _dim_broadcastable(sf_dir, "part", 8_000_000):
+        pf = F.broadcast(pf)
+    bad = spark.table("supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    if _dim_broadcastable(sf_dir, "supplier", 4_000_000):
+        bad = F.broadcast(bad)
+    return (
+        spark.table("lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(pf, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
 
 
 SQL_TPCH_Q16 = _Q16_BODY
