@@ -88,17 +88,18 @@ _FIRST = [
     "tpch_q5_region_volume",  # r9 dims-first join order
     "tpch_q10_returns",  # r9 aggregate-before-join
     "tpch_q13_order_dist",  # r9 aggregate-before-join
-    "tpch_q14_promo",
-    "tpch_q19_disjunctive",
     "tpch_q7_nation_volume",  # r9 dims-first join order
-    "tpch_q9_profit",
-    "tpch_q15_top_supplier",
-    "tpch_q21_sole_returns",  # r9 decorrelated per-order aggregates
+    "tpch_q16_supplier_cnt",  # r9 join-first + footer-gated dim broadcasts
+    "tpch_q17_small_qty",  # r9 windowed decorrelation
+    "tpch_q18_large_orders",  # r9 top-k-before-join
+    "tpch_q21_sole_returns",  # r9 windowed decorrelation over one exchange
+    "tpch_q22_dormant_balance",  # r9 distinct-before-anti
     "leakage_safe_split",
     "near_dup_pipeline",
-    # q6's only change is the shared _money_sum template — the identical
-    # fragment ten sibling queries above gate — so like dedup_exact it
-    # stays in the tail on fresh two-scale selfcheck rows.
+    # q6/q9/q14/q15/q19's only r9 change is the shared _money_sum template
+    # — the identical fragment the sibling queries above gate — so like
+    # dedup_exact they stay in the tail on fresh two-scale selfcheck rows
+    # and re-enter by r10 under the alternating policy.
 ]
 # every r8-window entry not re-listed above moves to the tail on a FRESH r8
 # proof; it re-enters by r10 under the alternating policy (max staleness 2
