@@ -366,7 +366,14 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier set — dropping ~80% of lineitem before the orders join — and
     joins customers last with the c_nationkey = s_nationkey constraint on
     the already-narrow stream.  A/B at sf1: 1.00 → 0.64 s, results equal.
-    The ORACLE keeps the reference flat-join text (SQL_TPCH_Q5)."""
+    Negative results (r9, sf10 min-of-4 interleaved): SHUFFLE_HASH hints
+    on orders+customer measured 4.45 s vs 4.26 s for this form (the SHJ
+    skipped the SMJ sorts but broke one broadcast and added exchanges),
+    and pre-aggregating revenue per (orderkey, supplier nation) before
+    the orders join measured 5.05 s (~4 lineitems/order across ~3 ASIA
+    nations ≈ no row reduction to pay for the extra rollup).  The
+    surviving gap is per-row constant factor, not plan shape.  The
+    ORACLE keeps the reference flat-join text (SQL_TPCH_Q5)."""
     _view(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
     rev = _money_sum(
         "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
@@ -2379,6 +2386,13 @@ FROM (
 
 
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative result (r9, sf10 min-of-4 interleaved): a SHUFFLE_HASH
+    hint on the orders join (SMJ → SHJ, sort elided) measured 2.70 s min
+    vs 2.87 s but was slower on two of four interleaved reps — a wash
+    inside this VM's noise band, not worth carrying a hint that pins the
+    planner's hands at other scales.  A part-first forced join order was
+    A/B'd at sf1 earlier this round — also a wash (Catalyst already
+    picks it)."""
     _view(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
     return spark.sql(
         _Q9_BODY.format(
