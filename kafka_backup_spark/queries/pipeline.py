@@ -12,6 +12,7 @@ summation order can't flip the hash.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -126,6 +127,29 @@ def _money_sum(expr: str, hi: str, lo: str, idiv: str, single: bool) -> str:
     return (
         f"CAST(SUM(({expr}) {idiv} 1000000) AS BIGINT) AS {hi},\n"
         f"         CAST(SUM(({expr}) % 1000000) AS BIGINT) AS {lo}"
+    )
+
+
+_CENTS_RE = re.compile(r"CAST\(round\((\w+) \* 100\) AS BIGINT\)")
+
+
+def _cents_sql(sql: str) -> str:
+    """Spark-side fixed-point conversion (r9, measured): Spark's round()
+    on DOUBLE routes every row through BigDecimal.setScale — boxing that
+    dominated the whole TPC-H family's wall-time (q1 at sf10: scan 0.58 s,
+    scan+round-casts 1.6 s, full query 1.7 s).  `CAST(x*100 + sign(x)*0.5D
+    AS BIGINT)` is pure double arithmetic inside whole-stage codegen and
+    agrees with round()'s HALF_UP exactly whenever x*100 is not an exact
+    .5 — guaranteed here because every such column is generated with two
+    decimals (x*100 is an integer up to float error; the engines' shared
+    premise that cents are exactly recoverable).  sign() keeps the
+    half-AWAY-FROM-ZERO behaviour for the one signed column (c_acctbal).
+    A/B at sf10 min-of-5: q1 1.72 -> 0.80 s, results bit-equal.  Applied
+    to the SPARK text only — every DuckDB oracle keeps round(), so the
+    driver hash-compare proves the equivalence on each run."""
+    return _CENTS_RE.sub(
+        lambda m: f"CAST({m.group(1)} * 100 + sign({m.group(1)}) * 0.5D AS BIGINT)",
+        sql,
     )
 
 
@@ -249,7 +273,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pin gate and the scan's own splits provide the parallelism.
     _view(spark, sf_dir, "lineitem")
     s = _money_single(spark, sf_dir)
-    return spark.sql(
+    return spark.sql(_cents_sql(
         _Q1_BODY.format(
             IDIV="div",
             REV_SUM=_money_sum("pc * (100 - dc)", "rev_hi", "rev_lo", "div", s),
@@ -257,7 +281,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pc * (100 - dc) * (100 + tc)", "chg_hi", "chg_lo", "div", s
             ),
         )
-    )
+    ))
 
 
 SQL_TPCH_Q1 = _Q1_BODY.format(
@@ -309,7 +333,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "customer", "orders", "lineitem")
     # orders.o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC so the
     # cast is an identity relabel and matches DuckDB's epoch_ms on naive ts
-    return spark.sql(
+    return spark.sql(_cents_sql(
         _Q3_BODY.format(
             odate_ms="unix_millis(cast(o_orderdate as timestamp))",
             IDIV="div",
@@ -318,7 +342,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _money_single(spark, sf_dir),
             ),
         )
-    )
+    ))
 
 
 SQL_TPCH_Q3 = _Q3_BODY.format(
@@ -378,7 +402,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _money_sum(
         "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
     )
-    return spark.sql(f"""
+    return spark.sql(_cents_sql(f"""
 WITH asia AS (
   SELECT n_nationkey, n_name FROM nation JOIN region ON n_regionkey = r_regionkey
   WHERE r_name = 'ASIA'
@@ -403,7 +427,7 @@ WITH asia AS (
 SELECT n_name,
        (CAST(rev_hi AS DOUBLE) * 1e6 + CAST(rev_lo AS DOUBLE)) / 1e4 AS revenue
 FROM t
-""")
+"""))
 
 
 SQL_TPCH_Q5 = _Q5_BODY.format(
@@ -437,14 +461,14 @@ FROM t
 
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem")
-    return spark.sql(
+    return spark.sql(_cents_sql(
         _Q6_BODY.format(
             IDIV="div",
             REV_SUM=_money_sum(
                 "pc * dc", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
             ),
         )
-    )
+    ))
 
 
 SQL_TPCH_Q6 = _Q6_BODY.format(
@@ -495,7 +519,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _money_sum(
         "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
     )
-    return spark.sql(f"""
+    return spark.sql(_cents_sql(f"""
 WITH li AS (
   SELECT l_orderkey,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
@@ -519,7 +543,7 @@ FROM rev_c JOIN customer ON c_custkey = o_custkey
            JOIN nation ON c_nationkey = n_nationkey
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
-""")
+"""))
 
 
 SQL_TPCH_Q10 = _Q10_BODY.format(
@@ -561,7 +585,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong 100-TB shape; pinned negative.  ORACLE keeps the reference
     HAVING-join formulation (SQL_TPCH_Q18)."""
     _view(spark, sf_dir, "customer", "orders", "lineitem")
-    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    # same BigDecimal-free cent cast as _cents_sql (l_quantity >= 0)
+    qc = (F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
     big10 = (
         spark.table("lineitem")
         .select("l_orderkey", qc.alias("qc"))
@@ -871,7 +896,7 @@ GROUP BY o_orderpriority
 
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "orders", "lineitem")
-    return spark.sql(_Q4_BODY)
+    return spark.sql(_cents_sql(_Q4_BODY))
 
 
 SQL_TPCH_Q4 = _Q4_BODY
@@ -904,13 +929,13 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem", "part")
     s = _money_single(spark, sf_dir)
     promo = "CASE WHEN p_type = 'PROMO' THEN pc * (100 - dc) ELSE 0 END"
-    return spark.sql(
+    return spark.sql(_cents_sql(
         _Q14_BODY.format(
             IDIV="div",
             PROMO_SUM=_money_sum(promo, "promo_hi", "promo_lo", "div", s),
             REV_SUM=_money_sum("pc * (100 - dc)", "rev_hi", "rev_lo", "div", s),
         )
-    )
+    ))
 
 
 SQL_TPCH_Q14 = _Q14_BODY.format(
@@ -951,7 +976,7 @@ FROM t
 
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem", "part")
-    return spark.sql(
+    return spark.sql(_cents_sql(
         _Q19_BODY.format(
             IDIV="div",
             REV_SUM=_money_sum(
@@ -959,7 +984,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _money_single(spark, sf_dir),
             ),
         )
-    )
+    ))
 
 
 SQL_TPCH_Q19 = _Q19_BODY.format(
@@ -1873,7 +1898,7 @@ GROUP BY o_orderpriority
 
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "orders", "lineitem")
-    return spark.sql(_Q12_BODY)
+    return spark.sql(_cents_sql(_Q12_BODY))
 
 
 SQL_TPCH_Q12 = _Q12_BODY
@@ -2124,7 +2149,7 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent on every run.  Shuffle volume drops from |matching orders|
     joined rows to |ordering customers| count rows."""
     _view(spark, sf_dir, "customer", "orders")
-    return spark.sql("""
+    return spark.sql(_cents_sql("""
 WITH cnt AS (
     SELECT o_custkey, count(*) AS n
     FROM orders WHERE o_orderpriority <> '1-URGENT'
@@ -2136,7 +2161,7 @@ WITH cnt AS (
 SELECT c_count, count(*) AS custdist
 FROM c_orders
 GROUP BY c_count
-""")
+"""))
 
 
 SQL_TPCH_Q13 = _Q13_BODY
@@ -2184,7 +2209,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows with the data); pinned as a negative result.  The ORACLE keeps
     the reference NOT EXISTS formulation (SQL_TPCH_Q22)."""
     _view(spark, sf_dir, "customer", "orders")
-    return spark.sql("""
+    return spark.sql(_cents_sql("""
 WITH cust AS (
     SELECT c_custkey, c_mktsegment,
            CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
@@ -2200,7 +2225,7 @@ SELECT c_mktsegment, count(*) AS numcust,
 FROM cust LEFT ANTI JOIN urg ON urg.o_custkey = cust.c_custkey
 WHERE bal_c > (SELECT avg_c FROM thresh)
 GROUP BY c_mktsegment
-""")
+"""))
 
 
 SQL_TPCH_Q22 = _Q22_BODY
@@ -2322,7 +2347,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _money_sum(
         "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
     )
-    return spark.sql(f"""
+    return spark.sql(_cents_sql(f"""
 WITH sn AS (
   SELECT s_suppkey, n_name AS supp_nation FROM supplier JOIN nation ON s_nationkey = n_nationkey
   WHERE n_name IN ('NATION_3', 'NATION_7')
@@ -2349,7 +2374,7 @@ FROM (
   SELECT supp_nation, cust_nation, l_year, {rev}
   FROM sh GROUP BY supp_nation, cust_nation, l_year
 )
-""")
+"""))
 
 
 SQL_TPCH_Q7 = _Q7_BODY.format(
@@ -2394,14 +2419,14 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     A/B'd at sf1 earlier this round — also a wash (Catalyst already
     picks it)."""
     _view(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
-    return spark.sql(
+    return spark.sql(_cents_sql(
         _Q9_BODY.format(
             IDIV="div",
             AMT_SUM=_money_sum(
                 "amount_u", "hi", "lo", "div", _money_single(spark, sf_dir)
             ),
         )
-    )
+    ))
 
 
 SQL_TPCH_Q9 = _Q9_BODY.format(
@@ -2599,7 +2624,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SQL_TPCH_Q17), so every driver run proves the window form against
     the reference shape."""
     _view(spark, sf_dir, "part", "lineitem")
-    return spark.sql("""
+    return spark.sql(_cents_sql("""
 WITH pl AS (
   SELECT l_partkey,
          CAST(round(l_quantity * 100) AS BIGINT) AS qc,
@@ -2617,7 +2642,7 @@ FROM plw
 JOIN part ON p_partkey = l_partkey
 WHERE 5 * qc * cnt < sum_qc
 GROUP BY p_brand
-""")
+"""))
 
 
 SQL_TPCH_Q17 = _Q17_BODY
@@ -2666,7 +2691,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference double-correlated formulation (SQL_TPCH_Q21), so every
     driver run proves the decorrelation equivalent."""
     _view(spark, sf_dir, "supplier", "lineitem", "orders")
-    return spark.sql("""
+    return spark.sql(_cents_sql("""
 WITH lf AS (
   SELECT l_orderkey, l_suppkey, l_returnflag
   FROM lineitem JOIN orders ON o_orderkey = l_orderkey
@@ -2686,7 +2711,7 @@ SELECT s_name, CAST(sum(r_rows) AS BIGINT) AS numwait
 FROM per JOIN supplier ON s_suppkey = l_suppkey
 WHERE r_rows > 0 AND n_supp >= 2 AND n_supp_r = 1
 GROUP BY s_name
-""")
+"""))
 
 
 SQL_TPCH_Q21 = _Q21_BODY
