@@ -96,10 +96,12 @@ _FIRST = [
     "tpch_q22_dormant_balance",  # r9 distinct-before-anti
     "leakage_safe_split",
     "near_dup_pipeline",
-    # q6/q9/q14/q15/q19's only r9 change is the shared _money_sum template
-    # — the identical fragment the sibling queries above gate — so like
-    # dedup_exact they stay in the tail on fresh two-scale selfcheck rows
-    # and re-enter by r10 under the alternating policy.
+    # q6/q9/q14/q15/q19's only r9 changes are SHARED fragments — the
+    # _money_sum template and the _cents_sql trunc-cast rewrite (one regex
+    # applied uniformly to every TPC-H body) — both gated by the eleven
+    # in-window siblings at sf0.01 AND sf1, so like dedup_exact they stay
+    # in the tail on fresh two-scale selfcheck rows and re-enter by r10
+    # under the alternating policy.
 ]
 # every r8-window entry not re-listed above moves to the tail on a FRESH r8
 # proof; it re-enters by r10 under the alternating policy (max staleness 2
