@@ -691,6 +691,42 @@ def test_money_modes_agree(spark):
         assert results[n]["single"] == results[n]["hilo"], n
 
 
+def test_cents_cast_matches_round(spark):
+    """The trunc-form cent cast `CAST(x*100 + sign(x)*0.5D AS BIGINT)`
+    (_cents_sql, r9: Spark's round() boxes BigDecimal per row) must equal
+    `CAST(round(x*100) AS BIGINT)` for every two-decimal value BOTH
+    engines can see — the whole TPC-H grid including negatives (c_acctbal)
+    and the classic decimal-representability traps (x.x25/x.x75 whose
+    doubles sit just under or over the printed value).  Exhaustive over
+    the ±100.00 two-decimal grid plus scaled spot values."""
+    vals = [n / 100.0 for n in range(-10000, 10001)]
+    vals += [2.675, -2.675, 0.285, -0.285, 123456.78, -98765.43, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    bad = df.selectExpr(
+        "x",
+        "CAST(round(x * 100) AS BIGINT) AS r",
+        "CAST(x * 100 + sign(x) * 0.5D AS BIGINT) AS t",
+    ).where("r <> t")
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_cents_sql_rewrites_only_the_pattern():
+    """_cents_sql touches exactly the cent-cast pattern and leaves every
+    other round()/CAST alone — and the ORACLE strings keep round() so the
+    driver hash-compare proves the equivalence on data, every round."""
+    from kafka_backup_spark.queries.pipeline import (
+        SQL_TPCH_Q1,
+        _cents_sql,
+    )
+
+    src = "CAST(round(l_discount * 100) AS BIGINT), round(x, 4), CAST(a AS BIGINT)"
+    out = _cents_sql(src)
+    assert "CAST(l_discount * 100 + sign(l_discount) * 0.5D AS BIGINT)" in out
+    assert "round(x, 4)" in out and "CAST(a AS BIGINT)" in out
+    # oracle text stays on round()
+    assert "CAST(round(" in SQL_TPCH_Q1 and "0.5D" not in SQL_TPCH_Q1
+
+
 def test_money_gate_reads_footers(spark):
     """The single-sum gate derives its overflow bound from parquet footer
     statistics: admits the small fixtures, refuses when stats are absent."""
