@@ -2147,7 +2147,12 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE keeps the reference LEFT OUTER + ON-filter formulation
     (SQL_TPCH_Q13), so the driver hash-compare proves the rewrite
     equivalent on every run.  Shuffle volume drops from |matching orders|
-    joined rows to |ordering customers| count rows."""
+    joined rows to |ordering customers| count rows.  Negative result
+    (r9, sf10 min-of-5): eliminating the customer join entirely — zero-
+    order custdist as count(customer) − sum(hist) via UNION ALL + scalar
+    subqueries — measured 2.63 s vs 1.33 s; Spark re-executes the
+    un-materialized hist CTE once per scalar reference (3 → 6 exchanges),
+    which costs more than the SMJ it removes."""
     _view(spark, sf_dir, "customer", "orders")
     return spark.sql(_cents_sql("""
 WITH cnt AS (
