@@ -727,6 +727,18 @@ def test_cents_sql_rewrites_only_the_pattern():
     assert "CAST(round(" in SQL_TPCH_Q1 and "0.5D" not in SQL_TPCH_Q1
 
 
+def test_dim_broadcastable_gate():
+    """q16's footer-gated broadcast: admits a dim whose parquet footers
+    prove a small row count, refuses past the threshold, and refuses when
+    footers are unreadable (object stores) — the scale-safe default."""
+    from kafka_backup_spark.queries.pipeline import _dim_broadcastable
+
+    sf = "/root/testdata/sf0.001"
+    assert _dim_broadcastable(sf, "part", 8_000_000) is True
+    assert _dim_broadcastable(sf, "part", 1) is False
+    assert _dim_broadcastable("/nonexistent", "part", 8_000_000) is False
+
+
 def test_money_gate_reads_footers(spark):
     """The single-sum gate derives its overflow bound from parquet footer
     statistics: admits the small fixtures, refuses when stats are absent."""
