@@ -30,82 +30,76 @@ _MERGED: dict[str, tuple] = {
 # proof.  Entries past the cut stay in the catalog tail, so selfcheck and
 # the bench still cover them every round.
 _FIRST = [
-    # ── stale half: every entry displaced in a prior round, oldest proofs
-    # first (last driver row in parentheses).  Displaced r3 (r2 rows):
-    "scalar_hashes",
-    "dedup_records",
-    "topk_events",
-    # displaced r4 (r3 rows):
-    "salted_topic_agg",
-    "windowed_throughput",
-    "semi_join_topics",
-    "time_format",
-    "round_robin_repartition",
-    # displaced r5 (r4 rows):
-    "offset_interpolation",
-    "topic_regex_filter",
-    # displaced r6 (r5 rows):
-    "reset_plan_summary",
-    "lag_metrics",
-    "list_summary",
-    "snapshot_import",
-    "manifest_totals",
-    "validation_offset_range",
-    "consumer_group_check",
-    # displaced r7 (r6 rows):
-    "fingerprints",
-    "dedup_keep_best",
-    "stratified_sample",
-    "multimodal_meta",
-    "evidence_digest",
-    "offset_mapping_capture",
-    "set_difference_topics",
-    "reset_percentiles",
-    # displaced r8 (r7 rows):
-    "minhash_signatures",
-    "lsh_candidates",
-    "sequence_packing",
-    "mixture_weights",
-    "ngram_topk",
-    "token_histogram",
-    "embedding_dup_clusters",
-    "dup_span_fraction",
-    "timestamp_asof",
-    "manifest_merge",
-    "validation_message_count",
-    "incremental_dedup",
-    # ── changed-this-round half (r9): the adaptive money aggregation
-    # rewrote every money-bearing TPC-H body; q13 became aggregate-before-
-    # join; leakage_safe_split became a one-pass rollup; the LSH bucket cap
-    # moved into the shared sized band table (near_dup_pipeline embeds
-    # lsh_candidates above).  _corpus now plants duplicates via explode —
-    # proven through its in-window consumers dup_span_fraction (stale half)
-    # and leakage_safe_split, so dedup_exact itself stays in the tail on
-    # its fresh selfcheck rows.  Each entry here needs a driver row on the
-    # NEW code.
-    "tpch_q1_pricing",
-    "tpch_q3_priority",
-    "tpch_q5_region_volume",  # r9 dims-first join order
-    "tpch_q10_returns",  # r9 aggregate-before-join
-    "tpch_q13_order_dist",  # r9 aggregate-before-join
-    "tpch_q7_nation_volume",  # r9 dims-first join order
-    "tpch_q16_supplier_cnt",  # r9 join-first + footer-gated dim broadcasts
-    "tpch_q17_small_qty",  # r9 windowed decorrelation
-    "tpch_q18_large_orders",  # r9 top-k-before-join
-    "tpch_q21_sole_returns",  # r9 windowed decorrelation over one exchange
-    "tpch_q22_dormant_balance",  # r9 distinct-before-anti
-    "leakage_safe_split",
-    "near_dup_pipeline",
-    # q6/q9/q14/q15/q19's only r9 changes are SHARED fragments — the
-    # _money_sum template and the _cents_sql trunc-cast rewrite (one regex
-    # applied uniformly to every TPC-H body) — both gated by the eleven
-    # in-window siblings at sf0.01 AND sf1, so like dedup_exact they stay
-    # in the tail on fresh two-scale selfcheck rows and re-enter by r10
-    # under the alternating policy.
+    # ── r10 window.  Must-enter candidates this round: the 42 entries whose
+    # last driver row is r8 (displaced by r9's window), the 10 entries whose
+    # only driver row is r1 (they stayed in the tail since the catalog grew
+    # past 50; selfcheck-green at sf0.01+sf1 every session since), and the
+    # bodies changed this round.  That is 53 candidates for 50 slots —
+    # three r8-proof entries slip to r11, chosen because their logic is
+    # exercised by in-window siblings: dup_membership rides the same
+    # persisted LSS edge frame as dup_clusters (in window),
+    # ann_recall embeds cosine_topk + ivf_topk (both in window), and
+    # validation_summary aggregates the three validation checks that all
+    # hold fresh r9 rows.
+    # ── oldest proofs first: the 10 r1-only entries
+    "tpch_q6_forecast",  # also r10 changed-fragment: _money_single gate
+    "text_metrics",
+    "lang_stats",
+    "doc_fingerprint",
+    "cosine_topk",
+    "token_counts",
+    "quality_score",
+    "lang_id",
+    "kgram_fingerprint",
+    "near_dup_jaccard",
+    # ── r8-proof half (displaced by the r9 window)
+    "pitr_window",
+    "topic_glob_filter",
+    "offset_range_scan",
+    "partition_select",
+    "topic_rename",
+    "manifest_build",
+    "compaction_plan",
+    "describe_rollup",
+    "dry_run_estimate",
+    "resume_anti_join",
+    "asof_offset_lookup",
+    "group_reset_plan",
+    "murmur2_repartition",
+    "tpch_q4_exists",
+    "tpch_q14_promo",  # r10 changed fragment: footer-derived money gate
+    "tpch_q19_disjunctive",
+    "tpch_q12_priority_lines",
+    "tpch_q9_profit",  # r10 changed fragment: footer-derived money gate
+    "tpch_q15_top_supplier",  # r10 changed fragment: footer-derived money gate
+    "dedup_exact",
+    "contamination_check",
+    "pii_redaction",
+    "repetition_metrics",
+    "filtered_mixture",
+    "vocab_coverage",
+    "packing_efficiency",
+    "token_budget_selection",
+    "quality_quantile_filter",
+    "dup_span_extents",
+    "ivf_topk",
+    "text_analysis",
+    "simhash",
+    "embedding_near_dup",
+    "dup_clusters",
+    "cluster_balance",
+    "legacy_segment_read",
+    "offset_gap_scan",
+    "header_roundtrip",
+    "integrity_scan",
+    # ── changed-this-round (r10): bodies edited after their r9 proof
+    "tpch_q18_large_orders",  # r10: FK-robust top-k (k=100 pre-join, top-10 post-join)
 ]
-# every r8-window entry not re-listed above moves to the tail on a FRESH r8
-# proof; it re-enters by r10 under the alternating policy (max staleness 2
-# rounds).  selfcheck.py verifies the full 102 every session regardless.
+# every r9-window entry not re-listed above moves to the tail on a FRESH r9
+# proof and re-enters by r11; ann_recall / dup_membership /
+# validation_summary slip to r11 on r8 proofs (the documented 53-into-50
+# exception above).  selfcheck.py verifies the full 102 every session
+# regardless.
 _FIRST = [n for n in _FIRST if n in _MERGED]
 assert len(_FIRST) == len(set(_FIRST)), "duplicate window entries"
 assert len(_FIRST) <= 50, f"driver checks only 50 entries, got {len(_FIRST)} priority queries"

@@ -99,16 +99,21 @@ def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
 # is provable from parquet footer statistics without scanning a row:
 # sum(|per-row product|) over ANY group is bounded by
 # total_rows × max_per_row_product, with max_per_row_product derived from
-# the footer max of l_extendedprice / p_retailprice / l_quantity.  When
-# that bound clears 2^62 (one spare bit of margin), every money aggregate
+# the footer min/max of l_extendedprice / p_retailprice / l_quantity /
+# l_discount / l_tax.  When that bound clears 2^59, every money aggregate
 # collapses to ONE plain BIGINT sum; the reconstruction keeps the same
 # (hi, lo) shape with a constant-zero hi, so the downstream dollar
 # expression — and therefore the DuckDB oracle, which always runs the
-# hi/lo formulation — produces the bit-identical double (0·1e6 + total ==
-# hi·1e6 + lo exactly, both < 2^53 whenever the gate admits single mode;
-# pinned by test_pipeline_tpch.test_money_modes_agree).  Past the gate
-# (≈3.8e7 lineitem rows at fixture price ranges, i.e. sf≳6 — and any
-# 100-TB run) the hi/lo split arms automatically.
+# hi/lo formulation — produces the bit-identical double.  2^59 (not 2^53,
+# and not the looser 2^62 the gate used through r9 — ADVICE r9 #1) is the
+# PROVABLE parity bound: group totals may well exceed 2^53 (sf1 q1 charge
+# sums are ~5.2e16), but while total < 2^59 the oracle's hi = total div
+# 1e6 satisfies hi·15625 < 2^53, so hi·1e6 is an exact double, lo < 2^53
+# is exact, and one rounded add yields the correctly-rounded double of
+# the exact integer total — the same value single mode's 0·1e6 + total
+# produces (pinned by tests/test_plan_quality.py: test_money_modes_agree
+# and test_hilo_reconstruction_bound).  Past the gate (sf≳0.7 at fixture
+# price ranges — and any 100-TB run) the hi/lo split arms automatically.
 # `spark.kafkaBackupSpark.moneyMode` ∈ {auto (default), single, hilo}
 # overrides the gate for A/B runs.
 
@@ -118,7 +123,7 @@ def _money_sum(expr: str, hi: str, lo: str, idiv: str, single: bool) -> str:
     overflow-safe per-row split (exact to ~6e11 rows/group).  single mode:
     one plain BIGINT sum in ``lo`` with a constant-zero ``hi`` — the
     downstream ``hi*1e6 + lo`` reconstruction is textually unchanged and
-    numerically identical while the gate's 2^62 bound holds."""
+    numerically identical while the gate's 2^59 bound holds."""
     if single:
         return (
             f"CAST(0 AS BIGINT) AS {hi},\n"
@@ -154,10 +159,11 @@ def _cents_sql(sql: str) -> str:
 
 
 def _parquet_footer_stats(path: str, *columns: str):
-    """(total_rows, {column: max}) from parquet footers — driver-side file
-    metadata only, no Spark job.  Returns None when any row group lacks
-    min/max statistics or the path is not a local file/directory (object
-    stores): callers treat None as 'assume the worst'."""
+    """(total_rows, {column: max}, {column: min}) from parquet footers —
+    driver-side file metadata only, no Spark job.  Returns None when any
+    row group lacks min/max statistics or the path is not a local
+    file/directory (object stores): callers treat None as 'assume the
+    worst'."""
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
@@ -171,7 +177,7 @@ def _parquet_footer_stats(path: str, *columns: str):
         files = [path]
     else:
         return None
-    rows, maxes = 0, dict.fromkeys(columns)
+    rows, maxes, mins = 0, dict.fromkeys(columns), dict.fromkeys(columns)
     for f in files:
         md = pq.read_metadata(f)
         rows += md.num_rows
@@ -184,12 +190,14 @@ def _parquet_footer_stats(path: str, *columns: str):
                 st = md.row_group(rg).column(idx).statistics
                 if st is None or not st.has_min_max:
                     return None
-                m = float(st.max)
+                m, n = float(st.max), float(st.min)
                 if maxes[col] is None or m > maxes[col]:
                     maxes[col] = m
+                if mins[col] is None or n < mins[col]:
+                    mins[col] = n
     if rows == 0 or any(v is None for v in maxes.values()):
         return None
-    return rows, maxes
+    return rows, maxes, mins
 
 
 _MONEY_MODE: dict[str, bool] = {}
@@ -215,18 +223,40 @@ def _money_single(spark: SparkSession, sf_dir: str) -> bool:
     single = False
     try:
         li = _parquet_footer_stats(
-            f"{sf_dir}/lineitem.parquet", "l_extendedprice", "l_quantity"
+            f"{sf_dir}/lineitem.parquet",
+            "l_extendedprice",
+            "l_quantity",
+            "l_discount",
+            "l_tax",
         )
         pt = _parquet_footer_stats(f"{sf_dir}/part.parquet", "p_retailprice")
         if li is not None and pt is not None:
-            rows, lim = li
+            rows, lim, low = li
             pc = lim["l_extendedprice"] * 100  # cents
             qc = lim["l_quantity"] * 100
             rp = pt[1]["p_retailprice"] * 100
+            # Discount/tax amplification factors derived from the footer
+            # min/max (ADVICE r9 #2) instead of assuming 0 ≤ dc ≤ 100 and
+            # tc ≤ 8: disc_amp bounds both |100-dc| (Q1/Q6 revenue) and
+            # |dc| (Q14 promo numerator); tax_amp bounds |100+tc|.  Data
+            # outside the classic TPC-H ranges just shrinks the admitted
+            # window — never voids the proof.
+            dc_lo, dc_hi = low["l_discount"] * 100, lim["l_discount"] * 100
+            tc_lo, tc_hi = low["l_tax"] * 100, lim["l_tax"] * 100
+            disc_amp = max(abs(100 - dc_lo), abs(100 - dc_hi), abs(dc_lo), abs(dc_hi))
+            tax_amp = max(abs(100 + tc_lo), abs(100 + tc_hi))
             # worst per-row magnitude across the family: Q1's triple
             # product pc·(100-dc)·(100+tc), or Q9's |pc·(100-dc) − rp·qc|
-            worst = max(pc * 100 * 108, pc * 100 + rp * qc)
-            single = rows * worst < float(2**62)
+            worst = max(pc * disc_amp * tax_amp, pc * disc_amp + rp * qc)
+            # 2^59, not 2^62 (ADVICE r9 #1): the oracle always reconstructs
+            # hi·1e6 + lo in doubles, and that expression is the correctly
+            # rounded double of the exact integer total only while
+            # hi·15625 < 2^53 ⇔ total < 2^53·64 = 2^59 (1e6 = 2^6·15625,
+            # so hi·1e6 is then exact) AND lo itself is exact
+            # (lo ≤ rows·(1e6−1) < 2^53).  Inside that window single mode's
+            # 0·1e6 + total and the oracle's hi·1e6 + lo are both the
+            # correctly-rounded double of the same integer — bit-identical.
+            single = rows * worst < float(2**59) and rows * 1e6 < float(2**53)
     except Exception:
         single = False  # unreadable footers → scale-safe path
     _MONEY_MODE[sf_dir] = single
@@ -598,11 +628,12 @@ LIMIT 10
 
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k-before-join (r9): the ORDER BY total_qty DESC, o_orderkey
-    LIMIT 10 commutes through the orders/customer joins because both are
+    LIMIT commutes through the orders/customer joins because both are
     FK lookups (no fan-out, no filter) and the full sort key is available
-    pre-join — so TakeOrdered(10) runs on the lineitem aggregate and only
-    TEN rows ever touch the dims, as a broadcast that stays 10 rows at
-    any scale.  The reference-shaped form instead joins the whole HAVING
+    pre-join — so TakeOrdered runs on the lineitem aggregate and only a
+    constant-size candidate set ever touches the dims, as a broadcast
+    that stays ≤100 rows at any scale.  The reference-shaped form
+    instead joins the whole HAVING
     survivor set, which grows linearly with SF: AQE broadcasts it at sf10
     but at the 100-TB tier it would shuffle orders AND customer.  A/B at
     sf10 (min-of-4, interleaved): 4.91 → 4.67 s — the wall-time is the
@@ -610,22 +641,31 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     + 2 BHJ); the win is the scale shape.  An explicit broadcast of the
     un-topped survivor set measured 5.02 s — no better at sf10 and the
     wrong 100-TB shape; pinned negative.  ORACLE keeps the reference
-    HAVING-join formulation (SQL_TPCH_Q18)."""
+    HAVING-join formulation (SQL_TPCH_Q18).
+
+    FK robustness (ADVICE r9 #4): the pre-join limit is an
+    OPTIMIZATION-ONLY filter of k=100 candidates; the semantic top-10 is
+    taken AFTER the orders/customer joins, so up to 90 of the leading
+    candidates may violate referential integrity (no orders/customer
+    row) before this diverges from the reference HAVING-join form, which
+    backfills orphaned orderkeys from the survivor tail.  The remaining
+    precondition (<10 of the top-100 qty orders survive the FK joins) is
+    a data-corruption regime, not a plan hazard."""
     _view(spark, sf_dir, "customer", "orders", "lineitem")
     # same BigDecimal-free cent cast as _cents_sql (l_quantity >= 0)
     qc = (F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
-    big10 = (
+    big_k = (
         spark.table("lineitem")
         .select("l_orderkey", qc.alias("qc"))
         .groupBy("l_orderkey")
         .agg(F.sum("qc").alias("qty_c"))
         .filter(F.col("qty_c") > 25000)
         .orderBy(F.desc("qty_c"), "l_orderkey")
-        .limit(10)
+        .limit(100)
     )
     return (
         spark.table("orders")
-        .join(F.broadcast(big10), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(big_k), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(spark.table("customer"), F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name",
@@ -634,6 +674,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qty_c").cast("double") / 100).alias("total_qty"),
         )
         .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(10)
     )
 
 

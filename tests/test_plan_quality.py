@@ -739,6 +739,77 @@ def test_dim_broadcastable_gate():
     assert _dim_broadcastable("/nonexistent", "part", 8_000_000) is False
 
 
+def test_hilo_reconstruction_bound():
+    """The provable parity window of the single-sum money gate (ADVICE r9
+    #1/#3): the oracle's hi/lo double reconstruction `hi*1e6 + lo` equals
+    `double(total)` for EVERY integer total below 2^59 (hi*15625 < 2^53 so
+    hi*1e6 is exact, lo < 2^53 is exact, one rounded add is correctly
+    rounded), while in [2^59, 2^62) — the window the old 2^62 gate wrongly
+    admitted — 1-ulp divergences are real and common.  Pure-Python IEEE
+    doubles, no Spark: this is exactly the arithmetic both engines emit."""
+
+    def recon(total: int) -> float:
+        hi, lo = divmod(total, 1_000_000)
+        return float(hi) * 1e6 + float(lo)
+
+    lo_step = (2**59 - 2**53) // 20011 or 1
+    below = range(2**53 + 7, 2**59, lo_step)
+    assert all(recon(t) == float(t) for t in below)
+    hi_step = (2**62 - 2**59) // 20011 or 1
+    above = range(2**59 + 7, 2**62, hi_step)
+    bad = sum(1 for t in above if recon(t) != float(t))
+    # ADVICE r9 measured ~20% divergence in this window; assert it is
+    # clearly non-trivial so the test stays robust to stride choice.
+    assert bad > 1000, bad
+
+
+def test_money_gate_flips_at_2pow59(spark, monkeypatch):
+    """The gate admits single mode strictly by rows*worst < 2^59 (with the
+    lo-exactness side condition), derived from footer min/max of price,
+    quantity, discount and tax — synthetic footers pin the flip point."""
+    from kafka_backup_spark.queries import pipeline
+
+    def fake_stats(path, *cols):
+        if "lineitem" in path:
+            return (
+                fake_stats.rows,
+                {
+                    "l_extendedprice": 100.0,
+                    "l_quantity": 1.0,
+                    "l_discount": 1.0,
+                    "l_tax": 0.08,
+                },
+                {"l_extendedprice": 1.0, "l_quantity": 1.0, "l_discount": 0.0, "l_tax": 0.0},
+            )
+        return (1, {"p_retailprice": 1.0}, {"p_retailprice": 1.0})
+
+    monkeypatch.setattr(pipeline, "_parquet_footer_stats", fake_stats)
+    # pc=1e4 cents, disc_amp=100, tax_amp=108 → worst = 1.08e8
+    worst = 1e4 * 100 * 108
+    flip = int(float(2**59) / worst)
+    fake_stats.rows = flip - 1
+    assert pipeline._money_single(spark, "/fake/below") is True
+    fake_stats.rows = flip + 1
+    assert pipeline._money_single(spark, "/fake/above") is False
+    # the lo-exactness side condition arms independently: tiny worst but
+    # row count past 2^53/1e6 must still refuse single mode
+    fake_stats.rows = int(float(2**53) / 1e6) + 1
+
+    def tiny_stats(path, *cols):
+        if "lineitem" in path:
+            return (
+                fake_stats.rows,
+                {"l_extendedprice": 0.0001, "l_quantity": 0.0001, "l_discount": 0.0,
+                 "l_tax": 0.0},
+                {"l_extendedprice": 0.0, "l_quantity": 0.0, "l_discount": 0.0,
+                 "l_tax": 0.0},
+            )
+        return (1, {"p_retailprice": 0.0001}, {"p_retailprice": 0.0001})
+
+    monkeypatch.setattr(pipeline, "_parquet_footer_stats", tiny_stats)
+    assert pipeline._money_single(spark, "/fake/lo-bound") is False
+
+
 def test_money_gate_reads_footers(spark):
     """The single-sum gate derives its overflow bound from parquet footer
     statistics: admits the small fixtures, refuses when stats are absent."""
