@@ -447,37 +447,45 @@ probes AS (
     SELECT DISTINCT topic, "partition", ts_ms - 1 AS probe_ts
     FROM records WHERE "offset" % 17 = 0
 ),
-first_ge AS (
-    SELECT topic, "partition", probe_ts, source_offset, target_offset FROM (
-        SELECT p.topic, p."partition", p.probe_ts, m.source_offset, m.target_offset,
-               row_number() OVER (
-                   PARTITION BY p.topic, p."partition", p.probe_ts
-                   -- target_offset makes the order TOTAL (ADVICE r6): ties
-                   -- on (timestamp, source_offset) must pick the same pair
-                   -- as the Spark side's _tgt-extended sort
-                   ORDER BY m."timestamp", m.source_offset, m.target_offset
-               ) AS rn
-        FROM probes p
-        JOIN mapping m ON p.topic = m.topic AND p."partition" = m."partition"
-        WHERE m."timestamp" >= p.probe_ts
-    ) WHERE rn = 1
+-- Forward as-of via ONE descending scan (r10, harness hygiene): the old
+-- probes ⋈ mapping inequality join was quadratic per partition and became
+-- the slowest oracle in the suite (68.9 s at sf1, ~100× that at sf10).
+-- Scanning probes ∪ mapping by timestamp DESC, every mapping row already
+-- seen has timestamp ≥ the current probe's probe_ts, so the running
+-- min(struct(timestamp, source_offset, target_offset)) IS the first-≥ row
+-- under exactly the old ORDER BY timestamp, source_offset, target_offset
+-- total order (struct comparison is lexicographic; target_offset keeps the
+-- order TOTAL per ADVICE r6).  is_probe ASC puts equal-timestamp mapping
+-- rows before the probe — the >= is inclusive.
+merged AS (
+    SELECT topic, "partition", probe_ts AS ts,
+           CAST(NULL AS BIGINT) AS source_offset,
+           CAST(NULL AS BIGINT) AS target_offset, 1 AS is_probe
+    FROM probes
+    UNION ALL
+    SELECT topic, "partition", "timestamp" AS ts,
+           source_offset, target_offset, 0 AS is_probe
+    FROM mapping
+),
+scanned AS (
+    SELECT topic, "partition", ts AS probe_ts, is_probe,
+           min(CASE WHEN is_probe = 0 THEN {{'t': ts, 's': source_offset, 'g': target_offset}} END)
+               OVER (PARTITION BY topic, "partition"
+                     ORDER BY ts DESC, is_probe ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best
+    FROM merged
 ),
 last_pair AS (
-    SELECT topic, "partition", source_offset, target_offset FROM (
-        SELECT topic, "partition", source_offset, target_offset,
-               row_number() OVER (
-                   PARTITION BY topic, "partition"
-                   ORDER BY source_offset DESC, target_offset DESC
-               ) AS rn
-        FROM mapping
-    ) WHERE rn = 1
+    SELECT topic, "partition",
+           max({{'s': source_offset, 'g': target_offset}}) AS lp
+    FROM mapping GROUP BY topic, "partition"
 )
-SELECT p.topic, p."partition", p.probe_ts,
-       coalesce(f.source_offset, l.source_offset) AS source_offset,
-       coalesce(f.target_offset, l.target_offset) AS target_offset
-FROM probes p
-LEFT JOIN first_ge f ON p.topic = f.topic AND p."partition" = f."partition" AND p.probe_ts = f.probe_ts
-LEFT JOIN last_pair l ON p.topic = l.topic AND p."partition" = l."partition"
+SELECT s.topic, s."partition", s.probe_ts,
+       coalesce(s.best.s, l.lp.s) AS source_offset,
+       coalesce(s.best.g, l.lp.g) AS target_offset
+FROM scanned s
+LEFT JOIN last_pair l ON s.topic = l.topic AND s."partition" = l."partition"
+WHERE s.is_probe = 1
 """
 
 

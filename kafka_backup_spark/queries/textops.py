@@ -522,12 +522,23 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _near_dup_sql_prefix() -> str:
     from kafka_backup_spark.functions.hashing import fast_hash64_duckdb
 
+    # Sizes ride the hashed postings into the pair aggregate (r10, harness
+    # hygiene): the old form materialized EVERY ≥1-shared-gram pair (148M
+    # rows at sf1 on this high-baseline-similarity synthetic corpus) and
+    # then hash-joined sizes onto it twice — 47.8 s at sf1, ~100× that at
+    # sf10.  n is functionally dependent on doc_id, so min(n) inside the
+    # pair group recovers it exactly and the threshold filter runs straight
+    # off the aggregate (8.6 s at sf1, identical rows).
     return f"""
 WITH {_NEAR_CORPUS_CTE}, {_RAW_GRAMS_CTE},
-hashed AS (SELECT DISTINCT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams_raw),
-sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+hashed0 AS (SELECT DISTINCT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams_raw),
+sizes AS (SELECT doc_id, count(*) AS n FROM hashed0 GROUP BY doc_id),
+hashed AS (
+    SELECT h0.doc_id, h0.h, s.n FROM hashed0 h0 JOIN sizes s USING (doc_id)
+),
 inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+           min(a.n) AS na, min(b.n) AS nb
     FROM hashed a JOIN hashed b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )"""
@@ -535,12 +546,10 @@ inter AS (
 
 SQL_NEAR_DUP_JACCARD = f"""
 {_near_dup_sql_prefix()}
-SELECT i.doc_a, i.doc_b,
-       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+FROM inter
+WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -834,10 +843,14 @@ _Q_SQL = "[CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT) for x in {c}]"
 
 
 def _idot_sql(a: str, b: str) -> str:
-    return (
-        f"list_reduce([{a}[CAST(i AS INT)]*{b}[CAST(i AS INT)]"
-        f" for i in range(1, len({a})+1)], (x, y) -> x + y)"
-    )
+    # Native list_inner_product (r10, harness hygiene): the interpreted
+    # list_reduce comprehension made the k-means oracles the slowest family
+    # in the suite (embedding_near_dup 59.6 s at sf1).  The native kernel
+    # returns DOUBLE, but every value is an exact integer — quantized
+    # components are ≤ ~10^4, so per-element products ≤ 10^8 and dim-64
+    # sums ≤ ~10^10 ≪ 2^53 — identical to the BIGINT fold in any
+    # summation order.
+    return f"list_inner_product({a}, {b})"
 
 
 def _icsim_sql(a: str, b: str, prec: int) -> str:
@@ -1710,8 +1723,13 @@ def q_dup_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dup_membership_sql() -> str:
+    # `p AS MATERIALIZED` (r10, harness hygiene): DuckDB inlines a plain CTE
+    # into every reference site inside a recursive query, re-running the
+    # whole LSH candidate pipeline once per fixpoint iteration — measured
+    # 114 s → 9.8 s at sf1 for identical results.  Same hint on the other
+    # two connected-component oracles below.
     return f"""
-WITH RECURSIVE p AS (
+WITH RECURSIVE p AS MATERIALIZED (
     SELECT doc_a, doc_b FROM ({SQL_NEAR_DUP_PIPELINE})
 ),
 edges AS (SELECT doc_a AS s, doc_b AS d FROM p
@@ -1742,7 +1760,7 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_dup_clusters_sql() -> str:
     return f"""
-WITH RECURSIVE p AS (
+WITH RECURSIVE p AS MATERIALIZED (
     SELECT vec_a, vec_b FROM ({SQL_EMBEDDING_NEAR_DUP})
 ),
 edges AS (SELECT vec_a AS s, vec_b AS d FROM p
@@ -1766,7 +1784,7 @@ def _dup_clusters_sql() -> str:
     """DuckDB twin: min-reachable-id per node via WITH RECURSIVE over the
     same near-dup pair set (subquery carries its own WITH chain)."""
     return f"""
-WITH RECURSIVE p AS (
+WITH RECURSIVE p AS MATERIALIZED (
     SELECT doc_a, doc_b FROM ({SQL_NEAR_DUP_PIPELINE})
 ),
 edges AS (SELECT doc_a AS s, doc_b AS d FROM p
