@@ -280,6 +280,127 @@ def release_all(spark) -> None:
     catalog.release_plan_cache(spark)
 
 
+def soak_batches_dir(spark, out: str, batches: int, per_batch: int) -> str:
+    """One parquet file per micro-batch under ``out``: every batch re-ships
+    each doc slot's stable ≥SPAN_LEN base span (batch 0 stores it; later
+    batches must excise it), wrapped in batch-unique header/tail so the
+    post-excision text is never corpus-seen — every version does real
+    excision work AND real writes."""
+    from kafka_backup_spark.queries.pipeline import SPAN_LEN
+
+    src = f"{out}/soak_src"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    span_words = (SPAN_LEN // 4) + 4
+    for b in range(batches):
+        df = (
+            spark.range(per_batch)
+            .selectExpr(
+                f"id + {b * per_batch} AS doc_id",
+                # stable per-slot span (identical across batches); word
+                # first-chars and lengths VARY so the content-defined
+                # anchor predicate ((len·31 + first-char) % 4 == 0) fires
+                # inside the span regardless of slot width
+                "concat_ws(' ', transform(sequence(1, "
+                f"{span_words}), i -> concat(chr(97 + pmod(id * 7 + i, 26)), "
+                f"repeat('q', pmod(i, 3)), pmod(id, {per_batch}), 'z', i))) AS base",
+                "id AS slot",
+            )
+            .selectExpr(
+                "doc_id",
+                f"concat('hdr{b} slot', slot, ' ', base, ' tail{b} doc', doc_id) AS text",
+            )
+        )
+        stage = f"{src}/_stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.replace(f"{stage}/{part}", f"{src}/b{b:05d}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
+    return src
+
+
+def ingest_soak(spark, out: str, batches: int, per_batch: int = 400) -> dict:
+    """Streaming-ingest soak (VERDICT r9 #6): drive stream_into_corpus
+    (excise_spans=True) through ``batches`` foreachBatch micro-batches
+    (file source, maxFilesPerTrigger=1) while a side thread samples the
+    block-manager storage.  The r8 leak fix is per-call pytest-proven;
+    this proves it HOLDS over a long run: cached RDDs stay bounded at any
+    sample (at most the one in-flight excised frame plus the session's
+    tagged pins) and per-batch ingest time stays flat in stored versions.
+    Returns the summary dict (also printed as JSON rows per batch)."""
+    import threading
+
+    from kafka_backup_spark.corpus_store import CorpusStore, stream_into_corpus
+
+    src = soak_batches_dir(spark, out, batches, per_batch)
+    store_dir, ckpt = f"{out}/soak_store", f"{out}/soak_ckpt"
+    shutil.rmtree(store_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    store = CorpusStore(store_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    samples, stop = [], threading.Event()
+
+    def sampler() -> None:
+        sc = spark.sparkContext
+        while not stop.is_set():
+            infos = sc._jsc.sc().getRDDStorageInfo()
+            samples.append(
+                (len(infos), sum(i.memSize() + i.diskSize() for i in infos))
+            )
+            stop.wait(0.25)
+
+    t = threading.Thread(target=sampler, daemon=True)
+    t.start()
+    try:
+        q = stream_into_corpus(stream, store, ckpt, excise_spans=True)
+        q.awaitTermination()
+    finally:
+        stop.set()
+        t.join()
+    entries = store.versions()
+    # excision evidence: batch 0 stores full docs, every later version is
+    # span-trimmed — avg stored chars must drop after version 0
+    chars = {
+        r["version"]: r["avg_chars"]
+        for r in store.read_corpus(spark)
+        .groupBy("version")
+        .agg(F.avg(F.length("text")).alias("avg_chars"))
+        .collect()
+    }
+    durs = [
+        (entries[i]["created_at"] - entries[i - 1]["created_at"]) / 1000
+        for i in range(1, len(entries))
+    ]
+    for i, e in enumerate(entries):
+        print(json.dumps({
+            "batch": e["version"], "n_input": e["n_input"], "n_new": e["n_new"],
+            "avg_chars": round(chars.get(e["version"], 0), 1),
+            "ingest_s": round(durs[i - 1], 3) if i else None,
+        }))
+    head = durs[1:6]
+    tail = durs[-5:]
+    summary = {
+        "query": "ingest_soak", "batches": len(entries),
+        "max_cached_rdds": max((n for n, _ in samples), default=0),
+        "max_cached_bytes": max((b for _, b in samples), default=0),
+        "head_mean_s": round(sum(head) / len(head), 3) if head else None,
+        "tail_mean_s": round(sum(tail) / len(tail), 3) if tail else None,
+        "excision_held": bool(
+            len(chars) > 1 and max(v for k, v in chars.items() if k > 0) < chars[0]
+        ),
+        "residual_cached_rdds": len(
+            spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        ),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factors", default="1,5,20")
@@ -290,6 +411,9 @@ def main() -> int:
     ap.add_argument("--span-index", action="store_true",
                     help="run the incremental span-index ingest/report smoke "
                          "(--factors = version counts, e.g. 2,10)")
+    ap.add_argument("--soak", type=int, default=0, metavar="N",
+                    help="run the N-micro-batch streaming-ingest soak "
+                         "(excise_spans=True) instead of the query tiers")
     ap.add_argument("--families", default="text,asof,cluster",
                     help="comma list of query families to run (text,asof,cluster)")
     args = ap.parse_args()
@@ -299,6 +423,18 @@ def main() -> int:
     from kafka_backup_spark.session import get_spark
 
     spark = get_spark("tier-smoke")
+    if args.soak:
+        s = ingest_soak(spark, args.out, args.soak)
+        spark.stop()
+        # structural invariants, not timing ones (VM noise): the per-batch
+        # cache must stay bounded and fully released at end-of-stream, and
+        # every post-0 version must actually be span-trimmed
+        ok = (
+            s["max_cached_rdds"] <= 4
+            and s["residual_cached_rdds"] == 0
+            and s["excision_held"]
+        )
+        return 0 if ok else 1
     if args.graphs:
         graph_smoke(spark, [int(f) for f in args.factors.split(",")])
         spark.stop()
