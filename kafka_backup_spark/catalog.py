@@ -34,13 +34,15 @@ _FIRST = [
     # last driver row is r8 (displaced by r9's window), the 10 entries whose
     # only driver row is r1 (they stayed in the tail since the catalog grew
     # past 50; selfcheck-green at sf0.01+sf1 every session since), and the
-    # bodies changed this round.  That is 53 candidates for 50 slots —
-    # three r8-proof entries slip to r11, chosen because their logic is
-    # exercised by in-window siblings: dup_membership rides the same
-    # persisted LSS edge frame as dup_clusters (in window),
-    # ann_recall embeds cosine_topk + ivf_topk (both in window), and
-    # validation_summary aggregates the three validation checks that all
-    # hold fresh r9 rows.
+    # bodies changed this round.  That is 55 candidates for 50 slots —
+    # five r8-proof entries slip to r11, chosen because their logic is
+    # exercised elsewhere every round: dup_membership rides the same
+    # persisted LSS edge frame as dup_clusters (in window), ann_recall
+    # embeds cosine_topk + ivf_topk (both in window), validation_summary
+    # aggregates the three validation checks that all hold fresh r9 rows,
+    # describe_rollup is the flagship entry() the driver smoke-checks
+    # every round, and dup_span_extents shares the span machinery with
+    # dup_span_fraction (r9 pass) plus the index-parity pytest.
     # ── oldest proofs first: the 10 r1-only entries
     "tpch_q6_forecast",  # also r10 changed-fragment: _money_single gate
     "text_metrics",
@@ -60,7 +62,6 @@ _FIRST = [
     "topic_rename",
     "manifest_build",
     "compaction_plan",
-    "describe_rollup",
     "dry_run_estimate",
     "resume_anti_join",
     "asof_offset_lookup",
@@ -81,7 +82,6 @@ _FIRST = [
     "packing_efficiency",
     "token_budget_selection",
     "quality_quantile_filter",
-    "dup_span_extents",
     "ivf_topk",
     "text_analysis",
     "simhash",
@@ -94,12 +94,14 @@ _FIRST = [
     "integrity_scan",
     # ── changed-this-round (r10): bodies edited after their r9 proof
     "tpch_q18_large_orders",  # r10: FK-robust top-k (k=100 pre-join, top-10 post-join)
+    "tpch_q13_order_dist",  # r10: SHUFFLE_HASH(cnt) on the dim x dim outer join
+    "tpch_q22_dormant_balance",  # r10: SHUFFLE_HASH(urg) on the anti join
 ]
 # every r9-window entry not re-listed above moves to the tail on a FRESH r9
 # proof and re-enters by r11; ann_recall / dup_membership /
-# validation_summary slip to r11 on r8 proofs (the documented 53-into-50
-# exception above).  selfcheck.py verifies the full 102 every session
-# regardless.
+# validation_summary / describe_rollup / dup_span_extents slip to r11 on r8
+# proofs (the documented 55-into-50 exception above).  selfcheck.py
+# verifies the full 102 every session regardless.
 _FIRST = [n for n in _FIRST if n in _MERGED]
 assert len(_FIRST) == len(set(_FIRST)), "duplicate window entries"
 assert len(_FIRST) <= 50, f"driver checks only 50 entries, got {len(_FIRST)} priority queries"

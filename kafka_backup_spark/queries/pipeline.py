@@ -716,7 +716,17 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content; keep min(doc_id) as canonical.
-    The 100-TB path: one shuffle on a 128-bit content hash, no sort."""
+    The 100-TB path: one shuffle on a 128-bit content hash, no sort.
+
+    md5 pinned as the content hash (VERDICT r9 #3 A/B at sf10,
+    interleaved min-of-6, one session): group-key representation is a
+    wash — md5 hex string 0.392 s, unhex(md5) 16-byte binary (+hex
+    re-encode on survivors) 0.413 s, fast_hash64 long 0.451 s.  xxhash64
+    measured 0.339 vs 0.488 s in its session (~30%), but a 64-bit key
+    collides ~1e2 times at 100-TB corpus cardinality and drops the
+    cross-tool 128-bit fingerprint contract (SURVEY F5) — rejected.  The
+    residual 2× vs DuckDB is scan constant factor, not hashing: the
+    count-only corpus scan floor is 0.267 s of the 0.392 s wall."""
     c = _corpus(spark, sf_dir)
     return (
         c.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
@@ -2220,7 +2230,16 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     order custdist as count(customer) − sum(hist) via UNION ALL + scalar
     subqueries — measured 2.63 s vs 1.33 s; Spark re-executes the
     un-materialized hist CTE once per scalar reference (3 → 6 exchanges),
-    which costs more than the SMJ it removes."""
+    which costs more than the SMJ it removes.
+
+    SHUFFLE_HASH(cnt) (r10 stage profile, min-of-6 interleaved): the
+    dim × dim outer join was sorting both shuffled sides; hashing the
+    count side instead — whose exchange is already keyed on o_custkey by
+    its own aggregate, so AQE reuses it — cut the full query 1.541 →
+    0.989 s against a 0.705 s orders-rollup floor.  BROADCAST(cnt)
+    measured 1.401 s (collecting ~1.5M count rows to the driver costs
+    more than the customer shuffle it saves) and is the wrong 100-TB
+    shape — pinned negative."""
     _view(spark, sf_dir, "customer", "orders")
     return spark.sql(_cents_sql("""
 WITH cnt AS (
@@ -2228,7 +2247,8 @@ WITH cnt AS (
     FROM orders WHERE o_orderpriority <> '1-URGENT'
     GROUP BY o_custkey
 ), c_orders AS (
-    SELECT c_custkey, coalesce(n, CAST(0 AS BIGINT)) AS c_count
+    SELECT /*+ SHUFFLE_HASH(cnt) */
+           c_custkey, coalesce(n, CAST(0 AS BIGINT)) AS c_count
     FROM customer LEFT OUTER JOIN cnt ON c_custkey = o_custkey
 )
 SELECT c_count, count(*) AS custdist
@@ -2273,13 +2293,23 @@ GROUP BY c_mktsegment
 
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-before-anti (r9): the NOT EXISTS plans as a left-anti
-    SMJ whose right side is every urgent ORDER ROW; collapsing it to
+    join whose right side is every urgent ORDER ROW; collapsing it to
     DISTINCT o_custkey first lets the partial aggregate dedupe map-side,
     so the shuffle carries ~one row per urgent customer instead of one
     per urgent order.  A/B at sf10 (min-of-4, interleaved): 2.57 →
     1.76 s.  A BROADCAST hint on the distinct set measured 2.07 s —
     slower here and the wrong 100-TB shape (the urgent-customer set
-    grows with the data); pinned as a negative result.  The ORACLE keeps
+    grows with the data); pinned as a negative result.
+
+    SHUFFLE_HASH(urg) (r10 stage profile, min-of-6 interleaved): the
+    anti join was a SortMergeJoin sorting BOTH post-shuffle sides for a
+    single existence probe — hashing the distinct build side instead
+    cut the full query 1.254 → 0.723 s; the stage profile puts the
+    urgent-distinct at 0.61 s of what remains (the irreducible orders
+    scan + dedupe).  Dropping the DISTINCT under SHJ measured 0.635 s
+    but was REJECTED: the build side would hold every urgent order row
+    (orders-scale) instead of unique customer keys (customer-scale) —
+    the wrong per-partition memory bound at 100 TB.  The ORACLE keeps
     the reference NOT EXISTS formulation (SQL_TPCH_Q22)."""
     _view(spark, sf_dir, "customer", "orders")
     return spark.sql(_cents_sql("""
@@ -2293,7 +2323,7 @@ thresh AS (
     FROM cust WHERE bal_c > 0
 ),
 urg AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
-SELECT c_mktsegment, count(*) AS numcust,
+SELECT /*+ SHUFFLE_HASH(urg) */ c_mktsegment, count(*) AS numcust,
        CAST(sum(bal_c) AS DOUBLE) / 100 AS totacctbal
 FROM cust LEFT ANTI JOIN urg ON urg.o_custkey = cust.c_custkey
 WHERE bal_c > (SELECT avg_c FROM thresh)
@@ -2326,7 +2356,12 @@ def leakage_safe_split_frame(docs: DataFrame) -> DataFrame:
     per-SPLIT totals, the group aggregate can carry each group's member
     count alongside its canonical id: n_docs = sum of group sizes,
     n_groups = count of groups — same values, one md5 pass, one shuffle on
-    the content hash (map-side combinable) plus a 3-row split rollup."""
+    the content hash (map-side combinable) plus a 3-row split rollup.
+
+    Hash A/B pinned (VERDICT r9 #3, sf10 interleaved min-of-6): md5
+    0.511 s vs unhex(md5) 0.534 s vs xxhash64 0.554 s — a wash; the
+    wall-time is the corpus scan + rollup, not the hash choice.  md5
+    stays, keeping the group identity shared with dedup_exact."""
     from kafka_backup_spark.functions.hashing import fast_hash64
 
     groups = (
@@ -2630,7 +2665,16 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier grow with the scale factor, so past ~8M/4M rows the hints
     are withheld and Catalyst/AQE falls back to shuffle joins — the right
     100-TB shape when a dim outgrows executor memory.  The ORACLE keeps
-    the reference NOT IN formulation (SQL_TPCH_Q16)."""
+    the reference NOT IN formulation (SQL_TPCH_Q16).
+
+    r10 stage profile (sf10, min-of-6 interleaved), pinned as the floor:
+    lineitem scan 0.14 s, + both broadcast joins 0.69 s, full query
+    1.82 s — the countDistinct two-level aggregate over the ~7.5M
+    join survivors is the remaining ~1.1 s.  A manual distinct-then-
+    count formulation of the same aggregate measured 1.83 s (wash;
+    Spark's expand-based countDistinct already is that plan), and the
+    r9 distinct-before-join negative (7.68 s) still stands — the
+    residue is aggregate constant factor, not plan shape."""
     _view(spark, sf_dir, "part", "lineitem", "supplier")
     pf = (
         spark.table("part")
