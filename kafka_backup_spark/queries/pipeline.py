@@ -638,7 +638,12 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     but at the 100-TB tier it would shuffle orders AND customer.  A/B at
     sf10 (min-of-4, interleaved): 4.91 → 4.67 s — the wall-time is the
     60M-row lineitem rollup either way (2 exchanges + 4 BHJ → 1 exchange
-    + 2 BHJ); the win is the scale shape.  An explicit broadcast of the
+    + 2 BHJ); the win is the scale shape.  r10 stage profile pins the
+    floor precisely (sf10, min-of-5 interleaved): scan 0.148 s, scan +
+    cent-cast exprs 0.164 s, the groupBy(l_orderkey) rollup alone
+    3.29 s, full query 3.56 s — 92% of the wall is the 60M-row →
+    15M-group aggregate, which no join-side rewrite can touch; the
+    remaining path from here is vectorization, not plan shape.  An explicit broadcast of the
     un-topped survivor set measured 5.02 s — no better at sf10 and the
     wrong 100-TB shape; pinned negative.  ORACLE keeps the reference
     HAVING-join formulation (SQL_TPCH_Q18).
