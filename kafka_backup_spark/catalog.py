@@ -20,7 +20,7 @@ _MERGED: dict[str, tuple] = {
 }
 
 # The driver oracle-checks the FIRST 50 catalog entries only.  Rotation
-# policy (VERDICT r8 #6): the catalog holds 102 queries, so the window
+# policy (VERDICT r8 #6): the catalog holds 103 queries, so the window
 # ALTERNATES between two halves round by round — each round's window is
 # (a) every entry whose last driver CORRECTNESS row is oldest (everything
 # displaced in a prior round), then (b) every entry whose implementation
@@ -34,15 +34,18 @@ _FIRST = [
     # last driver row is r8 (displaced by r9's window), the 10 entries whose
     # only driver row is r1 (they stayed in the tail since the catalog grew
     # past 50; selfcheck-green at sf0.01+sf1 every session since), and the
-    # bodies changed this round.  That is 55 candidates for 50 slots —
-    # five r8-proof entries slip to r11, chosen because their logic is
+    # bodies changed this round plus one NEW entry (image_stats).  That is
+    # 56 candidates for 50 slots — six r8-proof entries slip to r11, chosen
+    # because their logic is
     # exercised elsewhere every round: dup_membership rides the same
     # persisted LSS edge frame as dup_clusters (in window), ann_recall
     # embeds cosine_topk + ivf_topk (both in window), validation_summary
     # aggregates the three validation checks that all hold fresh r9 rows,
     # describe_rollup is the flagship entry() the driver smoke-checks
     # every round, and dup_span_extents shares the span machinery with
-    # dup_span_fraction (r9 pass) plus the index-parity pytest.
+    # dup_span_fraction (r9 pass) plus the index-parity pytest, and
+    # compaction_plan shares the manifest machinery with manifest_build
+    # (in window) and manifest_merge (r9 pass) plus the rotation e2e pytest.
     # ── oldest proofs first: the 10 r1-only entries
     "tpch_q6_forecast",  # also r10 changed-fragment: _money_single gate
     "text_metrics",
@@ -61,7 +64,6 @@ _FIRST = [
     "partition_select",
     "topic_rename",
     "manifest_build",
-    "compaction_plan",
     "dry_run_estimate",
     "resume_anti_join",
     "asof_offset_lookup",
@@ -96,11 +98,12 @@ _FIRST = [
     "tpch_q18_large_orders",  # r10: FK-robust top-k (k=100 pre-join, top-10 post-join)
     "tpch_q13_order_dist",  # r10: SHUFFLE_HASH(cnt) on the dim x dim outer join
     "tpch_q22_dormant_balance",  # r10: SHUFFLE_HASH(urg) on the anti join
+    "image_stats",  # NEW in r10: real BMP decode through mapInPandas, closed-form oracle
 ]
 # every r9-window entry not re-listed above moves to the tail on a FRESH r9
 # proof and re-enters by r11; ann_recall / dup_membership /
-# validation_summary / describe_rollup / dup_span_extents slip to r11 on r8
-# proofs (the documented 55-into-50 exception above).  selfcheck.py
+# validation_summary / describe_rollup / dup_span_extents / compaction_plan
+# slip to r11 on r8 proofs (the documented 56-into-50 exception above).  selfcheck.py
 # verifies the full 102 every session regardless.
 _FIRST = [n for n in _FIRST if n in _MERGED]
 assert len(_FIRST) == len(set(_FIRST)), "duplicate window entries"

