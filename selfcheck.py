@@ -92,9 +92,20 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # Scale exemptions, recorded LOUDLY in the artifact: e.g. the brute-
+    # force O(n²) exact-Jaccard baseline is definitionally infeasible at
+    # sf10 (its 500k-doc pair join spills >70 GB; the LSH pipeline is the
+    # scale path) — skipping must be an explicit, visible decision, never
+    # a silent omission.
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_SELF_SKIP", "").split(",") if s
+    }
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"SKIP {name}: excluded via SPARK_GRAFT_SELF_SKIP (scale exemption)")
             continue
         try:
             sdf = fn(spark, SF_DIR)

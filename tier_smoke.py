@@ -344,11 +344,21 @@ def ingest_soak(spark, out: str, batches: int, per_batch: int = 400) -> dict:
         .parquet(src)
     )
     samples, stop = [], threading.Event()
+    # baseline: cached frames OTHER code left in a shared session (tagged
+    # pins from earlier tests) are not the soak's to count — the invariant
+    # is about growth ABOVE the pre-stream state
+    base_ids = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
 
     def sampler() -> None:
         sc = spark.sparkContext
         while not stop.is_set():
-            infos = sc._jsc.sc().getRDDStorageInfo()
+            infos = [
+                i
+                for i in sc._jsc.sc().getRDDStorageInfo()
+                if i.id() not in base_ids
+            ]
             samples.append(
                 (len(infos), sum(i.memSize() + i.diskSize() for i in infos))
             )
@@ -394,7 +404,11 @@ def ingest_soak(spark, out: str, batches: int, per_batch: int = 400) -> dict:
             len(chars) > 1 and max(v for k, v in chars.items() if k > 0) < chars[0]
         ),
         "residual_cached_rdds": len(
-            spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            [
+                i
+                for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+                if i.id() not in base_ids
+            ]
         ),
     }
     print(json.dumps(summary))
