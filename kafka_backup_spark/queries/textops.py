@@ -14,6 +14,7 @@ rounded to 6dp; similarity rounded to 4dp before thresholding/ranking.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -489,9 +490,50 @@ grams_raw AS (
 """
 
 
+BRUTE_JACCARD_MAX_DOCS = 200_000  # posting-join guard; conf overrides
+
+
 def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_backup_spark.functions.hashing import fast_hash64
 
+    # Corpus-size guard (r10): this is the documented BRUTE-FORCE exact-
+    # Jaccard baseline — the posting self-join materializes every
+    # ≥1-shared-gram pair, which is ~quadratic in near-dup family size
+    # (measured: 148M pairs at 50k docs; the 500k-doc sf10 run sort-spilled
+    # >70 GB before dying).  Like the LSH bucket cap, refuse LOUDLY past a
+    # validation-scale bound instead of taking down the cluster; the scale
+    # path for the same decision is near_dup_pipeline (LSH candidates +
+    # exact verify).  spark.kafkaBackupSpark.bruteJaccardUnbounded=true
+    # overrides for deliberate large runs.
+    try:
+        unbounded = (
+            str(spark.conf.get("spark.kafkaBackupSpark.bruteJaccardUnbounded", "false"))
+            == "true"
+        )
+    except Exception:
+        unbounded = False
+    if not unbounded:
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/documents.parquet"
+        try:
+            if os.path.isdir(path):
+                n = sum(
+                    pq.read_metadata(os.path.join(path, f)).num_rows
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+            else:
+                n = pq.read_metadata(path).num_rows
+        except Exception:
+            n = 0  # unreadable footers: let the job proceed (object stores)
+        if n > BRUTE_JACCARD_MAX_DOCS:
+            raise RuntimeError(
+                f"near_dup_jaccard is the brute-force O(n²) baseline and the "
+                f"corpus has {n} docs (> {BRUTE_JACCARD_MAX_DOCS}); use "
+                f"near_dup_pipeline (LSH) at this scale, or set "
+                f"spark.kafkaBackupSpark.bruteJaccardUnbounded=true"
+            )
     c = _near_corpus(spark, sf_dir)
     # join on the 64-bit gram hash, not the gram string: ~3× smaller shuffle
     # and a long-typed join key; both engines hash identically so any

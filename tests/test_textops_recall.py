@@ -363,3 +363,27 @@ def test_bucket_cap_override_oracle_parity(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_brute_jaccard_guard(spark, monkeypatch):
+    """The brute-force exact-Jaccard baseline refuses corpora past its
+    validation-scale bound (the sf10 run sort-spilled >70 GB) unless the
+    override conf is set — the same refuse-loudly contract as the LSH
+    bucket cap.  Small fixtures pass untouched."""
+    import pytest as _pytest
+
+    from kafka_backup_spark.queries import textops
+
+    sf = "/root/testdata/sf0.001"
+    # small corpus: runs (plan construction succeeds, no error)
+    textops.q_near_dup_jaccard(spark, sf).schema  # noqa: B018
+    # past the bound: loud refusal naming the scale path
+    monkeypatch.setattr(textops, "BRUTE_JACCARD_MAX_DOCS", 1)
+    with _pytest.raises(RuntimeError, match="near_dup_pipeline"):
+        textops.q_near_dup_jaccard(spark, sf)
+    # the override conf admits the run
+    spark.conf.set("spark.kafkaBackupSpark.bruteJaccardUnbounded", "true")
+    try:
+        textops.q_near_dup_jaccard(spark, sf).schema  # noqa: B018
+    finally:
+        spark.conf.unset("spark.kafkaBackupSpark.bruteJaccardUnbounded")
