@@ -901,14 +901,28 @@ def _icsim_sql(a: str, b: str, prec: int) -> str:
     )
 
 
+def _icsim_n_sql(a: str, b: str, na: str, nb: str, prec: int) -> str:
+    """_icsim_sql with HOISTED norms (r10, harness hygiene): the n×k
+    row_number stages recomputed sqrt(dot(a,a)) k times per row and
+    sqrt(dot(b,b)) n times per centroid.  sqrt and the product are the
+    same double ops evaluated once, so results are bit-identical — the
+    selfcheck hash gate proves it on every run."""
+    return f"round({_idot_sql(a, b)} / ({na} * {nb}), {prec})"
+
+
 def _kmeans_cte(corpus_sql: str) -> str:
-    """CTE chain computing corpus → seeds → a0 → cents1 (shared SQL text)."""
-    return f"""corpus AS ({corpus_sql}),
+    """CTE chain computing corpus → seeds → a0 → cents1 (shared SQL text).
+    ``corpus`` and ``cents1`` carry precomputed norms (nq / nc) for the
+    hoisted-cosine call sites."""
+    return f"""corpus0 AS ({corpus_sql}),
+corpus AS (
+    SELECT *, sqrt(list_inner_product(qe, qe)) AS nq FROM corpus0
+),
 params AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS k FROM corpus),
 seeds AS (
-    SELECT cell, qc FROM (
+    SELECT cell, qc, nc FROM (
         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
-               qe AS qc
+               qe AS qc, nq AS nc
         FROM corpus
     ) WHERE cell <= (SELECT k FROM params)
 ),
@@ -917,7 +931,7 @@ a0 AS (
         SELECT c.vec_id, c.qe, s.cell,
                row_number() OVER (
                    PARTITION BY c.vec_id
-                   ORDER BY {_icsim_sql('c.qe', 's.qc', 6)} DESC, s.cell ASC) AS rn
+                   ORDER BY {_icsim_n_sql('c.qe', 's.qc', 'c.nq', 's.nc', 6)} DESC, s.cell ASC) AS rn
         FROM corpus c CROSS JOIN seeds s
     ) WHERE rn = 1
 ),
@@ -925,9 +939,11 @@ cflat AS (
     SELECT cell, generate_subscripts(qe, 1) AS pos, unnest(qe) AS x FROM a0
 ),
 cents1 AS (
-    SELECT cell, list(s ORDER BY pos) AS qc
-    FROM (SELECT cell, pos, sum(x) AS s FROM cflat GROUP BY cell, pos)
-    GROUP BY cell
+    SELECT cell, qc, sqrt(list_inner_product(qc, qc)) AS nc FROM (
+        SELECT cell, list(s ORDER BY pos) AS qc
+        FROM (SELECT cell, pos, sum(x) AS s FROM cflat GROUP BY cell, pos)
+        GROUP BY cell
+    )
 )"""
 
 
@@ -1009,17 +1025,17 @@ _NEAR_DUP_CORPUS_SQL = f"""SELECT vec_id, {_Q_SQL.format(c='embedding')} AS qe F
 SQL_EMBEDDING_NEAR_DUP = f"""
 WITH {_kmeans_cte(_NEAR_DUP_CORPUS_SQL)},
 member AS (
-    SELECT vec_id, qe, cell FROM (
-        SELECT c.vec_id, c.qe, t.cell,
+    SELECT vec_id, qe, nq, cell FROM (
+        SELECT c.vec_id, c.qe, c.nq, t.cell,
                row_number() OVER (
                    PARTITION BY c.vec_id
-                   ORDER BY {_icsim_sql('c.qe', 't.qc', 6)} DESC, t.cell ASC) AS rn
+                   ORDER BY {_icsim_n_sql('c.qe', 't.qc', 'c.nq', 't.nc', 6)} DESC, t.cell ASC) AS rn
         FROM corpus c CROSS JOIN cents1 t
     ) WHERE rn <= 2
 ),
 pairs AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_icsim_sql('a.qe', 'b.qe', 4)} AS cosine_sim
+           {_icsim_n_sql('a.qe', 'b.qe', 'a.nq', 'b.nq', 4)} AS cosine_sim
     FROM member a JOIN member b ON a.cell = b.cell AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cosine_sim FROM pairs WHERE cosine_sim >= {COSINE_DUP_THRESHOLD}
@@ -1305,27 +1321,27 @@ _IVF_CORPUS_SQL = f"SELECT vec_id, {_Q_SQL.format(c='embedding')} AS qe FROM emb
 SQL_IVF_TOPK = f"""
 WITH {_kmeans_cte(_IVF_CORPUS_SQL)},
 a1 AS (
-    SELECT vec_id, qe, cell FROM (
-        SELECT c.vec_id, c.qe, t.cell,
+    SELECT vec_id, qe, nq, cell FROM (
+        SELECT c.vec_id, c.qe, c.nq, t.cell,
                row_number() OVER (
                    PARTITION BY c.vec_id
-                   ORDER BY {_icsim_sql('c.qe', 't.qc', 6)} DESC, t.cell ASC) AS rn
+                   ORDER BY {_icsim_n_sql('c.qe', 't.qc', 'c.nq', 't.nc', 6)} DESC, t.cell ASC) AS rn
         FROM corpus c CROSS JOIN cents1 t
     ) WHERE rn = 1
 ),
-probes AS (SELECT vec_id AS probe_id, qe AS pq FROM corpus WHERE vec_id < {IVF_PROBES}),
+probes AS (SELECT vec_id AS probe_id, qe AS pq, nq AS np FROM corpus WHERE vec_id < {IVF_PROBES}),
 pcells AS (
-    SELECT probe_id, pq, cell FROM (
-        SELECT p.probe_id, p.pq, t.cell,
+    SELECT probe_id, pq, np, cell FROM (
+        SELECT p.probe_id, p.pq, p.np, t.cell,
                row_number() OVER (
                    PARTITION BY p.probe_id
-                   ORDER BY {_icsim_sql('p.pq', 't.qc', 6)} DESC, t.cell ASC) AS rn
+                   ORDER BY {_icsim_n_sql('p.pq', 't.qc', 'p.np', 't.nc', 6)} DESC, t.cell ASC) AS rn
         FROM probes p CROSS JOIN cents1 t
     ) WHERE rn <= {IVF_NPROBE}
 ),
 sims AS (
     SELECT pc.probe_id, a.vec_id AS neighbor_id,
-           {_icsim_sql('pc.pq', 'a.qe', 4)} AS cosine_sim
+           {_icsim_n_sql('pc.pq', 'a.qe', 'pc.np', 'a.nq', 4)} AS cosine_sim
     FROM pcells pc JOIN a1 a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
 )
 SELECT probe_id, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
@@ -1397,7 +1413,7 @@ a1 AS (
         SELECT c.vec_id, t.cell,
                row_number() OVER (
                    PARTITION BY c.vec_id
-                   ORDER BY {_icsim_sql('c.qe', 't.qc', 6)} DESC, t.cell ASC) AS rn
+                   ORDER BY {_icsim_n_sql('c.qe', 't.qc', 'c.nq', 't.nc', 6)} DESC, t.cell ASC) AS rn
         FROM corpus c CROSS JOIN cents1 t
     ) WHERE rn = 1
 ),
