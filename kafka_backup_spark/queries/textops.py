@@ -915,30 +915,47 @@ def _kmeans_cte(corpus_sql: str) -> str:
     ``corpus`` and ``cents1`` carry precomputed norms (nq / nc) for the
     hoisted-cosine call sites."""
     return f"""corpus0 AS ({corpus_sql}),
-corpus AS (
+corpus AS MATERIALIZED (
+    -- MATERIALIZED (r10): DuckDB inlines plain CTEs per reference; corpus
+    -- (and through it the whole quantize+norm chain) is referenced by
+    -- seeds, the assignment window, cflat, member/a1 re-joins and probes —
+    -- inlining re-ran it all per site.  ~100 MB at sf10, trivially cached.
     SELECT *, sqrt(list_inner_product(qe, qe)) AS nq FROM corpus0
 ),
 params AS (SELECT CAST(ceil(sqrt(count(*))) AS INT) AS k FROM corpus),
-seeds AS (
+seeds AS MATERIALIZED (
     SELECT cell, qc, nc FROM (
         SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cell,
                qe AS qc, nq AS nc
         FROM corpus
     ) WHERE cell <= (SELECT k FROM params)
 ),
+seed_sims AS MATERIALIZED (
+    -- NARROW, MATERIALIZED window input (r10, the sf10 OOM fix): a window
+    -- whose ORDER BY references the dim-64 BIGINT lists materializes THE
+    -- LISTS into its 92M-row sort buffer (~90 GB at sf10 — the selfcheck
+    -- process was OOM-killed at 77 GB RSS and a later run spilled 76 GB).
+    -- Computing the similarity FIRST into a materialized (vec_id, cell,
+    -- sim) frame keeps the window sort at ~24 B/row; the vectors join
+    -- back AFTER by vec_id where needed.
+    SELECT c.vec_id, s.cell,
+           {_icsim_n_sql('c.qe', 's.qc', 'c.nq', 's.nc', 6)} AS sim
+    FROM corpus c CROSS JOIN seeds s
+),
 a0 AS (
-    SELECT vec_id, qe, cell FROM (
-        SELECT c.vec_id, c.qe, s.cell,
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
                row_number() OVER (
-                   PARTITION BY c.vec_id
-                   ORDER BY {_icsim_n_sql('c.qe', 's.qc', 'c.nq', 's.nc', 6)} DESC, s.cell ASC) AS rn
-        FROM corpus c CROSS JOIN seeds s
+                   PARTITION BY vec_id
+                   ORDER BY sim DESC, cell ASC) AS rn
+        FROM seed_sims
     ) WHERE rn = 1
 ),
 cflat AS (
-    SELECT cell, generate_subscripts(qe, 1) AS pos, unnest(qe) AS x FROM a0
+    SELECT a.cell, generate_subscripts(c.qe, 1) AS pos, unnest(c.qe) AS x
+    FROM a0 a JOIN corpus c USING (vec_id)
 ),
-cents1 AS (
+cents1 AS MATERIALIZED (
     SELECT cell, qc, sqrt(list_inner_product(qc, qc)) AS nc FROM (
         SELECT cell, list(s ORDER BY pos) AS qc
         FROM (SELECT cell, pos, sum(x) AS s FROM cflat GROUP BY cell, pos)
@@ -1024,14 +1041,23 @@ _NEAR_DUP_CORPUS_SQL = f"""SELECT vec_id, {_Q_SQL.format(c='embedding')} AS qe F
 
 SQL_EMBEDDING_NEAR_DUP = f"""
 WITH {_kmeans_cte(_NEAR_DUP_CORPUS_SQL)},
-member AS (
-    SELECT vec_id, qe, nq, cell FROM (
-        SELECT c.vec_id, c.qe, c.nq, t.cell,
-               row_number() OVER (
-                   PARTITION BY c.vec_id
-                   ORDER BY {_icsim_n_sql('c.qe', 't.qc', 'c.nq', 't.nc', 6)} DESC, t.cell ASC) AS rn
-        FROM corpus c CROSS JOIN cents1 t
-    ) WHERE rn <= 2
+cent_sims AS MATERIALIZED (
+    -- narrow, materialized window input (see _kmeans_cte seed_sims)
+    SELECT c.vec_id, t.cell,
+           {_icsim_n_sql('c.qe', 't.qc', 'c.nq', 't.nc', 6)} AS sim
+    FROM corpus c CROSS JOIN cents1 t
+),
+member AS MATERIALIZED (
+    -- MATERIALIZED because pairs references member twice (self-join)
+    SELECT m.vec_id, c.qe, c.nq, m.cell FROM (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY sim DESC, cell ASC) AS rn
+            FROM cent_sims
+        ) WHERE rn <= 2
+    ) m JOIN corpus c USING (vec_id)
 ),
 pairs AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1320,24 +1346,33 @@ _IVF_CORPUS_SQL = f"SELECT vec_id, {_Q_SQL.format(c='embedding')} AS qe FROM emb
 
 SQL_IVF_TOPK = f"""
 WITH {_kmeans_cte(_IVF_CORPUS_SQL)},
+cent_sims AS MATERIALIZED (
+    -- narrow, materialized window input (see _kmeans_cte seed_sims)
+    SELECT c.vec_id, t.cell,
+           {_icsim_n_sql('c.qe', 't.qc', 'c.nq', 't.nc', 6)} AS sim
+    FROM corpus c CROSS JOIN cents1 t
+),
 a1 AS (
-    SELECT vec_id, qe, nq, cell FROM (
-        SELECT c.vec_id, c.qe, c.nq, t.cell,
-               row_number() OVER (
-                   PARTITION BY c.vec_id
-                   ORDER BY {_icsim_n_sql('c.qe', 't.qc', 'c.nq', 't.nc', 6)} DESC, t.cell ASC) AS rn
-        FROM corpus c CROSS JOIN cents1 t
-    ) WHERE rn = 1
+    SELECT m.vec_id, c.qe, c.nq, m.cell FROM (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY sim DESC, cell ASC) AS rn
+            FROM cent_sims
+        ) WHERE rn = 1
+    ) m JOIN corpus c USING (vec_id)
 ),
 probes AS (SELECT vec_id AS probe_id, qe AS pq, nq AS np FROM corpus WHERE vec_id < {IVF_PROBES}),
 pcells AS (
-    SELECT probe_id, pq, np, cell FROM (
-        SELECT p.probe_id, p.pq, p.np, t.cell,
-               row_number() OVER (
-                   PARTITION BY p.probe_id
-                   ORDER BY {_icsim_n_sql('p.pq', 't.qc', 'p.np', 't.nc', 6)} DESC, t.cell ASC) AS rn
-        FROM probes p CROSS JOIN cents1 t
-    ) WHERE rn <= {IVF_NPROBE}
+    -- probe set is tiny (a handful of ids): reuse cent_sims rows directly
+    SELECT s.vec_id AS probe_id, p.pq, p.np, s.cell FROM (
+        SELECT vec_id, cell, row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY sim DESC, cell ASC) AS rn
+        FROM cent_sims WHERE vec_id < {IVF_PROBES}
+    ) s JOIN probes p ON p.probe_id = s.vec_id
+    WHERE s.rn <= {IVF_NPROBE}
 ),
 sims AS (
     SELECT pc.probe_id, a.vec_id AS neighbor_id,
@@ -1408,13 +1443,19 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CLUSTER_BALANCE = f"""
 WITH {_kmeans_cte(_IVF_CORPUS_SQL)},
+cent_sims AS MATERIALIZED (
+    -- narrow, materialized window input (see _kmeans_cte seed_sims)
+    SELECT c.vec_id, t.cell,
+           {_icsim_n_sql('c.qe', 't.qc', 'c.nq', 't.nc', 6)} AS sim
+    FROM corpus c CROSS JOIN cents1 t
+),
 a1 AS (
     SELECT vec_id, cell FROM (
-        SELECT c.vec_id, t.cell,
+        SELECT vec_id, cell,
                row_number() OVER (
-                   PARTITION BY c.vec_id
-                   ORDER BY {_icsim_n_sql('c.qe', 't.qc', 'c.nq', 't.nc', 6)} DESC, t.cell ASC) AS rn
-        FROM corpus c CROSS JOIN cents1 t
+                   PARTITION BY vec_id
+                   ORDER BY sim DESC, cell ASC) AS rn
+        FROM cent_sims
     ) WHERE rn = 1
 ),
 cl AS (

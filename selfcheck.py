@@ -85,6 +85,14 @@ def main() -> int:
         )
     spark = builder.getOrCreate()
     con = duckdb.connect()
+    # Bound the oracle's memory (r10): DuckDB defaults to 80% of RAM, and
+    # with a 48g Spark driver JVM beside it the sf10 run was OOM-killed at
+    # 77 GB python RSS.  A hard cap + temp dir makes it spill instead.
+    try:
+        con.sql(f"SET memory_limit='{os.environ.get('SPARK_GRAFT_SELF_DUCK_MEM', '32GB')}'")
+        con.sql("SET temp_directory='/tmp/duckdb_selfcheck_spill'")
+    except Exception:
+        pass
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
