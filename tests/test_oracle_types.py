@@ -62,3 +62,32 @@ def test_all_catalog_oracles_covered():
     # queries() entries without an oracle are the documented rows-only set;
     # this just pins that the parametrized test above saw every oracle.
     assert len(entry.oracle_sql()) >= 80
+
+
+def test_kmeans_oracles_keep_scale_viable_shape():
+    """Textual pin of the sf10 oracle-viability fixes (SCALE.md r10): the
+    assignment windows must ORDER BY a precomputed narrow `sim` column —
+    a window ORDER BY that references the dim-64 vector lists materializes
+    them into a ~90 GB sort at sf10 (the OOM class) — and the
+    multiply-referenced CTEs stay MATERIALIZED so DuckDB does not re-run
+    the quantize+norm chain per reference."""
+    from kafka_backup_spark.queries import textops
+
+    for sql in (
+        textops.SQL_EMBEDDING_NEAR_DUP,
+        textops.SQL_IVF_TOPK,
+        textops.SQL_CLUSTER_BALANCE,
+    ):
+        assert "AS MATERIALIZED" in sql
+        assert "ORDER BY sim DESC" in sql
+        # no window may order by an inline inner-product over the vectors
+        import re
+
+        for m in re.finditer(r"row_number\(\) OVER \([^)]*ORDER BY ([^)]*)\)", sql):
+            assert "list_inner_product" not in m.group(1), m.group(0)
+    for sql in (
+        textops.SQL_DUP_MEMBERSHIP,
+        textops.SQL_DUP_CLUSTERS,
+        textops.SQL_EMBEDDING_DUP_CLUSTERS,
+    ):
+        assert "AS MATERIALIZED" in sql  # recursive CTEs re-run plain CTEs
