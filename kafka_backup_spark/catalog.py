@@ -25,7 +25,7 @@ _MERGED: dict[str, tuple] = {
 # (a) every entry whose last driver CORRECTNESS row is oldest (everything
 # displaced in a prior round), then (b) every entry whose implementation
 # CHANGED this round (a change invalidates its old proof).  With selfcheck
-# verifying all 102 per session, the maximum driver-proof staleness for any
+# verifying all 103 per session, the maximum driver-proof staleness for any
 # entry is TWO rounds, and an entry never ships changed code on a stale
 # proof.  Entries past the cut stay in the catalog tail, so selfcheck and
 # the bench still cover them every round.
@@ -35,9 +35,9 @@ _FIRST = [
     # only driver row is r1 (they stayed in the tail since the catalog grew
     # past 50; selfcheck-green at sf0.01+sf1 every session since), and the
     # bodies changed this round plus one NEW entry (image_stats).  That is
-    # 56 candidates for 50 slots — six r8-proof entries slip to r11, chosen
-    # because their logic is
-    # exercised elsewhere every round: dup_membership rides the same
+    # 57 candidates for 50 slots — seven r8-proof entries slip to r11,
+    # chosen because their logic is exercised elsewhere every round:
+    # dup_membership rides the same
     # persisted LSS edge frame as dup_clusters (in window), ann_recall
     # embeds cosine_topk + ivf_topk (both in window), validation_summary
     # aggregates the three validation checks that all hold fresh r9 rows,
@@ -45,7 +45,10 @@ _FIRST = [
     # every round, and dup_span_extents shares the span machinery with
     # dup_span_fraction (r9 pass) plus the index-parity pytest, and
     # compaction_plan shares the manifest machinery with manifest_build
-    # (in window) and manifest_merge (r9 pass) plus the rotation e2e pytest.
+    # (in window) and manifest_merge (r9 pass) plus the rotation e2e pytest,
+    # and offset_gap_scan holds same-session hash proofs at BOTH sf1 and
+    # sf10 on final code (selfcheck_r10_sf1.txt, selfcheck_r10_sf10.txt —
+    # 9.5M rows).
     # ── oldest proofs first: the 10 r1-only entries
     "tpch_q6_forecast",  # also r10 changed-fragment: _money_single gate
     "text_metrics",
@@ -91,20 +94,21 @@ _FIRST = [
     "dup_clusters",
     "cluster_balance",
     "legacy_segment_read",
-    "offset_gap_scan",
     "header_roundtrip",
     "integrity_scan",
     # ── changed-this-round (r10): bodies edited after their r9 proof
     "tpch_q18_large_orders",  # r10: FK-robust top-k (k=100 pre-join, top-10 post-join)
     "tpch_q13_order_dist",  # r10: SHUFFLE_HASH(cnt) on the dim x dim outer join
     "tpch_q22_dormant_balance",  # r10: SHUFFLE_HASH(urg) on the anti join
+    "tpch_q5_region_volume",  # r10: SHUFFLE_HASH(orders) — solo hint, -37% at sf10
     "image_stats",  # NEW in r10: real BMP decode through mapInPandas, closed-form oracle
 ]
 # every r9-window entry not re-listed above moves to the tail on a FRESH r9
 # proof and re-enters by r11; ann_recall / dup_membership /
 # validation_summary / describe_rollup / dup_span_extents / compaction_plan
-# slip to r11 on r8 proofs (the documented 56-into-50 exception above).  selfcheck.py
-# verifies the full 102 every session regardless.
+# / offset_gap_scan slip to r11 on r8 proofs (the documented 57-into-50
+# exception above).  selfcheck.py verifies the full 103 every session
+# regardless.
 _FIRST = [n for n in _FIRST if n in _MERGED]
 assert len(_FIRST) == len(set(_FIRST)), "duplicate window entries"
 assert len(_FIRST) <= 50, f"driver checks only 50 entries, got {len(_FIRST)} priority queries"

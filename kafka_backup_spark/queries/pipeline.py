@@ -447,14 +447,18 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier set — dropping ~80% of lineitem before the orders join — and
     joins customers last with the c_nationkey = s_nationkey constraint on
     the already-narrow stream.  A/B at sf1: 1.00 → 0.64 s, results equal.
-    Negative results (r9, sf10 min-of-4 interleaved): SHUFFLE_HASH hints
-    on orders+customer measured 4.45 s vs 4.26 s for this form (the SHJ
-    skipped the SMJ sorts but broke one broadcast and added exchanges),
-    and pre-aggregating revenue per (orderkey, supplier nation) before
-    the orders join measured 5.05 s (~4 lineitems/order across ~3 ASIA
-    nations ≈ no row reduction to pay for the extra rollup).  The
-    surviving gap is per-row constant factor, not plan shape.  The
-    ORACLE keeps the reference flat-join text (SQL_TPCH_Q5)."""
+
+    SHUFFLE_HASH(orders) — and ONLY orders (r10 stage profile): the
+    decomposition put the orders join at +2.5 s of the 4.4 s wall (scan
+    0.17 / +sa probe 1.30 / +orders 3.84 / full 4.44), and hashing just
+    that join cut the full query 5.22 → 3.26 s (min-of-6 interleaved,
+    −37%).  The r9 negative (4.45 vs 4.26 s) hinted orders AND customer
+    together — the customer hint is what broke the plan; re-measured
+    solo, SHUFFLE_HASH(customer) is a wash (5.29 s).  Remaining r9
+    negative still stands: pre-aggregating revenue per (orderkey,
+    nation) before the orders join measured 5.05 s (~4 lineitems/order
+    ≈ no reduction to pay for the rollup).  The ORACLE keeps the
+    reference flat-join text (SQL_TPCH_Q5)."""
     _view(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
     rev = _money_sum(
         "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
@@ -471,7 +475,7 @@ WITH asia AS (
          CAST(round(l_discount * 100) AS BIGINT) AS dc
   FROM lineitem
 ), t AS (
-  SELECT n_name,
+  SELECT /*+ SHUFFLE_HASH(orders) */ n_name,
          {rev}
   FROM li
   JOIN sa ON l_suppkey = s_suppkey
