@@ -107,12 +107,17 @@ def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
 # hi/lo formulation — produces the bit-identical double.  2^59 (not 2^53,
 # and not the looser 2^62 the gate used through r9 — ADVICE r9 #1) is the
 # PROVABLE parity bound: group totals may well exceed 2^53 (sf1 q1 charge
-# sums are ~5.2e16), but while total < 2^59 the oracle's hi = total div
-# 1e6 satisfies hi·15625 < 2^53, so hi·1e6 is an exact double, lo < 2^53
-# is exact, and one rounded add yields the correctly-rounded double of
-# the exact integer total — the same value single mode's 0·1e6 + total
-# produces (pinned by tests/test_plan_quality.py: test_money_modes_agree
-# and test_hilo_reconstruction_bound).  Past the gate (sf≳0.7 at fixture
+# sums are ~5.2e16).  hilo mode computes hi = SUM(vᵢ div 1e6) — the sum of
+# PER-ROW truncated quotients, which differs from total div 1e6 when rows
+# are mixed-sign (q9 profit) — but the bound holds on the per-row form
+# directly: both engines use TRUNCATING integer division (toward zero), so
+# |vᵢ div 1e6|·1e6 ≤ |vᵢ|, hence |hi|·1e6 ≤ Σ|vᵢ div 1e6|·1e6 ≤ Σ|vᵢ| ≤
+# rows·worst < 2^59.  Then |hi|·15625 < 2^53 so hi·1e6 is an exact double,
+# each |lo| ≤ rows·1e6 < 2^53 is exact, and one rounded add yields the
+# correctly-rounded double of the exact integer total — the same value
+# single mode's 0·1e6 + total produces (pinned by
+# tests/test_plan_quality.py: test_money_modes_agree and
+# test_hilo_reconstruction_bound).  Past the gate (sf≳0.7 at fixture
 # price ranges — and any 100-TB run) the hi/lo split arms automatically.
 # `spark.kafkaBackupSpark.moneyMode` ∈ {auto (default), single, hilo}
 # overrides the gate for A/B runs.

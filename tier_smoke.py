@@ -400,8 +400,13 @@ def ingest_soak(spark, out: str, batches: int, per_batch: int = 400) -> dict:
         "max_cached_bytes": max((b for _, b in samples), default=0),
         "head_mean_s": round(sum(head) / len(head), 3) if head else None,
         "tail_mean_s": round(sum(tail) / len(tail), 3) if tail else None,
+        # chars.get(0): if batch 0 produced no rows the baseline version is
+        # absent — report the invariant as FAILED rather than KeyError
+        # (ADVICE r10 #4)
         "excision_held": bool(
-            len(chars) > 1 and max(v for k, v in chars.items() if k > 0) < chars[0]
+            len(chars) > 1
+            and 0 in chars
+            and max(v for k, v in chars.items() if k > 0) < chars[0]
         ),
         "residual_cached_rdds": len(
             [
