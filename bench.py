@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafka_backup_spark import catalog
-from kafka_backup_spark.session import get_spark
+from kafka_backup_spark.session import autosize_shuffle_partitions, get_spark
 
 # Headline set: one per operator family (filters, manifest aggs, as-of joins,
 # reset plan, validation, repartition shuffle, TPC-H joins, dedup/text/ANN).
@@ -95,6 +95,12 @@ def main() -> int:
         _noop, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # size reduce-task parallelism to the input (8 MB zstd parquet per
+    # task, capped at the session's cores) — the r11 measured win: small
+    # inputs stop paying 32 tasks of scheduling per exchange, sf10 stays
+    # at the tuned cap.  See session.autosize_shuffle_partitions.
+    n_shuffle = autosize_shuffle_partitions(spark, sf_dir)
+
     qs = catalog.queries()
     # repeat each query and keep the fastest run: this VM shows sporadic
     # 10-30x neighbor-load spikes (see SCALE.md) and the min is the honest
@@ -139,6 +145,7 @@ def main() -> int:
     floor = round(floor, 3)
 
     spread_doc, summary_doc = build_output(timings, spreads, floor, sf, repeats)
+    summary_doc["shuffle_partitions"] = n_shuffle
     try:
         with open(spreads_path(), "w") as fh:
             json.dump(spread_doc, fh)

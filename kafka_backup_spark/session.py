@@ -57,3 +57,58 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()
+
+
+def autosize_shuffle_partitions(
+    spark: SparkSession,
+    *paths: str,
+    target_bytes: int | None = None,
+    floor: int = 2,
+) -> int:
+    """Input-proportional shuffle parallelism (r11, measured): set
+    ``spark.sql.shuffle.partitions`` from the compressed parquet footprint
+    of the inputs — ``ceil(total_bytes / target)`` clamped to
+    ``[floor, defaultParallelism]``.
+
+    Why: at small inputs the per-reduce-task scheduling cost dominates —
+    the sf0.1 headline bench dropped 9.93 → 8.04 s total (min-of-5
+    interleaved, one session) going 32 → 4 reduce tasks, with the
+    multi-exchange pipelines gaining most (lsh_candidates −51%,
+    dup_span_fraction −48%, q15 −48%, q16 −43%, q3 −40%).  At sf1 the
+    same sweep found 18 optimal (6.48 s vs 7.68 s at 32 and 8.11 s at 9
+    over the heavy family), and at sf10 the formula hits the
+    defaultParallelism cap — i.e. exactly the tuned status quo.  8 MB of
+    zstd parquet per reduce task (≈ 4–8× that in memory) fits all three
+    measured points.
+
+    At cluster scale the cap IS the scheduling parallelism (total executor
+    cores), which AQE skew-split and coalesce then adjust at runtime; for
+    genuinely huge per-core inputs raise the target via
+    ``spark.kafkaBackupSpark.shuffle.targetBytes`` so partitions stay
+    memory-bounded rather than count-bounded.
+
+    Only local filesystem paths are sized (the bench/testdata contract);
+    any non-local URI leaves the session setting untouched.
+    """
+    if target_bytes is None:
+        target_bytes = int(
+            spark.conf.get("spark.kafkaBackupSpark.shuffle.targetBytes", str(8 << 20))
+        )
+    total = 0
+    for p in paths:
+        if "://" in p and not p.startswith("file://"):
+            return int(spark.conf.get("spark.sql.shuffle.partitions"))
+        p = p.removeprefix("file://")
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
+        elif os.path.isfile(p):
+            total += os.path.getsize(p)
+    cap = max(floor, spark.sparkContext.defaultParallelism)
+    n = min(cap, max(floor, -(-total // target_bytes)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
