@@ -651,8 +651,14 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor precisely (sf10, min-of-5 interleaved): scan 0.148 s, scan +
     cent-cast exprs 0.164 s, the groupBy(l_orderkey) rollup alone
     3.29 s, full query 3.56 s — 92% of the wall is the 60M-row →
-    15M-group aggregate, which no join-side rewrite can touch; the
-    remaining path from here is vectorization, not plan shape.  An explicit broadcast of the
+    15M-group aggregate, which no join-side rewrite can touch.  r11
+    closed the "vectorization territory" branch with a measured
+    NEGATIVE (vector_probe.py, sf10, min-of-5 interleaved, parity-
+    checked): an Arrow-side per-partition partial aggregate
+    (mapInArrow → pyarrow group_by → JVM final agg) measured 15.67 s
+    vs the JVM rollup's 2.64 s — the Arrow transfer of 60M narrow rows
+    costs ~6× the entire Tungsten hash aggregate.  The JVM hash agg IS
+    the vectorized path; the rollup floor stands.  An explicit broadcast of the
     un-topped survivor set measured 5.02 s — no better at sf10 and the
     wrong 100-TB shape; pinned negative.  ORACLE keeps the reference
     HAVING-join formulation (SQL_TPCH_Q18).
@@ -2764,7 +2770,12 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     count formulation of the same aggregate measured 1.83 s (wash;
     Spark's expand-based countDistinct already is that plan), and the
     r9 distinct-before-join negative (7.68 s) still stands — the
-    residue is aggregate constant factor, not plan shape."""
+    residue is aggregate constant factor, not plan shape.  r11 pinned
+    the Arrow branch too (vector_probe.py, sf10, min-of-5, parity-
+    checked): mapInArrow per-partition distinct on (brand,type,size,
+    suppkey) feeding the JVM countDistinct measured 3.83 s vs 1.55 s
+    for the shipped plan — Arrow transfer of the 7.5M survivors costs
+    more than the whole aggregate it was meant to speed up."""
     _view(spark, sf_dir, "part", "lineitem", "supplier")
     pf = (
         spark.table("part")
