@@ -430,3 +430,74 @@ def test_stream_ingest_soak_bounded_cache_and_excision(spark, tmp_path):
     assert s["max_cached_rdds"] <= 4, s
     assert s["residual_cached_rdds"] == 0, s
     assert s["excision_held"], s
+
+
+# ── prior-set snapshots (r11): O(1)-dir ingest priors ─────────────────────
+
+
+def test_prior_hash_snapshot_matches_full_scan_across_rebuilds(
+    spark, sf_dir, tmp_path
+):
+    """The rolling snapshot must return EXACTLY read_corpus().h.distinct()
+    at every version count — before the first rebuild, while serving
+    snapshot+tail, and across a rebuild boundary (> SNAP_REFRESH_EVERY
+    tail dirs)."""
+    store = CorpusStore(str(tmp_path / "c"))
+    d = F.col("doc_id")
+    lo = 0
+    for step in range(store.SNAP_REFRESH_EVERY + 3):
+        store.write_version(_docs(spark, sf_dir, (d >= lo) & (d < lo + 30)))
+        lo += 30
+        got = sorted(r.h for r in store._prior_hashes(spark).collect())
+        want = sorted(
+            r.h for r in store.read_corpus(spark).select("h").distinct().collect()
+        )
+        assert got == want, f"snapshot diverged at version {step}"
+    # snapshot dir exists, is unique, and _SUCCESS-marked
+    snaps = [
+        e
+        for e in __import__("os").listdir(store._snap_root("h"))
+        if e.startswith("upto=")
+    ]
+    assert len(snaps) == 1
+
+
+def test_torn_snapshot_is_ignored_and_rebuilt(spark, sf_dir, tmp_path):
+    import os
+    import shutil
+
+    store = CorpusStore(str(tmp_path / "c"))
+    d = F.col("doc_id")
+    store.write_version(_docs(spark, sf_dir, d < 50))
+    store._prior_hashes(spark)  # builds upto=0
+    root = store._snap_root("h")
+    snap = os.path.join(root, "upto=0")
+    os.remove(os.path.join(snap, "_SUCCESS"))  # simulate torn write
+    assert store._snap_latest("h") is None
+    got = store._prior_hashes(spark)  # rebuilds
+    assert got.count() == 50
+    assert store._snap_latest("h") == 0
+    shutil.rmtree(root)  # missing snapshots rebuild too
+    assert store._prior_hashes(spark).count() == 50
+
+
+def test_excision_prior_snapshot_parity(spark, tmp_path):
+    """_prior_span_hashes == _read_span_index().sh.distinct() with the
+    committed-only filter preserved, across enough excising ingests to
+    cross a snapshot rebuild."""
+    store = CorpusStore(str(tmp_path / "c"))
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    for i in range(store.SNAP_REFRESH_EVERY + 2):
+        rows = [(i * 10 + j, "en", f"batch{i}doc{j}head " + base) for j in range(3)]
+        store.write_version(
+            _mk(spark, rows), excise_spans=True
+        )
+        got = sorted(r.sh for r in store._prior_span_hashes(spark).collect())
+        want = sorted(
+            r.sh
+            for r in store._read_span_index(spark)
+            .select("sh")
+            .distinct()
+            .collect()
+        )
+        assert got == want, f"span prior diverged at ingest {i}"
