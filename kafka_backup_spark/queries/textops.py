@@ -1903,6 +1903,95 @@ FROM labels GROUP BY cluster_id
 SQL_DUP_CLUSTERS = _dup_clusters_sql()
 
 
+# ── label-propagation ALT oracles for the closure twins (r11) ──────────────
+# DuckDB 1.0's WITH RECURSIVE min-reachable-id closure materializes every
+# (node, reachable-min) pair — quadratic in cluster size, which filled 78 GB
+# of spill at sf10 on the ~100-member amplified families (SCALE.md "closure
+# oracle boundary").  Aggregates are not allowed in the recursive term, so
+# the linear-per-round formulation cannot be expressed in one statement —
+# but it CAN be driver-looped: min-label propagation
+# (lbl'(v) = min(lbl(v), min over in-neighbors)) over temp tables, one
+# linear UPDATE round per iteration until fixpoint, converges to exactly
+# min-reachable-id per connected component (monotone, bounded below).
+# selfcheck.py runs these when SPARK_GRAFT_SELF_ALT names the query; the
+# recursive texts above stay the DRIVER-facing oracles (single-statement),
+# and a pytest pins alt == recursive == Spark at the gate scale.
+def closure_alt_oracle_plan(name: str) -> dict | None:
+    """Statement plan for the label-prop twin of a closure oracle:
+    {setup: [sql...], step, changed, promote, final}.  The caller loops
+    step/promote while `changed` returns > 0, then fetches `final`."""
+    shapes = {
+        "dup_clusters": (
+            SQL_NEAR_DUP_PIPELINE,
+            "doc_a",
+            "doc_b",
+            "SELECT lbl AS cluster_id, count(*) AS n_members,"
+            " max(node) AS max_doc FROM lp_lab GROUP BY lbl",
+        ),
+        "dup_membership": (
+            SQL_NEAR_DUP_PIPELINE,
+            "doc_a",
+            "doc_b",
+            "SELECT node AS doc_id, lbl AS cluster_id,"
+            " (node = lbl) AS keep FROM lp_lab",
+        ),
+        "embedding_dup_clusters": (
+            SQL_EMBEDDING_NEAR_DUP,
+            "vec_a",
+            "vec_b",
+            "SELECT lbl AS cluster_id, count(*) AS n_members,"
+            " max(node) AS max_doc FROM lp_lab GROUP BY lbl",
+        ),
+    }
+    if name not in shapes:
+        return None
+    pair_sql, a, b, final = shapes[name]
+    return {
+        "setup": [
+            "CREATE OR REPLACE TEMP TABLE lp_pairs AS "
+            f"SELECT {a} AS pa, {b} AS pb FROM ({pair_sql})",
+            "CREATE OR REPLACE TEMP TABLE lp_edges AS "
+            "SELECT pa AS s, pb AS d FROM lp_pairs "
+            "UNION ALL SELECT pb AS s, pa AS d FROM lp_pairs",
+            "CREATE OR REPLACE TEMP TABLE lp_lab AS "
+            "SELECT DISTINCT s AS node, s AS lbl FROM lp_edges",
+        ],
+        "step": (
+            "CREATE OR REPLACE TEMP TABLE lp_new AS "
+            "SELECT n.node, least(n.lbl, coalesce(m.mn, n.lbl)) AS lbl "
+            "FROM lp_lab n LEFT JOIN ("
+            "  SELECT e.d AS node, min(l.lbl) AS mn"
+            "  FROM lp_edges e JOIN lp_lab l ON l.node = e.s GROUP BY e.d"
+            ") m ON m.node = n.node"
+        ),
+        "changed": (
+            "SELECT count(*) FROM lp_new a JOIN lp_lab b"
+            " ON a.node = b.node AND a.lbl <> b.lbl"
+        ),
+        "promote": "CREATE OR REPLACE TEMP TABLE lp_lab AS SELECT * FROM lp_new",
+        "final": final,
+    }
+
+
+def run_closure_alt_oracle(con, name: str, max_rounds: int = 512):
+    """Execute the label-prop plan on an open DuckDB connection; returns
+    the final relation.  Raises if the fixpoint is not reached within
+    ``max_rounds`` (graph diameter bound — amplified dup families are
+    near-cliques, converging in a handful of rounds)."""
+    plan = closure_alt_oracle_plan(name)
+    if plan is None:
+        raise KeyError(f"no alt oracle for {name}")
+    for stmt in plan["setup"]:
+        con.sql(stmt)
+    for _ in range(max_rounds):
+        con.sql(plan["step"])
+        changed = con.sql(plan["changed"]).fetchone()[0]
+        con.sql(plan["promote"])
+        if changed == 0:
+            return con.sql(plan["final"])
+    raise RuntimeError(f"label propagation did not converge in {max_rounds} rounds")
+
+
 # ── ANN recall evaluation (IVF vs brute-force ground truth) ───────────────
 # An approximate index without a measured recall is unusable in production:
 # this operator joins the IVF top-k against the exact cosine top-k over the

@@ -108,6 +108,15 @@ def main() -> int:
     skip = {
         s for s in os.environ.get("SPARK_GRAFT_SELF_SKIP", "").split(",") if s
     }
+    # Label-prop ALT oracles (r11): the closure twins' WITH RECURSIVE
+    # min-reachable-id is quadratic in cluster size and dies at sf10; a
+    # driver-looped min-label propagation (linear per round) computes the
+    # identical labels.  Named queries run the alt plan INSTEAD of their
+    # recursive oracle_sql text — marked in the output line; parity of
+    # alt == recursive == Spark is pinned by pytest at the gate scale.
+    alt = {
+        s for s in os.environ.get("SPARK_GRAFT_SELF_ALT", "").split(",") if s
+    }
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -127,7 +136,14 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(srows)} rows (no oracle)")
             continue
         try:
-            rel = con.sql(oracles[name])
+            if name in alt:
+                from kafka_backup_spark.queries.textops import (
+                    run_closure_alt_oracle,
+                )
+
+                rel = run_closure_alt_oracle(con, name)
+            else:
+                rel = con.sql(oracles[name])
             dcols = [c for c in rel.columns]
             dtypes = [str(t).upper() for t in rel.types]
             drows = rel.fetchall()
@@ -175,7 +191,8 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
         else:
-            print(f"OK   {name}: {len(srows)} rows")
+            tag = " (alt-oracle: label-prop)" if name in alt else ""
+            print(f"OK   {name}: {len(srows)} rows{tag}")
     spark.stop()
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0

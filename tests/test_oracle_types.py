@@ -91,3 +91,22 @@ def test_kmeans_oracles_keep_scale_viable_shape():
         textops.SQL_EMBEDDING_DUP_CLUSTERS,
     ):
         assert "AS MATERIALIZED" in sql  # recursive CTEs re-run plain CTEs
+
+
+@pytest.mark.parametrize(
+    "name", ["dup_clusters", "dup_membership", "embedding_dup_clusters"]
+)
+def test_label_prop_alt_oracle_matches_recursive(con, name):
+    """The driver-looped min-label-propagation twin (r11, selfcheck
+    SPARK_GRAFT_SELF_ALT) must produce EXACTLY the recursive closure's
+    rows — label propagation converges to min-reachable-id per connected
+    component, so any divergence is a bug in the loop, not semantics."""
+    from kafka_backup_spark.queries.textops import run_closure_alt_oracle
+
+    want = sorted(map(tuple, con.sql(entry.oracle_sql()[name]).fetchall()))
+    got_rel = run_closure_alt_oracle(con, name)
+    got_cols = list(got_rel.columns)
+    got = sorted(map(tuple, got_rel.fetchall()))
+    ref_cols = list(con.sql(entry.oracle_sql()[name]).columns)
+    assert got_cols == ref_cols
+    assert got == want
