@@ -83,6 +83,16 @@ def main() -> int:
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_SELF_DRIVER_MEM", "24g"),
         )
+        # A 103-query single session retains one SQL-UI execution graph per
+        # query (big plans → MBs each) plus job/stage history — dead weight
+        # that competes with task memory on the local-mode driver JVM.
+        # Bound it for scale runs; the bare driver-mimic gate is untouched.
+        builder = (
+            builder.config("spark.ui.enabled", "false")
+            .config("spark.sql.ui.retainedExecutions", "8")
+            .config("spark.ui.retainedJobs", "100")
+            .config("spark.ui.retainedStages", "100")
+        )
     spark = builder.getOrCreate()
     con = duckdb.connect()
     # Bound the oracle's memory (r10): DuckDB defaults to 80% of RAM, and
@@ -117,6 +127,20 @@ def main() -> int:
     alt = {
         s for s in os.environ.get("SPARK_GRAFT_SELF_ALT", "").split(",") if s
     }
+    # Scale-run session hygiene (r11): the first single-session sf10 run
+    # heap-OOM'd a task at query ~98 of 103 — not any one query's fault
+    # (all six "failures" pass solo in a fresh session; r10's stitched
+    # partial runs never held a session long enough to see it) but ~97
+    # queries of accumulated driver-JVM state: pinned shared caches (gram
+    # arrays, ANN index, corpus persists), SQL-UI execution graphs, and
+    # codegen/broadcast remnants squeezing unified memory until one 10M-row
+    # build OOMs.  Every HYGIENE_EVERY attempted queries, release every
+    # module-pinned frame (release_gram_cache also drops the plan cache —
+    # results recompute, bit-identical) and clear the block-manager cache.
+    # Only active on scale overrides; the sf0.01 driver-mimic stays bare.
+    hygiene_every = int(os.environ.get("SPARK_GRAFT_SELF_HYGIENE", "12"))
+    scale_run = bool(os.environ.get("SPARK_GRAFT_SELF_SF_DIR"))
+    attempted = 0
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -124,6 +148,12 @@ def main() -> int:
         if name in skip:
             print(f"SKIP {name}: excluded via SPARK_GRAFT_SELF_SKIP (scale exemption)")
             continue
+        if scale_run and attempted and attempted % hygiene_every == 0:
+            from kafka_backup_spark.queries.textops import release_gram_cache
+
+            release_gram_cache(spark)
+            spark.catalog.clearCache()
+        attempted += 1
         try:
             sdf = fn(spark, SF_DIR)
             scols = list(sdf.columns)
