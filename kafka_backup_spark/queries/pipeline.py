@@ -462,8 +462,15 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     solo, SHUFFLE_HASH(customer) is a wash (5.29 s).  Remaining r9
     negative still stands: pre-aggregating revenue per (orderkey,
     nation) before the orders join measured 5.05 s (~4 lineitems/order
-    ≈ no reduction to pay for the rollup).  The ORACLE keeps the
-    reference flat-join text (SQL_TPCH_Q5)."""
+    ≈ no reduction to pay for the rollup).  r11 pinned the last
+    untried shape (q5_probe.py, sf10, min-of-6 interleaved, parity
+    OK): pre-joining the date-filtered orders with ASIA customers into
+    an ~860k-row (o_orderkey, c_nationkey) product and BROADCASTing it
+    — zero exchanges on the 60M fact side — measured 3.05 vs 2.68 s
+    (−14%): building the dim product itself shuffles 15M orders + 1.5M
+    customers on custkey, which costs more than the orderkey exchange
+    it removes.  The ORACLE keeps the reference flat-join text
+    (SQL_TPCH_Q5)."""
     _view(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
     rev = _money_sum(
         "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
