@@ -32,6 +32,20 @@ from pyspark.sql import functions as F
 MANIFEST_NAME = "corpus_manifest.json"
 
 
+def _suffix_int(entry: str, prefix: str) -> int | None:
+    """Parse the N out of a ``{prefix}N`` directory entry, or None when the
+    entry doesn't carry a valid int.  Every listing-derived version/snapshot
+    number goes through this guard: a stray non-numeric ``upto=*`` or
+    ``version=*`` entry must be SKIPPED like any other torn/foreign state,
+    not raise ValueError and break every ingest (ADVICE r11 #2)."""
+    if not entry.startswith(prefix):
+        return None
+    try:
+        return int(entry[len(prefix) :])
+    except ValueError:
+        return None
+
+
 class CorpusStore:
     def __init__(self, root: str) -> None:
         # the version counter comes from a manifest guarded by an O_EXCL
@@ -147,14 +161,7 @@ class CorpusStore:
         """True when every non-empty committed version has a span-index
         partition — the gate for serving ``corpus stats --dup-spans`` from
         the index instead of a full text re-hash."""
-        try:
-            have = {
-                int(e.split("=", 1)[1])
-                for e in os.listdir(self.span_index_path())
-                if e.startswith("version=")
-            }
-        except FileNotFoundError:
-            have = set()
+        have = set(self._version_dirs(self.span_index_path()))
         need = {e["version"] for e in self.versions() if e.get("n_new", 0) > 0}
         return bool(need) and need <= have
 
@@ -221,9 +228,9 @@ class CorpusStore:
         except FileNotFoundError:
             return None
         for e in entries:
-            if not e.startswith("upto="):
+            n = _suffix_int(e, "upto=")
+            if n is None:
                 continue
-            n = int(e.split("=", 1)[1])
             if os.path.isfile(
                 os.path.join(self._snap_root(kind), e, "_SUCCESS")
             ) and (best is None or n > best):
@@ -233,13 +240,32 @@ class CorpusStore:
     @staticmethod
     def _version_dirs(path: str) -> list[int]:
         try:
-            return sorted(
-                int(e.split("=", 1)[1])
-                for e in os.listdir(path)
-                if e.startswith("version=")
-            )
+            entries = os.listdir(path)
         except FileNotFoundError:
             return []
+        return sorted(
+            n for e in entries if (n := _suffix_int(e, "version=")) is not None
+        )
+
+    def _invalidate_snapshots_from(self, version: int) -> None:
+        """Drop every prior-set snapshot whose coverage includes ``version``
+        or later (plus torn tmp dirs).  Called when ``write_version`` finds
+        version N's partition dir already on disk without a manifest entry.
+        Snapshots only ever bake COMMITTED versions (``_prior_set``), so a
+        plain crash replay can't stale them — this guards the manifest-
+        ROLLBACK case, where versions a snapshot legitimately covered as
+        committed are about to be rewritten with different content
+        (ADVICE r11 #1)."""
+        for kind in ("h", "sh"):
+            root = self._snap_root(kind)
+            try:
+                entries = os.listdir(root)
+            except FileNotFoundError:
+                continue
+            for e in entries:
+                n = _suffix_int(e, "upto=")
+                if e.startswith(".tmp-") or (n is not None and n >= version):
+                    shutil.rmtree(os.path.join(root, e), ignore_errors=True)
 
     def _write_snapshot(self, spark: SparkSession, kind: str, upto: int, df: DataFrame) -> DataFrame:
         root = self._snap_root(kind)
@@ -262,48 +288,79 @@ class CorpusStore:
         col: str,
         dir_root: str,
         versions_on_disk: list[int],
-        full_read,
+        committed: set[int],
     ) -> DataFrame:
         """Distinct prior keys (column ``col``) as snapshot ∪ tail dirs.
-        ``versions_on_disk`` are the version dirs the full read would
-        consume; ``full_read()`` must return exactly their ``col`` rows."""
+
+        Snapshots cover COMMITTED versions only (``upto`` is always a
+        manifest-committed version): an uncommitted orphan dir — a crash
+        between the data write and the manifest append — may be REWRITTEN
+        with different content by the replay (dynamic partition overwrite
+        makes the replay batch's content authoritative, not the crashed
+        attempt's), so baking its keys into a snapshot would serve stale
+        'seen' hashes until the next cadence rebuild, silently dropping
+        genuinely new docs (ADVICE r11 #1).  Orphans therefore always ride
+        the LIVE tail read, where a rewrite self-corrects on the very next
+        ingest exactly as the pre-snapshot full scan did.  Committed
+        versions are immutable (write_version only ever claims
+        manifest_last+1), so a committed snapshot never goes stale."""
+
+        def read_cols(vs: list[int]) -> DataFrame:
+            return spark.read.option("basePath", dir_root).parquet(
+                *[f"{dir_root}/version={v}" for v in vs]
+            ).select(col)
+
+        def tail_of(upto: int) -> list[int]:
+            # anything the snapshot can't vouch for reads live
+            return [v for v in versions_on_disk if v > upto or v not in committed]
+
         snap_n = self._snap_latest(kind)
-        tail = [v for v in versions_on_disk if snap_n is None or v > snap_n]
+        tail = versions_on_disk if snap_n is None else tail_of(snap_n)
         if snap_n is None or len(tail) >= self.SNAP_REFRESH_EVERY:
-            upto = max(versions_on_disk) if versions_on_disk else -1
-            return self._write_snapshot(
-                spark, kind, upto, full_read().select(col).distinct()
+            upto = max((v for v in versions_on_disk if v in committed), default=None)
+            if upto is None:
+                # nothing committed yet — serve the live dirs directly
+                return read_cols(versions_on_disk).distinct()
+            snap = self._write_snapshot(
+                spark,
+                kind,
+                upto,
+                read_cols(
+                    [v for v in versions_on_disk if v <= upto and v in committed]
+                ).distinct(),
             )
-        snap = spark.read.parquet(
-            os.path.join(self._snap_root(kind), f"upto={snap_n}")
-        )
+            tail = tail_of(upto)
+        else:
+            snap = spark.read.parquet(
+                os.path.join(self._snap_root(kind), f"upto={snap_n}")
+            )
         if not tail:
             return snap
-        tail_df = spark.read.option("basePath", dir_root).parquet(
-            *[f"{dir_root}/version={v}" for v in tail]
-        )
-        return snap.unionByName(tail_df.select(col)).distinct()
+        return snap.unionByName(read_cols(tail)).distinct()
+
+    def _committed_versions(self) -> set[int]:
+        return {e["version"] for e in self.versions() if e.get("n_new", 0) > 0}
 
     def _prior_hashes(self, spark: SparkSession) -> DataFrame:
         """Cumulative distinct content hashes — the exact-dedup prior.
         Same rows as ``read_corpus().select('h').distinct()`` (pinned by
-        test_corpus_store), read from O(1) directories."""
+        test_corpus_store), read from O(1) directories.  Uncommitted orphan
+        dirs count (matching the full scan's ``version=*`` read) but ride
+        the live tail, never the snapshot."""
         return self._prior_set(
             spark,
             "h",
             "h",
             self.corpus_path(),
             self._version_dirs(self.corpus_path()),
-            lambda: self.read_corpus(spark),
+            self._committed_versions(),
         )
 
     def _prior_span_hashes(self, spark: SparkSession) -> DataFrame:
         """Cumulative distinct span-window hashes of COMMITTED versions —
         the excision prior (same committed-only filter as
         ``_read_span_index``)."""
-        committed = {
-            e["version"] for e in self.versions() if e.get("n_new", 0) > 0
-        }
+        committed = self._committed_versions()
         on_disk = [
             v
             for v in self._version_dirs(self.span_index_path())
@@ -315,21 +372,14 @@ class CorpusStore:
             "sh",
             self.span_index_path(),
             on_disk,
-            lambda: self._read_span_index(spark),
+            committed,
         )
 
     def _backfill_span_index(self, spark: SparkSession, prior: list[dict]) -> None:
         """Index any non-empty committed version that lacks a span-index
         partition (versions ingested before the flag existed or without
         it).  Idempotent per version; runs under the writer lock."""
-        try:
-            have = {
-                int(e.split("=", 1)[1])
-                for e in os.listdir(self.span_index_path())
-                if e.startswith("version=")
-            }
-        except FileNotFoundError:
-            have = set()
+        have = set(self._version_dirs(self.span_index_path()))
         for entry in prior:
             if entry.get("n_new", 0) > 0 and entry["version"] not in have:
                 self._write_span_index_partition(spark, entry["version"])
@@ -474,6 +524,23 @@ class CorpusStore:
             spark = docs.sparkSession
             prior = self.versions()
             version = prior[-1]["version"] + 1 if prior else 0
+            if any(
+                version in self._version_dirs(p)
+                for p in (
+                    self.corpus_path(),
+                    self.signatures_path(),
+                    self.span_index_path(),
+                )
+            ):
+                # version N's partition dir exists but the manifest never
+                # committed it: a crash REPLAY (dynamic overwrite rewrites
+                # the orphan, possibly with different content) or a manifest
+                # ROLLBACK.  Snapshots never bake uncommitted dirs (see
+                # _prior_set), so replay alone can't stale them — but after
+                # a rollback, versions a snapshot covered as committed are
+                # about to be rewritten; drop anything covering >= N
+                # (ADVICE r11 #1, belt and braces)
+                self._invalidate_snapshots_from(version)
             excised = None
             if excise_spans and prior:
                 # cut corpus-seen spans BEFORE hashing: the content hash
@@ -611,14 +678,7 @@ class CorpusStore:
         that lacks one (versions ingested with ``near_dedup=False``).  Runs
         under the writer lock; idempotent per version (dynamic partition
         overwrite)."""
-        try:
-            have = {
-                int(e.split("=", 1)[1])
-                for e in os.listdir(self.signatures_path())
-                if e.startswith("version=")
-            }
-        except FileNotFoundError:
-            have = set()
+        have = set(self._version_dirs(self.signatures_path()))
         for entry in prior:
             v = entry["version"]
             if entry.get("n_new", 0) > 0 and v not in have:

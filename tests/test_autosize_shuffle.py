@@ -51,6 +51,29 @@ def test_remote_uri_is_a_noop(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+def test_mixed_local_then_remote_is_all_or_nothing(spark, tmp_path):
+    # a remote URI listed AFTER a local path must still make the whole call a
+    # no-op — never size from a partial (local-only) total (VERDICT r11 #3)
+    _mkfile(str(tmp_path / "t.parquet"), 100 << 20)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    n = autosize_shuffle_partitions(spark, str(tmp_path), "s3a://bucket/prefix")
+    assert n == int(before)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_only_parquet_files_count(spark, tmp_path):
+    # JSON manifests and media blobs beside the tables must not skew the
+    # footprint (ADVICE r11 #3): 1 GiB of non-parquet still floors at 2
+    _mkfile(str(tmp_path / "t.parquet"), 1024)
+    _mkfile(str(tmp_path / "manifest.json"), 64 << 20)
+    _mkfile(str(tmp_path / "media.bin"), 1 << 30)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert autosize_shuffle_partitions(spark, str(tmp_path)) == 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 def test_target_bytes_conf_override(spark, tmp_path):
     _mkfile(str(tmp_path / "t.parquet"), 10 << 20)
     before = spark.conf.get("spark.sql.shuffle.partitions")

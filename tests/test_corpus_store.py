@@ -501,3 +501,48 @@ def test_excision_prior_snapshot_parity(spark, tmp_path):
             .collect()
         )
         assert got == want, f"span prior diverged at ingest {i}"
+
+
+def test_stray_snapshot_entries_are_skipped(spark, sf_dir, tmp_path):
+    """A non-numeric upto=* entry in prior_snap/<kind>/ must be skipped like
+    any other torn/foreign snapshot state, not raise ValueError and break
+    every subsequent ingest (ADVICE r11 #2)."""
+    import os
+
+    store = CorpusStore(str(tmp_path / "c"))
+    d = F.col("doc_id")
+    store.write_version(_docs(spark, sf_dir, d < 20))
+    store._prior_hashes(spark)  # builds upto=0
+    os.makedirs(os.path.join(store._snap_root("h"), "upto=garbage"))
+    assert store._snap_latest("h") == 0
+    e = store.write_version(_docs(spark, sf_dir, (d >= 20) & (d < 30)))
+    assert e["n_new"] == 10
+
+
+def test_replay_rewrite_does_not_bake_orphan_hashes(spark, tmp_path):
+    """ADVICE r11 #1: a snapshot must never vouch for an UNCOMMITTED orphan
+    dir.  Crash between data write and manifest append, then a snapshot
+    rebuild with the orphan on disk, then a replay that rewrites the orphan
+    with different content — a later doc matching the VANISHED orphan text
+    must be accepted as new (the full-scan prior always did this)."""
+    import json
+    import shutil
+
+    store = CorpusStore(str(tmp_path / "c"))
+    store.write_version(_mk(spark, [(0, "en", "alpha text body")]))
+    store.write_version(_mk(spark, [(1, "en", "ORPHAN ONLY TEXT")]))
+    # simulate the crash: v1's partition dir exists, manifest never saw it
+    entries = store.versions()
+    with open(store._manifest_path(), "w") as fh:
+        json.dump(entries[:1], fh)
+    # force a snapshot rebuild while the orphan is on disk
+    shutil.rmtree(store._snap_root("h"), ignore_errors=True)
+    prior = store._prior_hashes(spark)
+    assert prior.count() == 2  # orphan content still counts (live tail)
+    assert store._snap_latest("h") == 0  # ...but the snapshot excludes it
+    # replay claims version 1 with DIFFERENT content (rewrites the orphan)
+    e1 = store.write_version(_mk(spark, [(2, "en", "replacement body")]))
+    assert (e1["version"], e1["n_new"]) == (1, 1)
+    # the vanished orphan text is genuinely new now — must NOT be dropped
+    e2 = store.write_version(_mk(spark, [(3, "en", "ORPHAN ONLY TEXT")]))
+    assert (e2["version"], e2["n_new"]) == (2, 1)
