@@ -30,76 +30,79 @@ _MERGED: dict[str, tuple] = {
 # proof.  Entries past the cut stay in the catalog tail, so selfcheck and
 # the bench still cover them every round.
 _FIRST = [
-    # ── r11 window.  Candidates: the 7 entries at the two-round staleness
-    # limit on r8 proofs (VERDICT r10 #3 — they lead, as promised in the
-    # r10 comment below), the 46 tail entries whose last driver row is r9
-    # (displaced by r10's window), and every body changed in r11
-    # (image_stats: numpy-vectorized channel sums + codec provenance label,
-    # ADVICE r10 #1 / VERDICT r10 #5).  That is 54 candidates for 50 slots
-    # — four r9-proof entries slip to r12 (they MUST lead r12), chosen
-    # because their logic is exercised by in-window kin every round:
-    # scalar_hashes rides the same base64/sha2 built-in codec path as
-    # evidence_digest (in window) and legacy_segment_read's base64
-    # projection (fresh r10 row); time_format is pure built-in epoch
-    # formatting pinned by test_formatting.py; multimodal_meta projects the
-    # same media fixture image_stats (in window) decodes end-to-end; and
-    # list_summary shares the manifest rollup machinery with
-    # manifest_totals and describe_rollup (both in window).  All four are
-    # selfcheck-green at sf1 and sf10 on final r10 code
-    # (selfcheck_r10_sf1.txt, selfcheck_r10_sf10.txt).
-    # ── the seven r8-proof entries, oldest proofs in the catalog
-    "ann_recall",
-    "dup_membership",
-    "validation_summary",
-    "describe_rollup",
-    "dup_span_extents",
-    "compaction_plan",
-    "offset_gap_scan",
-    # ── r9-proof half (displaced by the r10 window)
-    "topic_regex_filter",
-    "manifest_totals",
-    "manifest_merge",
-    "offset_interpolation",
-    "timestamp_asof",
-    "validation_message_count",
-    "validation_offset_range",
-    "reset_percentiles",
-    "topk_events",
-    "set_difference_topics",
-    "semi_join_topics",
-    "round_robin_repartition",
+    # ── r12 window.  Candidates: the 4 entries at the two-round staleness
+    # limit on r9 proofs (VERDICT r11 #3 — they LEAD, as promised in the
+    # r11 comment), the 40 unchanged tail entries on r10 proofs (displaced
+    # by r11's window), and the 11 TPC-H bodies changed in r12 (the
+    # bucketed-layout opt-ins + layout-conditional SHUFFLE_HASH hints —
+    # every changed body re-enters regardless of proof age).  That is 58
+    # candidates for 50 slots — eight r10-proof entries slip to r13 (they
+    # MUST lead r13), each chosen because an in-window or r11-fresh kin
+    # exercises the same logic: packing_efficiency is a pure rollup of
+    # sequence_packing (r11 row); vocab_coverage rides ngram_topk's
+    # tokenizer (r11 row); token_counts shares token_histogram's tokenizer
+    # (r11 row); doc_fingerprint and kgram_fingerprint share fingerprints'
+    # hash core (r11 row); cluster_balance rolls up embedding_dup_clusters
+    # (r11 row); cosine_topk is embedded verbatim inside ann_recall (r11
+    # row); text_metrics is text_analysis's sibling rollup (in window).
+    # All eight are selfcheck-green at sf0.01/sf1/sf10 on r11 code.
+    # ── the four r9-proof entries, oldest proofs in the catalog
+    "scalar_hashes",
+    "time_format",
+    "multimodal_meta",
+    "list_summary",
+    # ── r10-proof tail (displaced by the r11 window), unchanged bodies
+    "pitr_window",
+    "topic_glob_filter",
+    "offset_range_scan",
+    "partition_select",
+    "topic_rename",
+    "manifest_build",
+    "dry_run_estimate",
+    "resume_anti_join",
+    "asof_offset_lookup",
+    "group_reset_plan",
+    "murmur2_repartition",
+    "tpch_q13_order_dist",
+    "tpch_q22_dormant_balance",
+    "dedup_exact",
+    "contamination_check",
+    "lang_stats",
+    "pii_redaction",
+    "repetition_metrics",
+    "filtered_mixture",
+    "token_budget_selection",
+    "quality_quantile_filter",
+    "ivf_topk",
+    "text_analysis",
+    "quality_score",
+    "lang_id",
+    "simhash",
+    "near_dup_jaccard",
+    "embedding_near_dup",
+    "dup_clusters",
+    "legacy_segment_read",
+    "header_roundtrip",
+    "integrity_scan",
+    # these three were wave-3 layout candidates whose opt-in was REVERTED
+    # (measured washes at sf10: q14 +1.2%, q15 +2.5%, q19 +8.1% — SCALE.md);
+    # bodies unchanged, they window here as ordinary r10-proof tail entries
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive",
+    # ── changed-this-round (r12): bucketed-layout opt-ins / conditional
+    # hints — the driver proves each against the unchanged reference oracle
     "tpch_q1_pricing",
     "tpch_q3_priority",
-    "tpch_q10_returns",
+    "tpch_q4_exists",
+    "tpch_q5_region_volume",
+    "tpch_q6_forecast",
     "tpch_q7_nation_volume",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q12_priority_lines",
+    "tpch_q18_large_orders",
     "tpch_q21_sole_returns",
-    "dedup_keep_best",
-    "stratified_sample",
-    "minhash_signatures",
-    "sequence_packing",
-    "ngram_topk",
-    "mixture_weights",
-    "incremental_dedup",
-    "token_histogram",
-    "dup_span_fraction",
-    "leakage_safe_split",
-    "fingerprints",
-    "near_dup_pipeline",
-    "lsh_candidates",
-    "embedding_dup_clusters",
-    "evidence_digest",
-    "offset_mapping_capture",
-    "windowed_throughput",
-    "dedup_records",
-    "salted_topic_agg",
-    "snapshot_import",
-    "reset_plan_summary",
-    "consumer_group_check",
-    "lag_metrics",
-    # ── changed-this-round (r11): bodies edited after their r10 proof
-    "image_stats",  # r11: numpy channel sums + 'bmp'/'pil' provenance label
 ]
 # Driver-check scale note (ADVICE r10 #3): near_dup_jaccard — now in the
 # tail on a fresh r10 proof — is the documented O(n²) exact baseline and
@@ -109,10 +112,10 @@ _FIRST = [
 # docs — both far under the bound; any window/selfcheck run above sf4 must
 # either set the override or keep it in SPARK_GRAFT_SELF_SKIP (as the sf10
 # record does).
-# History: the r10 window honored the r9 rotation promise (all r1-only and
-# displaced-r8 entries re-proved) with a documented 57-into-50 exception —
-# the seven r8-proof entries that now LEAD this window.  selfcheck.py
-# verifies the full 103 every session regardless.
+# History: r10 honored the r9 rotation promise with a documented 57-into-50
+# exception (the seven r8-proof entries led r11); r11 honored it with a
+# 54-into-50 exception (the four r9-proof entries that now LEAD this r12
+# window).  selfcheck.py verifies the full 103 every session regardless.
 _FIRST = [n for n in _FIRST if n in _MERGED]
 assert len(_FIRST) == len(set(_FIRST)), "duplicate window entries"
 assert len(_FIRST) <= 50, f"driver checks only 50 entries, got {len(_FIRST)} priority queries"

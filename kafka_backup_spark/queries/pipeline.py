@@ -53,19 +53,79 @@ _VIEW_PARTS = {
 }
 
 
-def _view(spark: SparkSession, sf_dir: str, *names: str) -> None:
+# bucketed-layout manifest memo: one JSON read + tableExists probe per
+# (app, root), not per catalog call
+_LAYOUTS: dict[tuple[str, str], dict | None] = {}
+
+
+def _bucketed_layout(spark: SparkSession) -> dict | None:
+    """The session's registered bucketed fact layout (queries/layout.py),
+    or None.  Opt-in via ``spark.kafkaBackupSpark.bucketedLayout`` (set
+    from env ``SPARK_GRAFT_BUCKETED_LAYOUT`` by session.get_spark): the
+    layout is a MATERIALIZED artifact like the reference's
+    partition-aligned segments — built once at ingest/compaction time,
+    then every orderkey join/rollup/window reads it shuffle-free.
+    Toggling the conf mid-session requires catalog.release_plan_cache
+    (cached plans hold the layout they were built against)."""
+    root = spark.conf.get("spark.kafkaBackupSpark.bucketedLayout", "")
+    if not root:
+        return None
+    from kafka_backup_spark.queries import layout as _layout
+
+    app = spark.sparkContext.applicationId
+    key = (app, root)
+    if key not in _LAYOUTS:
+        for k in [k for k in _LAYOUTS if k[0] != app]:
+            _LAYOUTS.pop(k, None)
+        _LAYOUTS[key] = _layout.register_bucketed(spark, root)
+    return _LAYOUTS[key]
+
+
+def _view(spark: SparkSession, sf_dir: str, *names: str, bucketed: tuple = ()) -> None:
+    """Register the named tables as temp views.  ``bucketed`` names OPT IN
+    to the session's bucketed layout (when active and covering this
+    sf_dir): opt-in is PER QUERY and only for shapes with a measured win —
+    serving the layout blanket regressed untested shapes 3-5× at sf10
+    because the bucketed catalog table's size estimate can fall under the
+    broadcast threshold where the plain view's doesn't, and a STATIC
+    broadcast of a 15M-row fact (which AQE cannot revert) costs ~10 s
+    (integrated_layout_probe.py, q7/q9/q10 first wave)."""
     from kafka_backup_spark.queries.common import hot_table, small_table
 
     app = spark.sparkContext.applicationId
     for k in [k for k in _VIEWS if k[0] != app]:
         _VIEWS.pop(k, None)  # entries left by dead sessions
+    bl = _bucketed_layout(spark) if bucketed else None
     for n in names:
+        # serve the bucketed catalog table when the layout covers THIS
+        # sf_dir (a layout built from another scale factor must never
+        # answer for it) — the temp view is a plan alias, so the scan
+        # keeps the bucket hash-partitioning and sort metadata
+        spec = (
+            bl["tables"].get(n)
+            if n in bucketed and bl is not None and bl.get("sf_dir") == sf_dir
+            else None
+        )
+        if spec is not None:
+            if _VIEWS.get((app, n)) != f"bucketed:{sf_dir}":
+                spark.table(spec["name"]).createOrReplaceTempView(n)
+                _VIEWS[(app, n)] = f"bucketed:{sf_dir}"
+            continue
         if _VIEWS.get((app, n)) != sf_dir:
             df = hot_table(spark, sf_dir, n)
             if small_table(sf_dir, n):  # pinned → right-size the task count
                 df = df.coalesce(_VIEW_PARTS.get(n, 8))
             df.createOrReplaceTempView(n)
             _VIEWS[(app, n)] = sf_dir
+
+
+def _is_bucketed_view(spark: SparkSession, name: str, sf_dir: str) -> bool:
+    """True when ``_view`` bound ``name`` to the bucketed layout for this
+    sf_dir — the gate for layout-conditional plan choices (e.g. q21's
+    co-located SHUFFLE_HASH, which only beats the SMJ when the exchange is
+    already gone)."""
+    app = spark.sparkContext.applicationId
+    return _VIEWS.get((app, name)) == f"bucketed:{sf_dir}"
 
 
 # ── TPC-H Q1: pricing summary ─────────────────────────────────────────────
@@ -306,7 +366,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is already spread+pinned (common.hot_table), so the fixed-point agg
     # parallelizes without a per-query exchange; at 100 TB the table exceeds
     # the pin gate and the scan's own splits provide the parallelism.
-    _view(spark, sf_dir, "lineitem")
+    _view(spark, sf_dir, "lineitem", bucketed=("lineitem",))
     s = _money_single(spark, sf_dir)
     return spark.sql(_cents_sql(
         _Q1_BODY.format(
@@ -374,7 +434,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders join 4.05 vs 3.23 s (traded a broadcast for a bigger SMJ);
     SHUFFLE_HASH on q5/q9's SMJs — washes (the win here is the reused
     distribution, absent there)."""
-    _view(spark, sf_dir, "customer", "orders", "lineitem")
+    _view(spark, sf_dir, "customer", "orders", "lineitem", bucketed=("lineitem", "orders"))
     # orders.o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC so the
     # cast is an identity relabel and matches DuckDB's epoch_ms on naive ts
     rev = _money_sum(
@@ -470,8 +530,15 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (−14%): building the dim product itself shuffles 15M orders + 1.5M
     customers on custkey, which costs more than the orderkey exchange
     it removes.  The ORACLE keeps the reference flat-join text
-    (SQL_TPCH_Q5)."""
-    _view(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    (SQL_TPCH_Q5).
+
+    r12 stage decomposition (q5_decompose.py, SCALE.md): scan 0.44 /
+    +ASIA probe 1.66 / +orderkey exchange pair + SHJ 2.74 / full 3.11 —
+    the exchange block is the largest increment, so the bucketed layout
+    (queries/layout.py, opt-in below) removes it: +18.1% at sf10
+    integrated.  The remaining floor is the 1.2 s JVM broadcast-probe of
+    60M fact rows, which no layout or plan shape touches."""
+    _view(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region", bucketed=("lineitem", "orders"))
     rev = _money_sum(
         "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
     )
@@ -533,7 +600,7 @@ FROM t
 
 
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "lineitem")
+    _view(spark, sf_dir, "lineitem", bucketed=("lineitem",))
     return spark.sql(_cents_sql(
         _Q6_BODY.format(
             IDIV="div",
@@ -588,7 +655,12 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation in both money modes (A/B at sf1: 2.04 → 1.43 s,
     collected results equal).  The ORACLE keeps the reference one-level
     join-then-aggregate text (SQL_TPCH_Q10)."""
-    _view(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    _view(spark, sf_dir, "customer", "orders", "lineitem", "nation", bucketed=("lineitem", "orders"))
+    ohint = (
+        "/*+ SHUFFLE_HASH(orders) */ "
+        if _is_bucketed_view(spark, "orders", sf_dir)
+        else ""
+    )
     rev = _money_sum(
         "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
     )
@@ -603,7 +675,7 @@ WITH li AS (
   SELECT l_orderkey, {rev}
   FROM li GROUP BY l_orderkey
 ), rev_c AS (
-  SELECT o_custkey,
+  SELECT {ohint}o_custkey,
          CAST(SUM(rev_hi) AS BIGINT) AS rev_hi,
          CAST(SUM(rev_lo) AS BIGINT) AS rev_lo
   FROM rev_o JOIN orders ON l_orderkey = o_orderkey
@@ -678,7 +750,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     backfills orphaned orderkeys from the survivor tail.  The remaining
     precondition (<10 of the top-100 qty orders survive the FK joins) is
     a data-corruption regime, not a plan hazard."""
-    _view(spark, sf_dir, "customer", "orders", "lineitem")
+    _view(spark, sf_dir, "customer", "orders", "lineitem", bucketed=("lineitem", "orders"))
     # same BigDecimal-free cent cast as _cents_sql (l_quantity >= 0)
     qc = (F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
     big_k = (
@@ -1000,7 +1072,7 @@ GROUP BY o_orderpriority
 
 
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "orders", "lineitem")
+    _view(spark, sf_dir, "orders", "lineitem", bucketed=("lineitem", "orders"))
     return spark.sql(_cents_sql(_Q4_BODY))
 
 
@@ -2066,7 +2138,7 @@ FROM q
 # map-side combine; the CASE folds into the aggregate buffer, no extra pass.
 
 _Q12_BODY = """
-SELECT o_orderpriority,
+SELECT {HINT}o_orderpriority,
        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_lines,
        CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
        COUNT(*) AS total_lines
@@ -2078,11 +2150,19 @@ GROUP BY o_orderpriority
 
 
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "orders", "lineitem")
-    return spark.sql(_cents_sql(_Q12_BODY))
+    _view(spark, sf_dir, "orders", "lineitem", bucketed=("lineitem", "orders"))
+    # co-located SHJ under the layout; the hint also blocks the static
+    # broadcast of the date-filtered orders_b (whose pruned size estimate
+    # falls under the threshold) that AQE could never revert
+    hint = (
+        "/*+ SHUFFLE_HASH(orders) */ "
+        if _is_bucketed_view(spark, "orders", sf_dir)
+        else ""
+    )
+    return spark.sql(_cents_sql(_Q12_BODY.format(HINT=hint)))
 
 
-SQL_TPCH_Q12 = _Q12_BODY
+SQL_TPCH_Q12 = _Q12_BODY.format(HINT="")
 
 
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2554,7 +2634,12 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts either way at this scale; at 100 TB the early reduction is
     the difference between shuffling 8% of lineitem and all of it).
     Results equal; the ORACLE keeps the reference flat-join text."""
-    _view(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    _view(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation", bucketed=("lineitem", "orders"))
+    ohint = (
+        "/*+ SHUFFLE_HASH(orders) */ "
+        if _is_bucketed_view(spark, "orders", sf_dir)
+        else ""
+    )
     rev = _money_sum(
         "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
     )
@@ -2566,7 +2651,7 @@ WITH sn AS (
   SELECT c_custkey, n_name AS cust_nation FROM customer JOIN nation ON c_nationkey = n_nationkey
   WHERE n_name IN ('NATION_3', 'NATION_7')
 ), sh AS (
-  SELECT sn.supp_nation, cn.cust_nation,
+  SELECT {ohint}sn.supp_nation, cn.cust_nation,
          CAST(year(l_shipdate) AS INT) AS l_year,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
          CAST(round(l_discount * 100) AS BIGINT) AS dc
@@ -2602,7 +2687,7 @@ SQL_TPCH_Q7 = _Q7_BODY.format(
 
 _Q9_BODY = """
 WITH pr AS (
-  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+  SELECT {HINT}n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
          CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
            - CAST(round(p_retailprice * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)
            AS amount_u
@@ -2629,9 +2714,15 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner's hands at other scales.  A part-first forced join order was
     A/B'd at sf1 earlier this round — also a wash (Catalyst already
     picks it)."""
-    _view(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
+    _view(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation", bucketed=("lineitem", "orders"))
+    hint = (
+        "/*+ SHUFFLE_HASH(orders) */ "
+        if _is_bucketed_view(spark, "orders", sf_dir)
+        else ""
+    )
     return spark.sql(_cents_sql(
         _Q9_BODY.format(
+            HINT=hint,
             IDIV="div",
             AMT_SUM=_money_sum(
                 "amount_u", "hi", "lo", "div", _money_single(spark, sf_dir)
@@ -2641,7 +2732,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TPCH_Q9 = _Q9_BODY.format(
-    IDIV="//", AMT_SUM=_money_sum("amount_u", "hi", "lo", "//", False)
+    HINT="", IDIV="//", AMT_SUM=_money_sum("amount_u", "hi", "lo", "//", False)
 )
 
 
@@ -2914,11 +3005,25 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg-join form 25.1 s, window form 7.9 s, window-less shared-exchange
     form 10.7 s; collected results equal on all three.  The ORACLE keeps
     the reference double-correlated formulation (SQL_TPCH_Q21), so every
-    driver run proves the decorrelation equivalent."""
-    _view(spark, sf_dir, "supplier", "lineitem", "orders")
-    return spark.sql(_cents_sql("""
+    driver run proves the decorrelation equivalent.
+
+    Under the bucketed layout (r12) the fact join gets a co-located
+    SHUFFLE_HASH hint: both sides already satisfy the orderkey hash
+    distribution, so the hint swaps the SMJ's per-bucket merge for a
+    per-bucket hash build with NO exchange either way — measured at sf10
+    (bucketed_probe.py, min-of-6 interleaved, parity OK): bucketed SMJ was
+    a wash vs shipped (−4.3%) but bucketed SHJ won +49.7% (3.92 → 1.97 s).
+    Unbucketed keeps the hint off (r9 pinned plain SMJ→SHJ swaps as
+    washes)."""
+    _view(spark, sf_dir, "supplier", "lineitem", "orders", bucketed=("lineitem", "orders"))
+    hint = (
+        "/*+ SHUFFLE_HASH(orders) */ "
+        if _is_bucketed_view(spark, "orders", sf_dir)
+        else ""
+    )
+    return spark.sql(_cents_sql(f"""
 WITH lf AS (
-  SELECT l_orderkey, l_suppkey, l_returnflag
+  SELECT {hint}l_orderkey, l_suppkey, l_returnflag
   FROM lineitem JOIN orders ON o_orderkey = l_orderkey
   WHERE o_orderstatus = 'F'
 ), per_os AS (

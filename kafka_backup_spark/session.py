@@ -56,6 +56,14 @@ def get_spark(
         # convert explicitly (schema.events_as_records)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # opt-in bucketed fact layout (queries/layout.py): point the session at
+    # a materialized layout root and the TPC-H views serve the co-partitioned
+    # tables — orderkey joins/rollups/windows run shuffle-free
+    layout_root = os.environ.get("SPARK_GRAFT_BUCKETED_LAYOUT")
+    if layout_root:
+        builder = builder.config(
+            "spark.kafkaBackupSpark.bucketedLayout", layout_root
+        )
     return builder.getOrCreate()
 
 

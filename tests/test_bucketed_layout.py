@@ -1,0 +1,133 @@
+"""Bucketed co-partitioned fact layout (queries/layout.py + the _view
+opt-in): results must be identical to the plain-parquet path, and the
+bucket hash-partitioning must actually remove exchanges (the whole point
+— one write-side shuffle amortized across every orderkey join/rollup)."""
+
+from __future__ import annotations
+
+import contextlib
+
+import pytest
+
+from kafka_backup_spark.queries import layout, pipeline
+from kafka_backup_spark.queries.pipeline import (
+    q_tpch_q3,
+    q_tpch_q5,
+    q_tpch_q18,
+    q_tpch_q21,
+)
+
+QUERIES = {
+    "q3": q_tpch_q3,
+    "q5": q_tpch_q5,
+    "q18": q_tpch_q18,
+    "q21": q_tpch_q21,
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@contextlib.contextmanager
+def _layout_enabled(spark, root: str):
+    """Enable the layout conf with full cache hygiene on both edges (the
+    plan cache and view memo hold whichever layout they were built on)."""
+    from kafka_backup_spark.catalog import release_plan_cache
+
+    spark.conf.set("spark.kafkaBackupSpark.bucketedLayout", root)
+    release_plan_cache(spark)
+    pipeline._LAYOUTS.clear()
+    try:
+        yield
+    finally:
+        spark.conf.unset("spark.kafkaBackupSpark.bucketedLayout")
+        release_plan_cache(spark)
+        pipeline._LAYOUTS.clear()
+        for t in ("lineitem_b", "orders_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@pytest.fixture(scope="module")
+def bucketed_root(spark, sf_dir, tmp_path_factory) -> str:
+    root = str(tmp_path_factory.mktemp("bucketed"))
+    layout.materialize_bucketed(spark, sf_dir, root, buckets=4)
+    return root
+
+
+def _rows(df):
+    return sorted(
+        tuple(round(v, 4) if isinstance(v, float) else v for v in r)
+        for r in df.collect()
+    )
+
+
+def test_bucketed_results_match_plain(spark, sf_dir, bucketed_root):
+    plain = {n: _rows(fn(spark, sf_dir)) for n, fn in QUERIES.items()}
+    with _layout_enabled(spark, bucketed_root):
+        for n, fn in QUERIES.items():
+            assert pipeline._bucketed_layout(spark) is not None
+            got = _rows(fn(spark, sf_dir))
+            assert got == plain[n], f"{n} diverged under the bucketed layout"
+            assert pipeline._is_bucketed_view(spark, "lineitem", sf_dir)
+    # after disable, views self-heal back to the plain parquet path
+    assert not pipeline._is_bucketed_view(spark, "lineitem", sf_dir)
+    for n, fn in QUERIES.items():
+        assert _rows(fn(spark, sf_dir)) == plain[n]
+
+
+def test_bucketed_scan_removes_exchanges(spark, sf_dir, bucketed_root):
+    plain_q18 = _plan(q_tpch_q18(spark, sf_dir))
+    with _layout_enabled(spark, bucketed_root):
+        b_q18 = _plan(q_tpch_q18(spark, sf_dir))
+        b_q21 = _plan(q_tpch_q21(spark, sf_dir))
+    # the q18 rollup reads the bucket distribution: its groupBy(l_orderkey)
+    # needs no exchange at all — strictly fewer than the plain plan
+    assert b_q18.count("Exchange") < plain_q18.count("Exchange")
+    assert "lineitem_b" in b_q18
+    # q21's layout-conditional co-located SHJ: hash join, zero exchanges
+    # between the two bucketed fact scans (the only exchanges left serve
+    # the window/agg tail)
+    assert "ShuffledHashJoin" in b_q21
+    assert "lineitem_b" in b_q21 and "orders_b" in b_q21
+
+
+def test_layout_ignores_mismatched_sf_dir(spark, sf_dir, bucketed_root, tmp_path):
+    """A layout materialized from one sf_dir must never answer for another
+    — _view falls back to the plain parquet path on mismatch."""
+    import json
+    import os
+
+    # rewrite the manifest to claim a different source dir
+    mpath = os.path.join(bucketed_root, layout.MANIFEST)
+    with open(mpath) as fh:
+        entry = json.load(fh)
+    entry["sf_dir"] = str(tmp_path / "elsewhere")
+    with open(mpath, "w") as fh:
+        json.dump(entry, fh)
+    try:
+        with _layout_enabled(spark, bucketed_root):
+            q_tpch_q18(spark, sf_dir).collect()
+            assert not pipeline._is_bucketed_view(spark, "lineitem", sf_dir)
+    finally:
+        entry["sf_dir"] = sf_dir
+        with open(mpath, "w") as fh:
+            json.dump(entry, fh)
+
+
+def test_register_bucketed_roundtrip(spark, sf_dir, bucketed_root):
+    """register_bucketed re-attaches an existing layout (fresh-session
+    path): after dropping the catalog tables, registration restores them
+    with the bucket spec intact."""
+    for t in ("lineitem_b", "orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    entry = layout.register_bucketed(spark, bucketed_root)
+    assert entry is not None and entry["buckets"] == 4
+    desc = spark.sql("DESCRIBE EXTENDED lineitem_b").collect()
+    text = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+    assert "l_orderkey" in text
+    n = spark.table("lineitem_b").count()
+    assert n == spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert layout.register_bucketed(spark, str(bucketed_root) + "-missing") is None
+    for t in ("lineitem_b", "orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
