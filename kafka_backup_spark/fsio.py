@@ -90,6 +90,44 @@ def write_text(path: str, text: str) -> None:
         stream.close()
 
 
+def list_dir(path: str) -> list[str]:
+    """Child entry NAMES of a directory (empty when missing).  Local:
+    os.listdir; remote: one Hadoop LIST.  Used only on non-hot paths
+    (snapshot pruning) — the snapshot READ path resolves a pointer file
+    instead of listing."""
+    if not is_remote(path):
+        try:
+            return os.listdir(_local(path))
+        except FileNotFoundError:
+            return []
+    fs, jpath, _ = _jvm_fs(path)
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def delete_path(path: str) -> None:
+    """Recursive best-effort delete of a file OR directory (no-op when
+    missing)."""
+    if not is_remote(path):
+        import shutil
+
+        p = _local(path)
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return
+    fs, jpath, _ = _jvm_fs(path)
+    try:
+        fs.delete(jpath, True)
+    except Exception:
+        pass  # best-effort, mirrors the local ignore_errors
+
+
 def require_local(path: str, store_kind: str) -> str:
     """Guard for stores whose semantics need a real filesystem (O_EXCL
     writer locks, directory listings used as commit markers).  Remote URIs
