@@ -68,7 +68,27 @@ def materialize_bucketed(
     from kafka_backup_spark import fsio
 
     out_root = fsio.require_local(out_root, "materialize_bucketed")
-    buckets = buckets or spark.sparkContext.defaultParallelism
+    if buckets is None:
+        # scale-aware default: ~24 MB of compressed parquet per bucket from
+        # the largest table, clamped to [2, defaultParallelism] — the same
+        # input-proportional sizing logic as autosize_shuffle_partitions
+        # (a bucket is a permanent reduce-task floor for every bucket-aware
+        # scan, so 32 near-empty buckets at sf0.1 would pay 32-task
+        # scheduling on every query; at sf10 the formula lands on the
+        # parallelism cap, which is what the adoption A/B measured)
+        biggest = max(
+            sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fs in os.walk(f"{sf_dir}/{t}.parquet")
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(f"{sf_dir}/{t}.parquet")
+            else os.path.getsize(f"{sf_dir}/{t}.parquet")
+            for t in tables
+        )
+        cap = max(2, spark.sparkContext.defaultParallelism)
+        buckets = min(cap, max(2, -(-biggest // (24 << 20))))
     entry: dict = {"buckets": buckets, "sf_dir": sf_dir, "tables": {}}
     os.makedirs(out_root, exist_ok=True)
     for t in tables:

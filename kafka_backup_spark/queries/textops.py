@@ -1916,7 +1916,101 @@ SQL_DUP_CLUSTERS = _dup_clusters_sql()
 # selfcheck.py runs these when SPARK_GRAFT_SELF_ALT names the query; the
 # recursive texts above stay the DRIVER-facing oracles (single-statement),
 # and a pytest pins alt == recursive == Spark at the gate scale.
-def closure_alt_oracle_plan(name: str) -> dict | None:
+def build_alt_pair_table(con, slices: int | None = None) -> str:
+    """Materialize the verified near-dup pair set into a DuckDB TEMP table
+    ``alt_pairs`` with a DISK-BOUNDED plan, and return the table name —
+    the scale formulation of the pair-verify stage (r12, VERDICT r11 #4).
+
+    Why not the reference SQL at sf10 (both alternatives MEASURED dead on
+    a 64 GB-free disk before this shape was written):
+    - plain text: DuckDB 1.x inlines non-MATERIALIZED CTEs per reference,
+      so the gram explosion re-runs 4x (`hashed`/`sigs` reference counts)
+      — died on disk;
+    - MATERIALIZED CTEs, both with and without
+      ``preserve_insertion_order``: the verify join streams 1.6e9 rows
+      (35.5M candidates x ~45 grams) through one hash aggregate, and the
+      radix spill exceeded 63-65 GB both ways — died on disk.
+
+    The fix is the same move as the r11 label-prop closure twin: drive the
+    loop from Python.  Candidates and the candidate-restricted gram table
+    materialize ONCE (35.5M + ~10M narrow rows), then the verify join runs
+    in ``slices`` hash-disjoint passes (``doc_a % slices``), each bounded
+    to ~1/slices of the join's spill, with temp storage released between
+    statements.  Every expression (grams, hashes, rounding, threshold) is
+    copied verbatim from the reference text, so results are identical —
+    pinned by test_oracle_types.py at gate scale.  The driver-gate oracle
+    keeps the plain reference text (SQL_NEAR_DUP_PIPELINE)."""
+    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb
+
+    if slices is None:
+        slices = int(os.environ.get("SPARK_GRAFT_ALT_PAIR_SLICES", "16"))
+    con.sql(
+        "CREATE OR REPLACE TEMP TABLE alt_cand AS " + SQL_LSH_CANDIDATES
+    )
+    con.sql(f"""
+CREATE OR REPLACE TEMP TABLE alt_hashed AS
+WITH {_NEAR_CORPUS_CTE}, {_RAW_GRAMS_CTE}
+SELECT DISTINCT doc_id, {fast_hash64_duckdb('g')} AS h FROM grams_raw
+WHERE doc_id IN (SELECT doc_a FROM alt_cand UNION SELECT doc_b FROM alt_cand)
+""")
+    con.sql(
+        "CREATE OR REPLACE TEMP TABLE alt_sizes AS "
+        "SELECT doc_id, count(*) AS n FROM alt_hashed GROUP BY doc_id"
+    )
+    con.sql(
+        "CREATE OR REPLACE TEMP TABLE alt_pairs "
+        "(doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE)"
+    )
+    con.sql("DELETE FROM alt_pairs")
+    for i in range(slices):
+        con.sql(f"""
+INSERT INTO alt_pairs
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+FROM (
+    SELECT c.doc_a, c.doc_b, count(*) AS inter
+    FROM alt_cand c
+    JOIN alt_hashed ga ON ga.doc_id = c.doc_a
+    JOIN alt_hashed gb ON gb.doc_id = c.doc_b AND gb.h = ga.h
+    WHERE c.doc_a % {slices} = {i}
+    GROUP BY c.doc_a, c.doc_b
+) i
+JOIN alt_sizes sa ON sa.doc_id = i.doc_a
+JOIN alt_sizes sb ON sb.doc_id = i.doc_b
+WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= {JACCARD_THRESHOLD}
+""")
+    return "alt_pairs"
+
+
+def run_alt_oracle(con, name: str, max_rounds: int = 512):
+    """Scale-run alternative oracle dispatch (selfcheck SPARK_GRAFT_SELF_ALT):
+    label-prop twins for the recursive-closure oracles, and the
+    MATERIALIZED + streaming formulation for the pair-verify stage.  Every
+    alt is pinned equal to its reference oracle at gate scale by pytest."""
+    prev = con.sql(
+        "SELECT current_setting('preserve_insertion_order')"
+    ).fetchone()[0]
+    con.sql("SET preserve_insertion_order=false")
+    try:
+        if name == "near_dup_pipeline":
+            # execution is EAGER inside build_alt_pair_table (temp-table
+            # statements), so the finally below can safely restore the
+            # setting before the caller fetches
+            t = build_alt_pair_table(con)
+            return con.sql(f"SELECT doc_a, doc_b, jaccard FROM {t}")
+        if name in ("dup_clusters", "dup_membership"):
+            # closure twins over the TEXT pair set: build the verified
+            # pairs disk-bounded first, then label-prop over them
+            t = build_alt_pair_table(con)
+            return run_closure_alt_oracle(
+                con, name, max_rounds=max_rounds, pair_source=f"SELECT doc_a, doc_b FROM {t}"
+            )
+        return run_closure_alt_oracle(con, name, max_rounds=max_rounds)
+    finally:
+        con.sql(f"SET preserve_insertion_order={'true' if prev else 'false'}")
+
+
+def closure_alt_oracle_plan(name: str, pair_source: str | None = None) -> dict | None:
     """Statement plan for the label-prop twin of a closure oracle:
     {setup: [sql...], step, changed, promote, final}.  The caller loops
     step/promote while `changed` returns > 0, then fetches `final`."""
@@ -1946,6 +2040,8 @@ def closure_alt_oracle_plan(name: str) -> dict | None:
     if name not in shapes:
         return None
     pair_sql, a, b, final = shapes[name]
+    if pair_source is not None:
+        pair_sql, a, b = pair_source, a.split("_")[0] + "_a", a.split("_")[0] + "_b"
     return {
         "setup": [
             "CREATE OR REPLACE TEMP TABLE lp_pairs AS "
@@ -1973,12 +2069,16 @@ def closure_alt_oracle_plan(name: str) -> dict | None:
     }
 
 
-def run_closure_alt_oracle(con, name: str, max_rounds: int = 512):
+def run_closure_alt_oracle(
+    con, name: str, max_rounds: int = 512, pair_source: str | None = None
+):
     """Execute the label-prop plan on an open DuckDB connection; returns
     the final relation.  Raises if the fixpoint is not reached within
     ``max_rounds`` (graph diameter bound — amplified dup families are
-    near-cliques, converging in a handful of rounds)."""
-    plan = closure_alt_oracle_plan(name)
+    near-cliques, converging in a handful of rounds).  ``pair_source``
+    overrides the edge query (run_alt_oracle passes the disk-bounded
+    alt_pairs table at scale)."""
+    plan = closure_alt_oracle_plan(name, pair_source=pair_source)
     if plan is None:
         raise KeyError(f"no alt oracle for {name}")
     for stmt in plan["setup"]:

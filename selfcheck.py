@@ -118,12 +118,15 @@ def main() -> int:
     skip = {
         s for s in os.environ.get("SPARK_GRAFT_SELF_SKIP", "").split(",") if s
     }
-    # Label-prop ALT oracles (r11): the closure twins' WITH RECURSIVE
-    # min-reachable-id is quadratic in cluster size and dies at sf10; a
-    # driver-looped min-label propagation (linear per round) computes the
-    # identical labels.  Named queries run the alt plan INSTEAD of their
-    # recursive oracle_sql text — marked in the output line; parity of
-    # alt == recursive == Spark is pinned by pytest at the gate scale.
+    # ALT oracles for scale runs (r11 label-prop + r12 pair-verify): the
+    # closure twins' WITH RECURSIVE is quadratic in cluster size, and the
+    # pair-verify stage's plain CTE text re-runs the gram explosion once
+    # per reference site under DuckDB's inlining and materializes the
+    # 1.6e9-row verify join for insertion-order preservation — both die at
+    # sf10.  Named queries run textops.run_alt_oracle INSTEAD of their
+    # oracle_sql text (MATERIALIZED CTEs + preserve_insertion_order=false
+    # + label-prop closure) — marked in the output line; parity of
+    # alt == reference == Spark is pinned by pytest at the gate scale.
     alt = {
         s for s in os.environ.get("SPARK_GRAFT_SELF_ALT", "").split(",") if s
     }
@@ -167,11 +170,9 @@ def main() -> int:
             continue
         try:
             if name in alt:
-                from kafka_backup_spark.queries.textops import (
-                    run_closure_alt_oracle,
-                )
+                from kafka_backup_spark.queries.textops import run_alt_oracle
 
-                rel = run_closure_alt_oracle(con, name)
+                rel = run_alt_oracle(con, name)
             else:
                 rel = con.sql(oracles[name])
             dcols = [c for c in rel.columns]
@@ -221,7 +222,7 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
         else:
-            tag = " (alt-oracle: label-prop)" if name in alt else ""
+            tag = " (alt-oracle)" if name in alt else ""
             print(f"OK   {name}: {len(srows)} rows{tag}")
     spark.stop()
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")

@@ -110,3 +110,34 @@ def test_label_prop_alt_oracle_matches_recursive(con, name):
     ref_cols = list(con.sql(entry.oracle_sql()[name]).columns)
     assert got_cols == ref_cols
     assert got == want
+
+
+def test_pair_verify_alt_oracle_matches_reference(con):
+    """The scale-hardened pair-verify formulation (r12: MATERIALIZED CTEs +
+    preserve_insertion_order=false, run via run_alt_oracle) must produce
+    EXACTLY the reference near_dup_pipeline oracle's rows — the hardening
+    is execution-shape only, never semantics."""
+    from kafka_backup_spark.queries.textops import run_alt_oracle
+
+    ref_rel = con.sql(entry.oracle_sql()["near_dup_pipeline"])
+    ref_cols = list(ref_rel.columns)
+    want = sorted(map(tuple, ref_rel.fetchall()))
+    got_rel = run_alt_oracle(con, "near_dup_pipeline")
+    assert list(got_rel.columns) == ref_cols
+    assert sorted(map(tuple, got_rel.fetchall())) == want
+    assert len(want) > 0  # the gate corpus plants real near-dups
+    # the streaming setting must be restored after the alt run
+    assert con.sql(
+        "SELECT current_setting('preserve_insertion_order')"
+    ).fetchone()[0]
+
+
+@pytest.mark.parametrize("name", ["dup_clusters", "dup_membership"])
+def test_alt_closure_oracles_ride_scale_pair_sql(con, name):
+    """run_alt_oracle's closure twins now build lp_pairs from the scale
+    pair SQL — results must still equal the reference recursive oracle."""
+    from kafka_backup_spark.queries.textops import run_alt_oracle
+
+    want = sorted(map(tuple, con.sql(entry.oracle_sql()[name]).fetchall()))
+    got = sorted(map(tuple, run_alt_oracle(con, name).fetchall()))
+    assert got == want
