@@ -38,16 +38,33 @@ import os
 
 from pyspark.sql import SparkSession
 
-# table → (bucket/sort key, catalog-table suffix)
-BUCKET_KEYS = {
-    "lineitem": "l_orderkey",
-    "orders": "o_orderkey",
+# family → {table → bucket/sort key}.  A FAMILY is one co-partitioning
+# discipline: every table in it shares the bucket count, so any equi-join
+# across the family's keys is co-located.  "orderkey" serves the
+# lineitem⋈orders join/rollup/window shapes; "custkey" (r12) serves the
+# customer⋈orders shapes (q13's order-count rollup + outer join, q22's
+# urgent-customer anti join) that the orderkey layout cannot touch.  The
+# custkey family duplicates ONLY orders (~150 MB zstd at sf10) plus the
+# customer dim — not lineitem, the dominant fact — so the storage price is
+# a second copy of the mid-size fact, paid once at ingest/compaction time
+# exactly like the reference's partition-aligned segments.
+FAMILIES: dict[str, dict[str, str]] = {
+    "orderkey": {"lineitem": "l_orderkey", "orders": "o_orderkey"},
+    "custkey": {"orders": "o_custkey", "customer": "c_custkey"},
 }
+# back-compat alias (probes/tests reference the original orderkey map)
+BUCKET_KEYS = FAMILIES["orderkey"]
 MANIFEST = "bucketed_layout.json"
 
 
-def _table_name(table: str) -> str:
-    return f"{table}_b"
+def _table_name(table: str, family: str = "orderkey") -> str:
+    # the orderkey family keeps its original names (manifests and catalog
+    # tables from earlier builds stay valid); other families qualify
+    return f"{table}_b" if family == "orderkey" else f"{table}_{family}_b"
+
+
+def _manifest_key(table: str, family: str = "orderkey") -> str:
+    return table if family == "orderkey" else f"{table}@{family}"
 
 
 def materialize_bucketed(
@@ -55,7 +72,7 @@ def materialize_bucketed(
     sf_dir: str,
     out_root: str,
     buckets: int | None = None,
-    tables: tuple[str, ...] = ("lineitem", "orders"),
+    families: tuple[str, ...] = ("orderkey", "custkey"),
 ) -> dict:
     """One-time layout build: write each fact table bucketed + sorted by
     its orderkey into ``out_root`` and register it in the session catalog.
@@ -64,10 +81,26 @@ def materialize_bucketed(
 
     The pre-write ``repartition(buckets, key)`` is load-bearing: bucketBy
     writes one file per bucket PER TASK, and Spark only trusts the sortBy
-    metadata (and skips SMJ sorts) when each bucket is a single file."""
+    metadata (and skips SMJ sorts) when each bucket is a single file.
+
+    Re-running against an existing ``out_root`` MERGES: families already in
+    the manifest for the same sf_dir are kept (their files untouched) and
+    the requested missing ones are added with the SAME bucket count, so
+    every family stays join-compatible with every other."""
     from kafka_backup_spark import fsio
 
     out_root = fsio.require_local(out_root, "materialize_bucketed")
+    prior: dict | None = None
+    try:
+        with open(os.path.join(out_root, MANIFEST)) as fh:
+            prior = json.load(fh)
+        if prior.get("sf_dir") != sf_dir:
+            prior = None  # a layout from another scale never merges
+    except (FileNotFoundError, ValueError):
+        prior = None
+    if prior is not None and buckets is None:
+        buckets = prior["buckets"]
+    tables = sorted({t for f in families for t in FAMILIES[f]})
     if buckets is None:
         # scale-aware default: ~24 MB of compressed parquet per bucket from
         # the largest table, clamped to [2, defaultParallelism] — the same
@@ -90,27 +123,32 @@ def materialize_bucketed(
         cap = max(2, spark.sparkContext.defaultParallelism)
         buckets = min(cap, max(2, -(-biggest // (24 << 20))))
     entry: dict = {"buckets": buckets, "sf_dir": sf_dir, "tables": {}}
+    if prior is not None and prior.get("buckets") == buckets:
+        entry["tables"].update(prior.get("tables", {}))
     os.makedirs(out_root, exist_ok=True)
-    for t in tables:
-        key = BUCKET_KEYS[t]
-        name = _table_name(t)
-        path = os.path.join(out_root, name)
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.repartition(buckets, key)
-            .write.bucketBy(buckets, key)
-            .sortBy(key)
-            .option("path", path)
-            .mode("overwrite")
-            .saveAsTable(name)
-        )
-        entry["tables"][t] = {
-            "name": name,
-            "key": key,
-            "path": path,
-            "schema_ddl": df.schema.toDDL(),
-        }
+    for family in families:
+        for t, key in FAMILIES[family].items():
+            mkey = _manifest_key(t, family)
+            if mkey in entry["tables"]:
+                continue  # merged from the prior manifest — files exist
+            name = _table_name(t, family)
+            path = os.path.join(out_root, name)
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.repartition(buckets, key)
+                .write.bucketBy(buckets, key)
+                .sortBy(key)
+                .option("path", path)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+            entry["tables"][mkey] = {
+                "name": name,
+                "key": key,
+                "path": path,
+                "schema_ddl": df.schema.toDDL(),
+            }
     tmp = os.path.join(out_root, MANIFEST + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(entry, fh, indent=2)

@@ -89,7 +89,13 @@ def _view(spark: SparkSession, sf_dir: str, *names: str, bucketed: tuple = ()) -
     because the bucketed catalog table's size estimate can fall under the
     broadcast threshold where the plain view's doesn't, and a STATIC
     broadcast of a 15M-row fact (which AQE cannot revert) costs ~10 s
-    (integrated_layout_probe.py, q7/q9/q10 first wave)."""
+    (integrated_layout_probe.py, q7/q9/q10 first wave).
+
+    A ``bucketed`` entry is either a plain table name (the default
+    "orderkey" family) or ``"table@family"`` (e.g. ``"orders@custkey"``
+    serves the view ``orders`` from the custkey-bucketed copy — layout.py
+    FAMILIES), so one view name can bind to whichever co-partitioning the
+    query's join keys need."""
     from kafka_backup_spark.queries.common import hot_table, small_table
 
     app = spark.sparkContext.applicationId
@@ -101,15 +107,18 @@ def _view(spark: SparkSession, sf_dir: str, *names: str, bucketed: tuple = ()) -
         # sf_dir (a layout built from another scale factor must never
         # answer for it) — the temp view is a plan alias, so the scan
         # keeps the bucket hash-partitioning and sort metadata
+        alias = next(
+            (b for b in bucketed if b == n or b.startswith(f"{n}@")), None
+        )
         spec = (
-            bl["tables"].get(n)
-            if n in bucketed and bl is not None and bl.get("sf_dir") == sf_dir
+            bl["tables"].get(alias)
+            if alias is not None and bl is not None and bl.get("sf_dir") == sf_dir
             else None
         )
         if spec is not None:
-            if _VIEWS.get((app, n)) != f"bucketed:{sf_dir}":
+            if _VIEWS.get((app, n)) != f"bucketed:{alias}:{sf_dir}":
                 spark.table(spec["name"]).createOrReplaceTempView(n)
-                _VIEWS[(app, n)] = f"bucketed:{sf_dir}"
+                _VIEWS[(app, n)] = f"bucketed:{alias}:{sf_dir}"
             continue
         if _VIEWS.get((app, n)) != sf_dir:
             df = hot_table(spark, sf_dir, n)
@@ -121,11 +130,12 @@ def _view(spark: SparkSession, sf_dir: str, *names: str, bucketed: tuple = ()) -
 
 def _is_bucketed_view(spark: SparkSession, name: str, sf_dir: str) -> bool:
     """True when ``_view`` bound ``name`` to the bucketed layout for this
-    sf_dir — the gate for layout-conditional plan choices (e.g. q21's
-    co-located SHUFFLE_HASH, which only beats the SMJ when the exchange is
-    already gone)."""
+    sf_dir (any family) — the gate for layout-conditional plan choices
+    (e.g. q21's co-located SHUFFLE_HASH, which only beats the SMJ when the
+    exchange is already gone)."""
     app = spark.sparkContext.applicationId
-    return _VIEWS.get((app, name)) == f"bucketed:{sf_dir}"
+    v = _VIEWS.get((app, name), "")
+    return isinstance(v, str) and v.startswith("bucketed:") and v.endswith(f":{sf_dir}")
 
 
 # ── TPC-H Q1: pricing summary ─────────────────────────────────────────────
@@ -2422,8 +2432,18 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.989 s against a 0.705 s orders-rollup floor.  BROADCAST(cnt)
     measured 1.401 s (collecting ~1.5M count rows to the driver costs
     more than the customer shuffle it saves) and is the wrong 100-TB
-    shape — pinned negative."""
-    _view(spark, sf_dir, "customer", "orders")
+    shape — pinned negative.
+
+    Custkey bucket family (r12, layout.py FAMILIES): with orders bucketed
+    by o_custkey the cnt rollup runs single-phase on the bucket
+    distribution, its output keeps HashPartitioning(o_custkey), and the
+    co-bucketed customer side makes the hinted SHJ exchange-free — the
+    only exchange left is the tiny c_count histogram.  Same discipline as
+    q18's orderkey win, on the one key family that layout cannot serve."""
+    _view(
+        spark, sf_dir, "customer", "orders",
+        bucketed=("orders@custkey", "customer@custkey"),
+    )
     return spark.sql(_cents_sql("""
 WITH cnt AS (
     SELECT o_custkey, count(*) AS n
@@ -2493,8 +2513,17 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     but was REJECTED: the build side would hold every urgent order row
     (orders-scale) instead of unique customer keys (customer-scale) —
     the wrong per-partition memory bound at 100 TB.  The ORACLE keeps
-    the reference NOT EXISTS formulation (SQL_TPCH_Q22)."""
-    _view(spark, sf_dir, "customer", "orders")
+    the reference NOT EXISTS formulation (SQL_TPCH_Q22).
+
+    Custkey bucket family (r12, layout.py FAMILIES): the urgent-customer
+    DISTINCT dedupes single-phase on orders' o_custkey bucket
+    distribution and the anti join probes the co-bucketed customer scan
+    exchange-free — both shuffles gone, the 3-row segment rollup is all
+    that remains."""
+    _view(
+        spark, sf_dir, "customer", "orders",
+        bucketed=("orders@custkey", "customer@custkey"),
+    )
     return spark.sql(_cents_sql("""
 WITH cust AS (
     SELECT c_custkey, c_mktsegment,

@@ -13,15 +13,19 @@ from kafka_backup_spark.queries import layout, pipeline
 from kafka_backup_spark.queries.pipeline import (
     q_tpch_q3,
     q_tpch_q5,
+    q_tpch_q13,
     q_tpch_q18,
     q_tpch_q21,
+    q_tpch_q22,
 )
 
 QUERIES = {
     "q3": q_tpch_q3,
     "q5": q_tpch_q5,
+    "q13": q_tpch_q13,  # custkey family (orders@custkey ⋈ customer@custkey)
     "q18": q_tpch_q18,
     "q21": q_tpch_q21,
+    "q22": q_tpch_q22,  # custkey family
 }
 
 
@@ -44,7 +48,12 @@ def _layout_enabled(spark, root: str):
         spark.conf.unset("spark.kafkaBackupSpark.bucketedLayout")
         release_plan_cache(spark)
         pipeline._LAYOUTS.clear()
-        for t in ("lineitem_b", "orders_b"):
+        for t in (
+            "lineitem_b",
+            "orders_b",
+            "orders_custkey_b",
+            "customer_custkey_b",
+        ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -90,6 +99,43 @@ def test_bucketed_scan_removes_exchanges(spark, sf_dir, bucketed_root):
     # the window/agg tail)
     assert "ShuffledHashJoin" in b_q21
     assert "lineitem_b" in b_q21 and "orders_b" in b_q21
+
+
+def test_custkey_family_removes_exchanges(spark, sf_dir, bucketed_root):
+    """q13/q22 bind to the custkey family: the o_custkey rollup / DISTINCT
+    runs on the bucket distribution and the customer join is co-located —
+    strictly fewer exchanges than the plain plans, serving the
+    family-qualified catalog tables."""
+    plain_q13 = _plan(q_tpch_q13(spark, sf_dir))
+    plain_q22 = _plan(q_tpch_q22(spark, sf_dir))
+    with _layout_enabled(spark, bucketed_root):
+        b_q13 = _plan(q_tpch_q13(spark, sf_dir))
+        b_q22 = _plan(q_tpch_q22(spark, sf_dir))
+        assert pipeline._is_bucketed_view(spark, "orders", sf_dir)
+        assert pipeline._is_bucketed_view(spark, "customer", sf_dir)
+    assert "orders_custkey_b" in b_q13 and "customer_custkey_b" in b_q13
+    assert "orders_custkey_b" in b_q22 and "customer_custkey_b" in b_q22
+    assert b_q13.count("Exchange") < plain_q13.count("Exchange")
+    assert b_q22.count("Exchange") < plain_q22.count("Exchange")
+
+
+def test_family_merge_reuses_existing(spark, sf_dir, tmp_path):
+    """materialize_bucketed against an existing root MERGES: the families
+    already in the manifest keep their files (same mtime), the missing
+    family is added with the same bucket count."""
+    import os
+
+    root = str(tmp_path / "merge")
+    layout.materialize_bucketed(spark, sf_dir, root, buckets=4, families=("orderkey",))
+    m1 = os.path.getmtime(os.path.join(root, "lineitem_b"))
+    entry = layout.materialize_bucketed(spark, sf_dir, root, families=("orderkey", "custkey"))
+    assert entry["buckets"] == 4  # inherited, not re-derived
+    assert sorted(entry["tables"]) == [
+        "customer@custkey", "lineitem", "orders", "orders@custkey",
+    ]
+    assert os.path.getmtime(os.path.join(root, "lineitem_b")) == m1
+    for t in ("lineitem_b", "orders_b", "orders_custkey_b", "customer_custkey_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_layout_ignores_mismatched_sf_dir(spark, sf_dir, bucketed_root, tmp_path):
