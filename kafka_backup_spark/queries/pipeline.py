@@ -128,6 +128,51 @@ def _view(spark: SparkSession, sf_dir: str, *names: str, bucketed: tuple = ()) -
             _VIEWS[(app, n)] = sf_dir
 
 
+# Footprint gate for the AQE-crossover opt-ins (r12 sf1 sweep, min-of-6
+# interleaved, one session).  Two regimes, measured at three scales:
+#
+# - SMALL facts (sf1, lineitem 80 MB zstd): AQE converts the post-shuffle
+#   join to a runtime broadcast (the date/priority-filtered orders side
+#   lands under the adaptive threshold) and plain scans split ~1 task per
+#   2.5 MB — both beaten by the layout's fixed bucket-count scan + SHJ.
+#   Bucket count is NOT the cause: q5 measured 3.79/3.51 s at 4 and 32
+#   buckets vs 0.84 plain; q1/q3/q4/q6/q7/q21 regress 15-150% at either
+#   count while q9/q10/q12/q13/q18/q22 win at both.
+# - LARGE facts (sf10, lineitem 769 MB): no filtered side can broadcast,
+#   the exchange pair IS the wall, and every opted query won (+9..+78%,
+#   integrated probe).
+#
+# The winners' common trait: their removed exchange feeds a same-key
+# ROLLUP or pre-aggregated probe (orders-rollup in q9/q10/q12/q13/q18/q22)
+# that AQE could never broadcast away; the losers' exchange feeds a plain
+# join AQE converts at small scale.  So the rollup-shaped queries opt in
+# unconditionally and the join-shaped ones gate on the dominant fact's
+# footprint: past ~4x the 64 MB static broadcast threshold a
+# half-selectivity filtered fact can no longer convert, and co-location
+# is pure win.  At 100 TB the gate is always open; it exists so the same
+# code serves a 100 MB dev slice without regressing it.
+_ORDERKEY_GATE_BYTES = 256 << 20
+_GATE_MEMO: dict[str, bool] = {}
+
+
+def _gated_orderkey(sf_dir: str, *names: str) -> tuple:
+    """The orderkey-family opt-in tuple when ``sf_dir``'s lineitem is past
+    the AQE-crossover gate, else () (plain views).  Unstatable paths
+    (object stores) are treated as at-scale — the gate is a small-input
+    concession, not a capability flag."""
+    from kafka_backup_spark.queries.common import _dataset_bytes
+
+    if sf_dir not in _GATE_MEMO:
+        try:
+            _GATE_MEMO[sf_dir] = (
+                _dataset_bytes(f"{sf_dir}/lineitem.parquet")
+                >= _ORDERKEY_GATE_BYTES
+            )
+        except OSError:
+            _GATE_MEMO[sf_dir] = True
+    return names if _GATE_MEMO[sf_dir] else ()
+
+
 def _is_bucketed_view(spark: SparkSession, name: str, sf_dir: str) -> bool:
     """True when ``_view`` bound ``name`` to the bucketed layout for this
     sf_dir (any family) — the gate for layout-conditional plan choices
@@ -376,7 +421,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is already spread+pinned (common.hot_table), so the fixed-point agg
     # parallelizes without a per-query exchange; at 100 TB the table exceeds
     # the pin gate and the scan's own splits provide the parallelism.
-    _view(spark, sf_dir, "lineitem", bucketed=("lineitem",))
+    _view(spark, sf_dir, "lineitem", bucketed=_gated_orderkey(sf_dir, "lineitem"))
     s = _money_single(spark, sf_dir)
     return spark.sql(_cents_sql(
         _Q1_BODY.format(
@@ -444,7 +489,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders join 4.05 vs 3.23 s (traded a broadcast for a bigger SMJ);
     SHUFFLE_HASH on q5/q9's SMJs — washes (the win here is the reused
     distribution, absent there)."""
-    _view(spark, sf_dir, "customer", "orders", "lineitem", bucketed=("lineitem", "orders"))
+    _view(spark, sf_dir, "customer", "orders", "lineitem", bucketed=_gated_orderkey(sf_dir, "lineitem", "orders"))
     # orders.o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC so the
     # cast is an identity relabel and matches DuckDB's epoch_ms on naive ts
     rev = _money_sum(
@@ -548,7 +593,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     (queries/layout.py, opt-in below) removes it: +18.1% at sf10
     integrated.  The remaining floor is the 1.2 s JVM broadcast-probe of
     60M fact rows, which no layout or plan shape touches."""
-    _view(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region", bucketed=("lineitem", "orders"))
+    _view(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region", bucketed=_gated_orderkey(sf_dir, "lineitem", "orders"))
     rev = _money_sum(
         "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
     )
@@ -610,7 +655,7 @@ FROM t
 
 
 def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "lineitem", bucketed=("lineitem",))
+    _view(spark, sf_dir, "lineitem", bucketed=_gated_orderkey(sf_dir, "lineitem"))
     return spark.sql(_cents_sql(
         _Q6_BODY.format(
             IDIV="div",
@@ -1082,7 +1127,7 @@ GROUP BY o_orderpriority
 
 
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _view(spark, sf_dir, "orders", "lineitem", bucketed=("lineitem", "orders"))
+    _view(spark, sf_dir, "orders", "lineitem", bucketed=_gated_orderkey(sf_dir, "lineitem", "orders"))
     return spark.sql(_cents_sql(_Q4_BODY))
 
 
@@ -2663,7 +2708,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts either way at this scale; at 100 TB the early reduction is
     the difference between shuffling 8% of lineitem and all of it).
     Results equal; the ORACLE keeps the reference flat-join text."""
-    _view(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation", bucketed=("lineitem", "orders"))
+    _view(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation", bucketed=_gated_orderkey(sf_dir, "lineitem", "orders"))
     ohint = (
         "/*+ SHUFFLE_HASH(orders) */ "
         if _is_bucketed_view(spark, "orders", sf_dir)
@@ -3044,7 +3089,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     a wash vs shipped (−4.3%) but bucketed SHJ won +49.7% (3.92 → 1.97 s).
     Unbucketed keeps the hint off (r9 pinned plain SMJ→SHJ swaps as
     washes)."""
-    _view(spark, sf_dir, "supplier", "lineitem", "orders", bucketed=("lineitem", "orders"))
+    _view(spark, sf_dir, "supplier", "lineitem", "orders", bucketed=_gated_orderkey(sf_dir, "lineitem", "orders"))
     hint = (
         "/*+ SHUFFLE_HASH(orders) */ "
         if _is_bucketed_view(spark, "orders", sf_dir)

@@ -36,15 +36,22 @@ def _plan(df) -> str:
 @contextlib.contextmanager
 def _layout_enabled(spark, root: str):
     """Enable the layout conf with full cache hygiene on both edges (the
-    plan cache and view memo hold whichever layout they were built on)."""
+    plan cache and view memo hold whichever layout they were built on).
+    Forces the AQE-crossover footprint gate OPEN so the gated queries
+    (q1/q3/q4/q5/q6/q7/q21) exercise their bucketed path at test scale."""
     from kafka_backup_spark.catalog import release_plan_cache
 
+    gate = pipeline._ORDERKEY_GATE_BYTES
+    pipeline._ORDERKEY_GATE_BYTES = 0
+    pipeline._GATE_MEMO.clear()
     spark.conf.set("spark.kafkaBackupSpark.bucketedLayout", root)
     release_plan_cache(spark)
     pipeline._LAYOUTS.clear()
     try:
         yield
     finally:
+        pipeline._ORDERKEY_GATE_BYTES = gate
+        pipeline._GATE_MEMO.clear()
         spark.conf.unset("spark.kafkaBackupSpark.bucketedLayout")
         release_plan_cache(spark)
         pipeline._LAYOUTS.clear()
@@ -117,6 +124,33 @@ def test_custkey_family_removes_exchanges(spark, sf_dir, bucketed_root):
     assert "orders_custkey_b" in b_q22 and "customer_custkey_b" in b_q22
     assert b_q13.count("Exchange") < plain_q13.count("Exchange")
     assert b_q22.count("Exchange") < plain_q22.count("Exchange")
+
+
+def test_footprint_gate_serves_plain_below_threshold(spark, sf_dir, bucketed_root):
+    """With the layout ON but the fact footprint under the AQE-crossover
+    gate (any test fixture is), the gated queries bind plain views — the
+    measured sf1 regression regime (AQE's runtime broadcast beats
+    co-location on small facts) must not be re-entered by default."""
+    from kafka_backup_spark.catalog import release_plan_cache
+
+    spark.conf.set("spark.kafkaBackupSpark.bucketedLayout", bucketed_root)
+    release_plan_cache(spark)
+    pipeline._LAYOUTS.clear()
+    pipeline._GATE_MEMO.clear()
+    try:
+        p5 = _plan(q_tpch_q5(spark, sf_dir))
+        assert "lineitem_b" not in p5 and "orders_b" not in p5
+        assert not pipeline._is_bucketed_view(spark, "lineitem", sf_dir)
+        # ungated rollup-shaped opt-in still binds bucketed
+        p18 = _plan(q_tpch_q18(spark, sf_dir))
+        assert "lineitem_b" in p18
+    finally:
+        spark.conf.unset("spark.kafkaBackupSpark.bucketedLayout")
+        release_plan_cache(spark)
+        pipeline._LAYOUTS.clear()
+        pipeline._GATE_MEMO.clear()
+        for t in ("lineitem_b", "orders_b", "orders_custkey_b", "customer_custkey_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_family_merge_reuses_existing(spark, sf_dir, tmp_path):
