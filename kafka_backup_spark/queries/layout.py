@@ -51,6 +51,10 @@ from pyspark.sql import SparkSession
 FAMILIES: dict[str, dict[str, str]] = {
     "orderkey": {"lineitem": "l_orderkey", "orders": "o_orderkey"},
     "custkey": {"orders": "o_custkey", "customer": "c_custkey"},
+    # single-table family: not a join co-location but a DISTRIBUTION+SORT
+    # precompute — a window/rollup PARTITION BY l_partkey reads the bucket
+    # hash-partitioning (no exchange) and the per-file sort order (no sort)
+    "partkey": {"lineitem": "l_partkey"},
 }
 # back-compat alias (probes/tests reference the original orderkey map)
 BUCKET_KEYS = FAMILIES["orderkey"]
@@ -72,7 +76,7 @@ def materialize_bucketed(
     sf_dir: str,
     out_root: str,
     buckets: int | None = None,
-    families: tuple[str, ...] = ("orderkey", "custkey"),
+    families: tuple[str, ...] = ("orderkey", "custkey", "partkey"),
 ) -> dict:
     """One-time layout build: write each fact table bucketed + sorted by
     its orderkey into ``out_root`` and register it in the session catalog.

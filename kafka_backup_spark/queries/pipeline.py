@@ -3012,8 +3012,19 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explicit-repartition agg-join at 5.08 s; collected results equal
     on all three.  The ORACLE keeps the agg-join formulation
     (SQL_TPCH_Q17), so every driver run proves the window form against
-    the reference shape."""
-    _view(spark, sf_dir, "part", "lineitem")
+    the reference shape.
+
+    Partkey bucket family (r12, layout.py FAMILIES): lineitem bucketed +
+    sorted by l_partkey serves the window its required distribution AND
+    sort from storage — the one remaining fact exchange and the window
+    sort both disappear; what's left is the bucketed scan, the part
+    broadcast, and the tiny brand rollup.  Footprint-gated like the other
+    join-shaped opt-ins (at small scale the exchange is cheaper than the
+    bucket-count scan cap)."""
+    _view(
+        spark, sf_dir, "part", "lineitem",
+        bucketed=_gated_orderkey(sf_dir, "lineitem@partkey"),
+    )
     return spark.sql(_cents_sql("""
 WITH pl AS (
   SELECT l_partkey,

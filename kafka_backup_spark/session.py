@@ -55,6 +55,15 @@ def get_spark(
         # testdata events.parquet carries TIMESTAMP(NANOS); read as long and
         # convert explicitly (schema.events_as_records)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # report bucketed scans' sortBy order (SPARK-28595 turned this off
+        # by default because the one-file-per-bucket check can be wrong on
+        # arbitrary tables); the layout contract (queries/layout.py)
+        # repartitions before bucketBy so every bucket IS one file, and
+        # with the conf on a PARTITION BY <bucket key> window runs with
+        # ZERO exchanges and ZERO sorts (q17's partkey family).  Scans of
+        # multi-file buckets still just decline the ordering — never
+        # mis-sort.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     )
     # opt-in bucketed fact layout (queries/layout.py): point the session at
     # a materialized layout root and the TPC-H views serve the co-partitioned

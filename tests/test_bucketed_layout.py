@@ -14,6 +14,7 @@ from kafka_backup_spark.queries.pipeline import (
     q_tpch_q3,
     q_tpch_q5,
     q_tpch_q13,
+    q_tpch_q17,
     q_tpch_q18,
     q_tpch_q21,
     q_tpch_q22,
@@ -23,6 +24,7 @@ QUERIES = {
     "q3": q_tpch_q3,
     "q5": q_tpch_q5,
     "q13": q_tpch_q13,  # custkey family (orders@custkey ⋈ customer@custkey)
+    "q17": q_tpch_q17,  # partkey family (single-table distribution+sort)
     "q18": q_tpch_q18,
     "q21": q_tpch_q21,
     "q22": q_tpch_q22,  # custkey family
@@ -60,6 +62,7 @@ def _layout_enabled(spark, root: str):
             "orders_b",
             "orders_custkey_b",
             "customer_custkey_b",
+            "lineitem_partkey_b",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -126,6 +129,27 @@ def test_custkey_family_removes_exchanges(spark, sf_dir, bucketed_root):
     assert b_q22.count("Exchange") < plain_q22.count("Exchange")
 
 
+def test_partkey_family_removes_window_exchange_and_sort(spark, sf_dir, bucketed_root):
+    """q17 binds lineitem to the partkey family: the PARTITION BY
+    l_partkey window reads the bucket hash-distribution (no exchange) and
+    — with spark.sql.legacy.bucketedTableScan.outputOrdering on, which
+    the session sets because the layout guarantees one file per bucket —
+    the per-file sortBy order (no window sort)."""
+    import re
+
+    plain = _plan(q_tpch_q17(spark, sf_dir))
+    with _layout_enabled(spark, bucketed_root):
+        b = _plan(q_tpch_q17(spark, sf_dir))
+    assert "lineitem_partkey_b" in b
+    # the window subtree: no Sort and no Exchange between Window and scan
+    seg = b[b.index("Window") :]
+    seg = seg[: seg.index("FileScan")]
+    assert "Sort" not in seg and "Exchange" not in seg
+    plain_seg = plain[plain.index("Window") :]
+    plain_seg = plain_seg[: plain_seg.index("FileScan")]
+    assert "Sort" in plain_seg  # the plain plan pays the sort the layout removes
+
+
 def test_footprint_gate_serves_plain_below_threshold(spark, sf_dir, bucketed_root):
     """With the layout ON but the fact footprint under the AQE-crossover
     gate (any test fixture is), the gated queries bind plain views — the
@@ -149,7 +173,10 @@ def test_footprint_gate_serves_plain_below_threshold(spark, sf_dir, bucketed_roo
         release_plan_cache(spark)
         pipeline._LAYOUTS.clear()
         pipeline._GATE_MEMO.clear()
-        for t in ("lineitem_b", "orders_b", "orders_custkey_b", "customer_custkey_b"):
+        for t in (
+            "lineitem_b", "orders_b", "orders_custkey_b",
+            "customer_custkey_b", "lineitem_partkey_b",
+        ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
