@@ -33,10 +33,11 @@ _FIRST = [
     # ── r12 window.  Candidates: the 4 entries at the two-round staleness
     # limit on r9 proofs (VERDICT r11 #3 — they LEAD, as promised in the
     # r11 comment), the 40 unchanged tail entries on r10 proofs (displaced
-    # by r11's window), and the 11 TPC-H bodies changed in r12 (the
-    # bucketed-layout opt-ins + layout-conditional SHUFFLE_HASH hints —
-    # every changed body re-enters regardless of proof age).  That is 58
-    # candidates for 50 slots — eight r10-proof entries slip to r13 (they
+    # by r11's window), and the 12 TPC-H bodies changed in r12 (the
+    # bucketed-layout opt-ins — orderkey/custkey/partkey families — plus
+    # layout-conditional SHUFFLE_HASH hints and the AQE-crossover footprint
+    # gate; every changed body re-enters regardless of proof age).  That is
+    # 59 candidates for 50 slots — nine r10-proof entries slip to r13 (they
     # MUST lead r13), each chosen because an in-window or r11-fresh kin
     # exercises the same logic: packing_efficiency is a pure rollup of
     # sequence_packing (r11 row); vocab_coverage rides ngram_topk's
@@ -44,8 +45,10 @@ _FIRST = [
     # (r11 row); doc_fingerprint and kgram_fingerprint share fingerprints'
     # hash core (r11 row); cluster_balance rolls up embedding_dup_clusters
     # (r11 row); cosine_topk is embedded verbatim inside ann_recall (r11
-    # row); text_metrics is text_analysis's sibling rollup (in window).
-    # All eight are selfcheck-green at sf0.01/sf1/sf10 on r11 code.
+    # row); text_metrics is text_analysis's sibling rollup (in window);
+    # tpch_q19_disjunctive (unchanged wash-reverted body) rides q6's pure
+    # filter+agg pushdown family (in window).  All nine are
+    # selfcheck-green at sf0.01/sf1/sf10 this round (sf10: the r12 record).
     # ── the four r9-proof entries, oldest proofs in the catalog
     "scalar_hashes",
     "time_format",
@@ -84,12 +87,15 @@ _FIRST = [
     "legacy_segment_read",
     "header_roundtrip",
     "integrity_scan",
-    # these three were wave-3 layout candidates whose opt-in was REVERTED
-    # (measured washes at sf10: q14 +1.2%, q15 +2.5%, q19 +8.1% — SCALE.md);
-    # bodies unchanged, they window here as ordinary r10-proof tail entries
+    # these were wave-3 layout candidates whose opt-in was REVERTED
+    # (measured washes at sf10: q14 +1.2%, q15 +2.5% — SCALE.md);
+    # bodies unchanged, they window here as ordinary r10-proof tail entries.
+    # q19 (also a reverted wash, body unchanged) slipped to r13 to make
+    # room for q17's changed body below — its kin q6 (pure filter+agg
+    # pushdown, the same plan family) is in-window; q19 joins the eight
+    # documented r13 leaders.
     "tpch_q14_promo",
     "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive",
     # ── changed-this-round (r12): bucketed-layout opt-ins / conditional
     # hints — the driver proves each against the unchanged reference oracle
     "tpch_q1_pricing",
@@ -101,6 +107,7 @@ _FIRST = [
     "tpch_q9_profit",
     "tpch_q10_returns",
     "tpch_q12_priority_lines",
+    "tpch_q17_small_qty",
     "tpch_q18_large_orders",
     "tpch_q21_sole_returns",
 ]
