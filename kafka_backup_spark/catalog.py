@@ -30,89 +30,80 @@ _MERGED: dict[str, tuple] = {
 # proof.  Entries past the cut stay in the catalog tail, so selfcheck and
 # the bench still cover them every round.
 _FIRST = [
-    # ── r12 window.  Candidates: the 4 entries at the two-round staleness
-    # limit on r9 proofs (VERDICT r11 #3 — they LEAD, as promised in the
-    # r11 comment), the 40 unchanged tail entries on r10 proofs (displaced
-    # by r11's window), and the 12 TPC-H bodies changed in r12 (the
-    # bucketed-layout opt-ins — orderkey/custkey/partkey families — plus
-    # layout-conditional SHUFFLE_HASH hints and the AQE-crossover footprint
-    # gate; every changed body re-enters regardless of proof age).  That is
-    # 59 candidates for 50 slots — nine r10-proof entries slip to r13 (they
-    # MUST lead r13), each chosen because an in-window or r11-fresh kin
-    # exercises the same logic: packing_efficiency is a pure rollup of
-    # sequence_packing (r11 row); vocab_coverage rides ngram_topk's
-    # tokenizer (r11 row); token_counts shares token_histogram's tokenizer
-    # (r11 row); doc_fingerprint and kgram_fingerprint share fingerprints'
-    # hash core (r11 row); cluster_balance rolls up embedding_dup_clusters
-    # (r11 row); cosine_topk is embedded verbatim inside ann_recall (r11
-    # row); text_metrics is text_analysis's sibling rollup (in window);
-    # tpch_q19_disjunctive (unchanged wash-reverted body) rides q6's pure
-    # filter+agg pushdown family (in window).  All nine are
-    # selfcheck-green at sf0.01/sf1/sf10 this round (sf10: the r12 record).
-    # ── the four r9-proof entries, oldest proofs in the catalog
-    "scalar_hashes",
-    "time_format",
-    "multimodal_meta",
-    "list_summary",
-    # ── r10-proof tail (displaced by the r11 window), unchanged bodies
-    "pitr_window",
-    "topic_glob_filter",
-    "offset_range_scan",
-    "partition_select",
-    "topic_rename",
-    "manifest_build",
-    "dry_run_estimate",
-    "resume_anti_join",
-    "asof_offset_lookup",
-    "group_reset_plan",
-    "murmur2_repartition",
-    "tpch_q13_order_dist",
-    "tpch_q22_dormant_balance",
-    "dedup_exact",
-    "contamination_check",
-    "lang_stats",
-    "pii_redaction",
-    "repetition_metrics",
-    "filtered_mixture",
-    "token_budget_selection",
-    "quality_quantile_filter",
-    "ivf_topk",
-    "text_analysis",
-    "quality_score",
-    "lang_id",
-    "simhash",
-    "near_dup_jaccard",
-    "embedding_near_dup",
-    "dup_clusters",
-    "legacy_segment_read",
-    "header_roundtrip",
-    "integrity_scan",
-    # these were wave-3 layout candidates whose opt-in was REVERTED
-    # (measured washes at sf10: q14 +1.2%, q15 +2.5% — SCALE.md);
-    # bodies unchanged, they window here as ordinary r10-proof tail entries.
-    # q19 (also a reverted wash, body unchanged) slipped to r13 to make
-    # room for q17's changed body below — its kin q6 (pure filter+agg
-    # pushdown, the same plan family) is in-window; q19 joins the eight
-    # documented r13 leaders.
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    # ── changed-this-round (r12): bucketed-layout opt-ins / conditional
-    # hints — the driver proves each against the unchanged reference oracle
-    "tpch_q1_pricing",
-    "tpch_q3_priority",
-    "tpch_q4_exists",
-    "tpch_q5_region_volume",
-    "tpch_q6_forecast",
-    "tpch_q7_nation_volume",
-    "tpch_q9_profit",
-    "tpch_q10_returns",
-    "tpch_q12_priority_lines",
-    "tpch_q17_small_qty",
-    "tpch_q18_large_orders",
-    "tpch_q21_sole_returns",
+    # ── r13 window.  Candidates: the NINE entries at the two-round
+    # staleness limit on r10 proofs (VERDICT r12 #4 — they LEAD, honoring
+    # the r12 comment's promise), the 44 unchanged tail entries on r11
+    # proofs (displaced by the r12 window), and any body changed this
+    # round (re-enters regardless of proof age).  That is 53+ candidates
+    # for 50 slots — three r11-proof entries slip to r14 (they MUST lead
+    # r14), each chosen because an in-window or r12-fresh kin exercises
+    # the same logic: ann_recall embeds cosine_topk verbatim (in window,
+    # an r13 leader) and rides ivf_topk's IVF index (r12 row);
+    # dup_membership shares dup_clusters' label-prop core (r12 row; parity
+    # pinned by test_oracle_types); near_dup_pipeline composes
+    # minhash_signatures + lsh_candidates (both in window) with the
+    # pair-verify stage test_oracle_types pins against the alt oracle.
+    # All three are selfcheck-green at sf0.01 this session and sf10 on the
+    # r12 committed record.
+    # ── the nine r10-proof entries, oldest proofs in the catalog
+    "packing_efficiency",
+    "vocab_coverage",
+    "token_counts",
+    "doc_fingerprint",
+    "kgram_fingerprint",
+    "cluster_balance",
+    "cosine_topk",
+    "text_metrics",
+    "tpch_q19_disjunctive",
+    # ── r11-proof tail (displaced by the r12 window), unchanged bodies
+    "topic_regex_filter",
+    "manifest_totals",
+    "compaction_plan",
+    "describe_rollup",
+    "manifest_merge",
+    "offset_interpolation",
+    "timestamp_asof",
+    "validation_message_count",
+    "validation_offset_range",
+    "reset_percentiles",
+    "topk_events",
+    "set_difference_topics",
+    "semi_join_topics",
+    "round_robin_repartition",
+    "image_stats",
+    "dedup_keep_best",
+    "stratified_sample",
+    "minhash_signatures",
+    "sequence_packing",
+    "ngram_topk",
+    "mixture_weights",
+    "incremental_dedup",
+    "token_histogram",
+    "dup_span_fraction",
+    "dup_span_extents",
+    "leakage_safe_split",
+    "fingerprints",
+    "lsh_candidates",
+    "embedding_dup_clusters",
+    "offset_gap_scan",
+    "evidence_digest",
+    "offset_mapping_capture",
+    "windowed_throughput",
+    "dedup_records",
+    "salted_topic_agg",
+    "snapshot_import",
+    "reset_plan_summary",
+    "consumer_group_check",
+    "validation_summary",
+    "lag_metrics",
+    # ── changed-this-round (r13): q16's distinct-pair pre-aggregate on
+    # the partkey bucket family (VERDICT r12 #1) — an r11-proof tail entry
+    # anyway; the driver proves the new body against the unchanged
+    # reference NOT IN + count-distinct oracle
+    "tpch_q16_supplier_cnt",
 ]
-# Driver-check scale note (ADVICE r10 #3): near_dup_jaccard — now in the
-# tail on a fresh r10 proof — is the documented O(n²) exact baseline and
+# Driver-check scale note (ADVICE r10 #3): near_dup_jaccard — in the tail
+# on a fresh r12 proof — is the documented O(n²) exact baseline and
 # hard-raises past BRUTE_JACCARD_MAX_DOCS (200k docs ≈ sf4 documents)
 # unless spark.kafkaBackupSpark.bruteJaccardUnbounded is set.  The driver
 # oracle-check runs at sf0.01 (~5k docs) and the sf1 selfcheck at ~50k
@@ -121,8 +112,10 @@ _FIRST = [
 # record does).
 # History: r10 honored the r9 rotation promise with a documented 57-into-50
 # exception (the seven r8-proof entries led r11); r11 honored it with a
-# 54-into-50 exception (the four r9-proof entries that now LEAD this r12
-# window).  selfcheck.py verifies the full 103 every session regardless.
+# 54-into-50 exception (the four r9-proof entries that led r12); r12
+# honored it with a 59-into-50 exception (the nine r10-proof entries that
+# LEAD this r13 window).  selfcheck.py verifies the full 103 every session
+# regardless.
 _FIRST = [n for n in _FIRST if n in _MERGED]
 assert len(_FIRST) == len(set(_FIRST)), "duplicate window entries"
 assert len(_FIRST) <= 50, f"driver checks only 50 entries, got {len(_FIRST)} priority queries"
@@ -179,6 +172,11 @@ def release_plan_cache(spark: SparkSession | None = None) -> None:
             _PLAN_CACHE.pop(k, None)
     from kafka_backup_spark.queries import pipeline
 
+    # the footprint-gate memo goes with the plans: a dataset regenerated at
+    # a larger scale under the SAME path must re-decide the AQE-crossover
+    # gate, not serve the stale verdict (ADVICE r12).  Process-wide, like
+    # the sf_dir-keyed plans it feeds.
+    pipeline._GATE_MEMO.clear()
     for k in list(pipeline._VIEWS):
         if app is None or k[0] == app:
             pipeline._VIEWS.pop(k, None)

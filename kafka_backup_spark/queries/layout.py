@@ -29,6 +29,14 @@ tests): ``spark.sql.sources.bucketing.enabled=true`` (default) and one
 file per bucket (``materialize_bucketed`` repartitions on the bucket key
 before the write so each bucket is written by exactly one task — required
 for the sort metadata to eliminate SMJ sorts).
+
+Note on ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``
+(session.py): the conf is session-global, so it also applies to bucketed
+tables a user creates OUTSIDE this module's repartition-first discipline.
+That is safe because the conf rides on Spark's own per-scan file-count
+check (SPARK-28595): ordering is only reported when the scan sees exactly
+one file per bucket; multi-file buckets decline the ordering — the check
+is Spark's, not this contract's.
 """
 
 from __future__ import annotations
@@ -88,9 +96,13 @@ def materialize_bucketed(
     metadata (and skips SMJ sorts) when each bucket is a single file.
 
     Re-running against an existing ``out_root`` MERGES: families already in
-    the manifest for the same sf_dir are kept (their files untouched) and
-    the requested missing ones are added with the SAME bucket count, so
-    every family stays join-compatible with every other."""
+    the manifest for the same sf_dir are kept (their files untouched, their
+    catalog tables re-registered if this session hasn't seen them) and the
+    requested missing ones are added with the SAME bucket count, so every
+    family stays join-compatible with every other.  An explicit ``buckets``
+    that CONFLICTS with the existing same-sf_dir manifest raises — silently
+    rewriting would orphan the prior families' files and break the
+    join-compatibility guarantee (ADVICE r12 #1)."""
     from kafka_backup_spark import fsio
 
     out_root = fsio.require_local(out_root, "materialize_bucketed")
@@ -102,7 +114,14 @@ def materialize_bucketed(
             prior = None  # a layout from another scale never merges
     except (FileNotFoundError, ValueError):
         prior = None
-    if prior is not None and buckets is None:
+    if prior is not None:
+        if buckets is not None and prior["buckets"] != buckets:
+            raise ValueError(
+                f"bucket count conflict at {out_root}: manifest has "
+                f"{prior['buckets']} buckets for {sf_dir}, caller asked for "
+                f"{buckets}; families must share one count to stay "
+                "join-compatible — rebuild into a fresh out_root instead"
+            )
         buckets = prior["buckets"]
     tables = sorted({t for f in families for t in FAMILIES[f]})
     if buckets is None:
@@ -127,7 +146,17 @@ def materialize_bucketed(
         cap = max(2, spark.sparkContext.defaultParallelism)
         buckets = min(cap, max(2, -(-biggest // (24 << 20))))
     entry: dict = {"buckets": buckets, "sf_dir": sf_dir, "tables": {}}
-    if prior is not None and prior.get("buckets") == buckets:
+    if prior is not None:
+        # carried-over families: verify the files are still on disk, then
+        # re-register their catalog tables — a merge in a FRESH session
+        # must return a manifest whose tables all resolve (ADVICE r12 #2)
+        for mkey, spec in prior.get("tables", {}).items():
+            if not os.path.exists(spec["path"]):
+                raise FileNotFoundError(
+                    f"layout manifest at {out_root} lists {spec['path']} "
+                    "but the files are gone; rebuild the layout"
+                )
+            _register_table(spark, spec, buckets)
         entry["tables"].update(prior.get("tables", {}))
     os.makedirs(out_root, exist_ok=True)
     for family in families:
@@ -160,6 +189,20 @@ def materialize_bucketed(
     return entry
 
 
+def _register_table(spark: SparkSession, spec: dict, buckets: int) -> None:
+    """Attach one manifest entry's files as a bucketed catalog table
+    (no-op when this session already has it)."""
+    name, key = spec["name"], spec["key"]
+    if spark.catalog.tableExists(name):
+        return
+    spark.sql(
+        f"CREATE TABLE {name} ({spec['schema_ddl']}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+        f"INTO {buckets} BUCKETS "
+        f"LOCATION '{spec['path']}'"
+    )
+
+
 def register_bucketed(spark: SparkSession, out_root: str) -> dict | None:
     """Re-attach an existing bucketed layout to a fresh session (the
     in-memory catalog forgets tables at session end; the files and the
@@ -170,14 +213,6 @@ def register_bucketed(spark: SparkSession, out_root: str) -> dict | None:
             entry = json.load(fh)
     except FileNotFoundError:
         return None
-    for t, spec in entry["tables"].items():
-        name, key = spec["name"], spec["key"]
-        if spark.catalog.tableExists(name):
-            continue
-        spark.sql(
-            f"CREATE TABLE {name} ({spec['schema_ddl']}) USING parquet "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-            f"INTO {entry['buckets']} BUCKETS "
-            f"LOCATION '{spec['path']}'"
-        )
+    for _t, spec in entry["tables"].items():
+        _register_table(spark, spec, entry["buckets"])
     return entry

@@ -20,9 +20,11 @@ from pyspark.sql import functions as F
 
 # view-registration memo: re-reading the parquet footer and re-registering
 # an identical temp view per catalog call costs ~60-80 ms of driver RPC per
-# table (q5 touches six) for a no-op.  Key on (app, name) → sf_dir and only
-# re-register when the target directory actually changes.
-_VIEWS: dict[tuple[str, str], str] = {}
+# table (q5 touches six) for a no-op.  Key on (app, name); value is the
+# plain sf_dir string for plain views, or the structured tuple
+# ("bucketed", alias, sf_dir) for layout-served views — only re-register
+# when the binding actually changes.
+_VIEWS: dict[tuple[str, str], str | tuple] = {}
 
 
 def _docs_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,9 +118,11 @@ def _view(spark: SparkSession, sf_dir: str, *names: str, bucketed: tuple = ()) -
             else None
         )
         if spec is not None:
-            if _VIEWS.get((app, n)) != f"bucketed:{alias}:{sf_dir}":
+            # memo value is a structured tuple, not a delimited string — an
+            # sf_dir containing ':' can't confuse the comparison (ADVICE r12)
+            if _VIEWS.get((app, n)) != ("bucketed", alias, sf_dir):
                 spark.table(spec["name"]).createOrReplaceTempView(n)
-                _VIEWS[(app, n)] = f"bucketed:{alias}:{sf_dir}"
+                _VIEWS[(app, n)] = ("bucketed", alias, sf_dir)
             continue
         if _VIEWS.get((app, n)) != sf_dir:
             df = hot_table(spark, sf_dir, n)
@@ -179,8 +183,8 @@ def _is_bucketed_view(spark: SparkSession, name: str, sf_dir: str) -> bool:
     (e.g. q21's co-located SHUFFLE_HASH, which only beats the SMJ when the
     exchange is already gone)."""
     app = spark.sparkContext.applicationId
-    v = _VIEWS.get((app, name), "")
-    return isinstance(v, str) and v.startswith("bucketed:") and v.endswith(f":{sf_dir}")
+    v = _VIEWS.get((app, name))
+    return isinstance(v, tuple) and v[0] == "bucketed" and v[2] == sf_dir
 
 
 # ── TPC-H Q1: pricing summary ─────────────────────────────────────────────

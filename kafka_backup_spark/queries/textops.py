@@ -1982,6 +1982,13 @@ WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= {JACCARD_TH
     return "alt_pairs"
 
 
+# the names run_alt_oracle can dispatch — harnesses validate requested alt
+# routings against this up front instead of failing mid-timed-loop
+ALT_ORACLE_NAMES = frozenset(
+    {"near_dup_pipeline", "dup_clusters", "dup_membership", "embedding_dup_clusters"}
+)
+
+
 def run_alt_oracle(con, name: str, max_rounds: int = 512):
     """Scale-run alternative oracle dispatch (selfcheck SPARK_GRAFT_SELF_ALT):
     label-prop twins for the recursive-closure oracles, and the

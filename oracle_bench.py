@@ -93,8 +93,21 @@ def main() -> int:
     # same work (r11 de-pathologization precedent).  Routed names are
     # recorded in the summary JSON (no silent substitutions).
     alt_names = {
-        s for s in os.environ.get("SPARK_GRAFT_ORACLE_ALT", "").split(",") if s
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_ORACLE_ALT", "").split(",")
+        if s.strip()
     }
+    # fail fast, not deep inside the timed repeat loop (ADVICE r12)
+    from kafka_backup_spark.queries.textops import ALT_ORACLE_NAMES
+
+    bad = sorted(alt_names - ALT_ORACLE_NAMES)
+    if bad:
+        print(
+            f"SPARK_GRAFT_ORACLE_ALT names with no alt implementation: {bad} "
+            f"(supported: {sorted(ALT_ORACLE_NAMES)})",
+            file=sys.stderr,
+        )
+        return 2
 
     def run_oracle(name: str):
         if name in alt_names:

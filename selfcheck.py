@@ -128,8 +128,17 @@ def main() -> int:
     # + label-prop closure) — marked in the output line; parity of
     # alt == reference == Spark is pinned by pytest at the gate scale.
     alt = {
-        s for s in os.environ.get("SPARK_GRAFT_SELF_ALT", "").split(",") if s
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_SELF_ALT", "").split(",")
+        if s.strip()
     }
+    from kafka_backup_spark.queries.textops import ALT_ORACLE_NAMES
+
+    bad_alt = sorted(alt - ALT_ORACLE_NAMES)
+    if bad_alt:  # fail before the hours-long loop, not inside it
+        raise SystemExit(
+            f"SPARK_GRAFT_SELF_ALT names with no alt implementation: {bad_alt}"
+        )
     # Scale-run session hygiene (r11): the first single-session sf10 run
     # heap-OOM'd a task at query ~98 of 103 — not any one query's fault
     # (all six "failures" pass solo in a fresh session; r10's stitched

@@ -199,6 +199,61 @@ def test_family_merge_reuses_existing(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_merge_conflicting_buckets_raises(spark, sf_dir, tmp_path):
+    """An explicit bucket count that conflicts with the existing
+    same-sf_dir manifest must raise, not silently orphan the prior
+    families' files (ADVICE r12 #1)."""
+    root = str(tmp_path / "conflict")
+    layout.materialize_bucketed(spark, sf_dir, root, buckets=4, families=("orderkey",))
+    try:
+        with pytest.raises(ValueError, match="bucket count conflict"):
+            layout.materialize_bucketed(
+                spark, sf_dir, root, buckets=8, families=("custkey",)
+            )
+        # same explicit count is NOT a conflict — the merge proceeds
+        entry = layout.materialize_bucketed(
+            spark, sf_dir, root, buckets=4, families=("custkey",)
+        )
+        assert entry["buckets"] == 4
+        assert "lineitem" in entry["tables"]  # carried over, not dropped
+    finally:
+        for t in ("lineitem_b", "orders_b", "orders_custkey_b", "customer_custkey_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_merge_registers_carried_over_families(spark, sf_dir, tmp_path):
+    """The merge path must re-register carried-over families in the
+    session catalog — a fresh session calling materialize_bucketed against
+    an existing root gets a manifest whose tables ALL resolve (ADVICE r12
+    #2) — and must verify the prior files still exist."""
+    import json
+    import os
+    import shutil
+
+    root = str(tmp_path / "reattach")
+    layout.materialize_bucketed(spark, sf_dir, root, buckets=4, families=("orderkey",))
+    # simulate a fresh session: the in-memory catalog forgets the tables
+    for t in ("lineitem_b", "orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        entry = layout.materialize_bucketed(
+            spark, sf_dir, root, families=("orderkey", "custkey")
+        )
+        for spec in entry["tables"].values():
+            assert spark.catalog.tableExists(spec["name"]), spec["name"]
+        assert spark.table("lineitem_b").count() > 0
+        # files gone → the merge refuses instead of returning dangling specs
+        shutil.rmtree(os.path.join(root, "lineitem_b"))
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        with open(os.path.join(root, layout.MANIFEST)) as fh:
+            assert "lineitem" in json.load(fh)["tables"]
+        with pytest.raises(FileNotFoundError, match="files are gone"):
+            layout.materialize_bucketed(spark, sf_dir, root, families=("custkey",))
+    finally:
+        for t in ("lineitem_b", "orders_b", "orders_custkey_b", "customer_custkey_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_layout_ignores_mismatched_sf_dir(spark, sf_dir, bucketed_root, tmp_path):
     """A layout materialized from one sf_dir must never answer for another
     — _view falls back to the plain parquet path on mismatch."""
