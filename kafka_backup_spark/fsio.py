@@ -106,6 +106,26 @@ def list_dir(path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(jpath)]
 
 
+def dataset_bytes(path: str) -> int:
+    """Total bytes of a file or directory tree.  Local: recursive stat walk
+    (a bare getsize on a directory would return the ~4 KB inode); remote:
+    one Hadoop getContentSummary call.  Raises OSError when the path does
+    not exist on either branch."""
+    if not is_remote(path):
+        p = _local(path)
+        if os.path.isdir(p):
+            total = 0
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+        return os.path.getsize(p)  # single file; raises OSError if unstatable
+    fs, jpath, _ = _jvm_fs(path)
+    if not fs.exists(jpath):
+        raise OSError(f"path does not exist: {path}")
+    return int(fs.getContentSummary(jpath).getLength())
+
+
 def delete_path(path: str) -> None:
     """Recursive best-effort delete of a file OR directory (no-op when
     missing)."""

@@ -2951,8 +2951,26 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked): mapInArrow per-partition distinct on (brand,type,size,
     suppkey) feeding the JVM countDistinct measured 3.83 s vs 1.55 s
     for the shipped plan — Arrow transfer of the 7.5M survivors costs
-    more than the whole aggregate it was meant to speed up."""
-    _view(spark, sf_dir, "part", "lineitem", "supplier")
+    more than the whole aggregate it was meant to speed up.
+
+    r13 (VERDICT r12 #1) retried the distinct-pair pre-aggregate ON the
+    partkey bucket family (q16_probe.py, sf10, min-of-6 interleaved,
+    parity OK): the bucket HashPartitioning(l_partkey) does make the
+    (l_partkey, l_suppkey) distinct exchange-free, but the fixture's
+    pairs are 98.5% UNIQUE (59.10M distinct of 60M rows — the generator
+    draws l_suppkey independently; there is no partsupp-style 4-per-part
+    repetition to collapse), so the 60M-row hash aggregate buys a ~1.5%
+    shrink: pre-distinct 5.96 s vs 2.27 s shipped — the r9 negative
+    stands for a deeper reason than the shuffle.  A post-join distinct
+    (partkey in the keys, also exchange-free) lost head-to-head too
+    (2.27 vs 1.99 s, min-of-8).  What DID win: serving the join-first
+    shape from the partkey-bucketed SCAN (sorted, one file per bucket)
+    — +10.8% (2.32 → 2.07 s), adopted below; same footprint gate as the
+    other join-shaped opt-ins."""
+    _view(
+        spark, sf_dir, "part", "supplier", "lineitem",
+        bucketed=_gated_orderkey(sf_dir, "lineitem@partkey"),
+    )
     pf = (
         spark.table("part")
         .where(
