@@ -50,6 +50,13 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--slow-once-sec", type=float, default=30.0)
     ap.add_argument("--queries", help="comma list (default: the sf1 weak set)")
+    ap.add_argument(
+        "--oracle-layout",
+        help="layout root: point DuckDB's lineitem/orders views at the "
+        "orderkey-SORTED bucketed copies, removing the Spark-only layout "
+        "asymmetry (oracle_layout_ab.py measured a 24.9%% oracle-side "
+        "refund at sf10) — recorded in the summary JSON",
+    )
     args = ap.parse_args()
 
     names = args.queries.split(",") if args.queries else WEAK_SET
@@ -65,6 +72,8 @@ def main() -> int:
     for t in TABLES:
         p = f"{args.sf_dir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        if args.oracle_layout and t in ("lineitem", "orders"):
+            src = f"{args.oracle_layout}/{t}_b/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     rows = []
@@ -95,6 +104,7 @@ def main() -> int:
     print(json.dumps({
         "metric": "crossover_summary",
         "sf_dir": args.sf_dir,
+        "oracle_layout": args.oracle_layout or None,
         "queries": len(rows),
         "spark_total_s": round(total_s, 3),
         "duck_total_s": round(total_o, 3),

@@ -165,21 +165,9 @@ def materialize_bucketed(
             name = _table_name(t, family)
             path = os.path.join(out_root, name)
             df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
-            (
-                df.repartition(buckets, key)
-                .write.bucketBy(buckets, key)
-                .sortBy(key)
-                .option("path", path)
-                .mode("overwrite")
-                .saveAsTable(name)
+            entry["tables"][mkey] = write_bucketed_table(
+                spark, df, name, path, [key], [key], buckets
             )
-            entry["tables"][mkey] = {
-                "name": name,
-                "key": key,
-                "path": path,
-                "schema_ddl": df.schema.toDDL(),
-            }
     # local: tmp + atomic rename; remote: atomic PUT (fsio.write_text)
     fsio.write_text(os.path.join(out_root, MANIFEST), json.dumps(entry, indent=2))
     return entry
@@ -198,18 +186,65 @@ def _load_manifest(out_root: str) -> dict | None:
         return None
 
 
+def _spec_cols(spec: dict) -> tuple[list[str], list[str]]:
+    """(bucket keys, sort keys) of a manifest entry.  ``key`` is a single
+    column (the TPC-H families) or a list (compaction's (topic, partition)
+    segments); ``sort`` defaults to the bucket keys."""
+    key = spec["key"]
+    keys = list(key) if isinstance(key, (list, tuple)) else [key]
+    sort = spec.get("sort") or keys
+    return keys, list(sort)
+
+
 def _register_table(spark: SparkSession, spec: dict, buckets: int) -> None:
     """Attach one manifest entry's files as a bucketed catalog table
     (no-op when this session already has it)."""
-    name, key = spec["name"], spec["key"]
+    name = spec["name"]
     if spark.catalog.tableExists(name):
         return
+    keys, sort = _spec_cols(spec)
+    kcols = ", ".join(f"`{k}`" for k in keys)
+    scols = ", ".join(f"`{s}`" for s in sort)
     spark.sql(
         f"CREATE TABLE {name} ({spec['schema_ddl']}) USING parquet "
-        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+        f"CLUSTERED BY ({kcols}) SORTED BY ({scols}) "
         f"INTO {buckets} BUCKETS "
         f"LOCATION '{spec['path']}'"
     )
+
+
+def write_bucketed_table(
+    spark: SparkSession,
+    df,
+    name: str,
+    path: str,
+    keys: list[str],
+    sort: list[str],
+    buckets: int,
+) -> dict:
+    """Write ``df`` as one bucketed + sorted catalog table under the layout
+    discipline (repartition on the bucket keys first, so every bucket is
+    exactly one file and Spark trusts the sortBy metadata) and return its
+    manifest spec.  Shared by the TPC-H family builder below and
+    SegmentStore.compact_bucketed (the ingest-side producer)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.repartition(buckets, *keys)
+        .write.bucketBy(buckets, keys[0], *keys[1:])
+        .sortBy(sort[0], *sort[1:])
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    spec: dict = {
+        "name": name,
+        "key": keys[0] if len(keys) == 1 else keys,
+        "path": path,
+        "schema_ddl": df.schema.toDDL(),
+    }
+    if sort != keys:
+        spec["sort"] = sort
+    return spec
 
 
 def register_bucketed(spark: SparkSession, out_root: str) -> dict | None:

@@ -260,6 +260,53 @@ class SegmentStore:
             .saveAsTable(table)
         )
 
+    def compact_bucketed(
+        self,
+        spark: SparkSession,
+        buckets: int | None = None,
+        table: str = "segments_b",
+    ) -> dict:
+        """Compaction that lands the store's records as a bucketed
+        co-partitioned layout DIRECTLY — produced where the reference
+        produces its layout (backup/engine.rs:1156-1162 keys segments at
+        write time), not by a separate bench-side materialize step.
+
+        Pays the (topic, partition) shuffle once at the compaction
+        boundary; every later restore⋈mapping join, validation sweep and
+        as-of window keyed on (topic, partition) reads co-located,
+        offset-SORTED buckets — no exchange, and under the layout's
+        one-file-per-bucket contract no sort either (the same mechanism as
+        q17's partkey family).  Output is a layout ROOT
+        (``{root}/bucketed``: manifest + bucketed table) that
+        queries/layout.register_bucketed re-attaches in any later session;
+        the plain partitioned store stays untouched as the record of
+        truth.  Bucket count defaults to the same input-proportional
+        sizing as the TPC-H families (~24 MB per bucket, clamped to the
+        session parallelism)."""
+        import json
+        import os
+
+        from kafka_backup_spark import fsio
+        from kafka_backup_spark.queries import layout
+
+        if buckets is None:
+            nbytes = fsio.dataset_bytes(self.topics_path())
+            cap = max(2, spark.sparkContext.defaultParallelism)
+            buckets = min(cap, max(2, -(-nbytes // (24 << 20))))
+        root = f"{self.root}/bucketed"
+        spec = layout.write_bucketed_table(
+            spark,
+            self.read(spark),
+            table,
+            os.path.join(root, table),
+            ["topic", "partition"],
+            ["topic", "partition", "offset"],
+            buckets,
+        )
+        entry = {"buckets": buckets, "sf_dir": self.topics_path(), "tables": {table: spec}}
+        fsio.write_text(os.path.join(root, layout.MANIFEST), json.dumps(entry, indent=2))
+        return entry
+
     def compact(
         self,
         spark: SparkSession,

@@ -314,6 +314,59 @@ def test_layout_on_remote_style_root(spark, sf_dir, tmp_path, monkeypatch):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_compact_bucketed_produces_layout_root(spark, sf_dir, tmp_path):
+    """SegmentStore.compact_bucketed (VERDICT r12 #8): compaction lands the
+    record stream as a layout root the standard machinery re-attaches —
+    the layout produced at the ingest boundary, where the reference keys
+    its segments (backup/engine.rs:1156-1162), not by a bench-side
+    materialize step.  Checks: content parity with the plain store,
+    fresh-session register_bucketed round-trip, and the plans the layout
+    exists for — a (topic, partition) rollup with ZERO exchanges and a
+    per-partition offset window with ZERO exchanges and ZERO sorts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_backup_spark.queries import layout as _layout
+    from kafka_backup_spark.schema import events_as_records, load_table
+    from kafka_backup_spark.sources.segments import SegmentStore
+
+    store = SegmentStore(str(tmp_path / "store"))
+    recs = events_as_records(load_table(spark, sf_dir, "events"))
+    store.write(recs)
+    try:
+        entry = store.compact_bucketed(spark, buckets=4)
+        assert entry["buckets"] == 4
+        spec = entry["tables"]["segments_b"]
+        assert spec["key"] == ["topic", "partition"]
+        assert spec["sort"] == ["topic", "partition", "offset"]
+        # content parity with the plain store
+        plain = sorted(
+            (r.topic, r.partition, r.offset) for r in store.read(spark).collect()
+        )
+        bucketed = sorted(
+            (r.topic, r.partition, r.offset)
+            for r in spark.table("segments_b").collect()
+        )
+        assert bucketed == plain
+        # fresh-session re-attach through the standard layout machinery
+        spark.sql("DROP TABLE IF EXISTS segments_b")
+        got = _layout.register_bucketed(spark, f"{store.root}/bucketed")
+        assert got is not None and got["buckets"] == 4
+        tbl = spark.table("segments_b")
+        assert tbl.count() == len(plain)
+        # the plans the layout exists for
+        rollup = tbl.groupBy("topic", "partition").agg(F.max("offset"))
+        plan = _plan(rollup)
+        assert "Exchange" not in plan, plan
+        w = Window.partitionBy("topic", "partition").orderBy("offset")
+        windowed = tbl.select("topic", "partition", "offset", F.row_number().over(w).alias("rn"))
+        plan = _plan(windowed)
+        assert "Exchange" not in plan, plan
+        assert "Sort" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS segments_b")
+
+
 def test_register_bucketed_roundtrip(spark, sf_dir, bucketed_root):
     """register_bucketed re-attaches an existing layout (fresh-session
     path): after dropping the catalog tables, registration restores them
