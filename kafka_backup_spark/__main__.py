@@ -837,6 +837,20 @@ def cmd_compact(args, _doc) -> int:
         return 0
     store = SegmentStore(args.store)
     before = store.read(spark).count()
+    if args.bucketed:
+        # compact-to-bucketed (r13): land the records as a co-partitioned
+        # layout root the analytics session re-attaches — the layout
+        # produced at the ingest boundary, like the reference's
+        # partition-aligned segments (backup/engine.rs:1156-1162)
+        entry = store.compact_bucketed(spark, buckets=args.buckets)
+        after = spark.table(next(iter(entry["tables"].values()))["name"]).count()
+        _emit({
+            "compacted": True, "bucketed": True,
+            "buckets": entry["buckets"],
+            "layout_root": f"{store.root}/bucketed",
+            "records_before": before, "records_after": after,
+        })
+        return 0 if before == after else 1
     store.compact(spark)
     after = store.read(spark).count()
     _emit({"compacted": True, "records_before": before, "records_after": after})
@@ -888,6 +902,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="compact: print the packing plan from the manifest, touch nothing")
     ap.add_argument("--target-bytes", type=int, default=128 << 20,
                     help="compact --dry-run: output segment size target (default 128 MB)")
+    ap.add_argument("--bucketed", action="store_true",
+                    help="compact: land the records as a bucketed co-partitioned "
+                         "layout root ({store}/bucketed) instead of rewriting the "
+                         "partitioned store — (topic, partition) joins/rollups and "
+                         "offset windows read it exchange- and sort-free")
+    ap.add_argument("--buckets", type=int,
+                    help="compact --bucketed: bucket count (default: input-"
+                         "proportional, ~24 MB/bucket clamped to parallelism)")
     ap.add_argument("--interval", type=float, default=2.0, help="status --watch: seconds between ticks")
     ap.add_argument("--iterations", type=int, default=2**31, help="status --watch / metrics-runtime: tick count (tests use small values)")
     ap.add_argument("--port", type=int, default=0, help="metrics-runtime: bind port (0 = ephemeral)")

@@ -610,6 +610,19 @@ def test_cli_compact_dry_run_and_rewrite(spark, capsys, cfg_path, store_dir, sf_
     assert out2["compacted"] is True
     assert out2["records_before"] == out2["records_after"] > 0
 
+    # compact --bucketed: the layout root lands next to the store and the
+    # bucketed table carries every record (content parity checked by
+    # test_bucketed_layout's round-trip; here the CLI surface + counts)
+    out3 = run(capsys, ["compact", "--store", store_dir, "--bucketed", "--buckets", "4"])
+    try:
+        assert out3["bucketed"] is True and out3["buckets"] == 4
+        assert out3["records_before"] == out3["records_after"] > 0
+        assert out3["layout_root"].endswith("/bucketed")
+        import os
+        assert os.path.exists(f"{out3['layout_root']}/bucketed_layout.json")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS segments_b")
+
 
 def test_catalog_list_and_explain(capsys, spark):
     rc = main(["catalog", "list"])
