@@ -35,16 +35,19 @@ _FIRST = [
     # the r12 comment's promise), the 44 unchanged tail entries on r11
     # proofs (displaced by the r12 window), and any body changed this
     # round (re-enters regardless of proof age).  That is 53+ candidates
-    # for 50 slots — three r11-proof entries slip to r14 (they MUST lead
+    # for 50 slots — four r11-proof entries slip to r14 (they MUST lead
     # r14), each chosen because an in-window or r12-fresh kin exercises
     # the same logic: ann_recall embeds cosine_topk verbatim (in window,
     # an r13 leader) and rides ivf_topk's IVF index (r12 row);
     # dup_membership shares dup_clusters' label-prop core (r12 row; parity
     # pinned by test_oracle_types); near_dup_pipeline composes
     # minhash_signatures + lsh_candidates (both in window) with the
-    # pair-verify stage test_oracle_types pins against the alt oracle.
-    # All three are selfcheck-green at sf0.01 this session and sf10 on the
-    # r12 committed record.
+    # pair-verify stage test_oracle_types pins against the alt oracle;
+    # salted_topic_agg rides murmur2_repartition's hash core (r12 row,
+    # golden-vector pytest) — it slipped when q3's changed body (the r13
+    # layout-conditional hint) claimed its slot.  All four are
+    # selfcheck-green at sf0.01 this session and sf10 on the r12
+    # committed record.
     # ── the nine r10-proof entries, oldest proofs in the catalog
     "packing_efficiency",
     "vocab_coverage",
@@ -90,17 +93,18 @@ _FIRST = [
     "offset_mapping_capture",
     "windowed_throughput",
     "dedup_records",
-    "salted_topic_agg",
     "snapshot_import",
     "reset_plan_summary",
     "consumer_group_check",
     "validation_summary",
     "lag_metrics",
-    # ── changed-this-round (r13): q16's distinct-pair pre-aggregate on
-    # the partkey bucket family (VERDICT r12 #1) — an r11-proof tail entry
-    # anyway; the driver proves the new body against the unchanged
-    # reference NOT IN + count-distinct oracle
+    # ── changed-this-round (r13): q16's partkey-bucketed scan opt-in
+    # (VERDICT r12 #1 — an r11-proof tail entry anyway) and q3's
+    # layout-conditional hint drop (hint-free SMJ on storage-sorted
+    # buckets, +27% at sf10); the driver proves both new bodies against
+    # the unchanged reference oracles
     "tpch_q16_supplier_cnt",
+    "tpch_q3_priority",
 ]
 # Driver-check scale note (ADVICE r10 #3): near_dup_jaccard — in the tail
 # on a fresh r12 proof — is the documented O(n²) exact baseline and

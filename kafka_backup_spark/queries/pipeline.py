@@ -492,8 +492,28 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Negative results (same protocol): revenue pre-aggregate before the
     orders join 4.05 vs 3.23 s (traded a broadcast for a bigger SMJ);
     SHUFFLE_HASH on q5/q9's SMJs — washes (the win here is the reused
-    distribution, absent there)."""
+    distribution, absent there).
+
+    r13 (q3_decompose.py, sf10, layout served): the stage table named the
+    floor — li slice scan 0.64 s (the shipdate filter keeps 33.6M of 60M
+    rows), BUILDING-orders build chain 0.62 s, and the SHJ's +1.0 s is
+    the hash build over the 33.6M-row li slice itself.  Under the layout
+    the hint is the WRONG side of a tradeoff it predates: both fact sides
+    arrive storage-sorted by orderkey, so the hint-free SMJ zips
+    pre-sorted buckets with ZERO sort nodes instead of building a 33.6M
+    hash table — min-of-7 interleaved, parity OK: hinted SHJ 1.405 s,
+    hint-free SMJ 1.022 s (+27%).  Swapping the build side
+    (SHUFFLE_HASH(orders)) was worse still (2.445 s — the hint cascades
+    into 11 exchanges).  So the hint is now layout-conditional like
+    q21's, in the opposite direction: plain views keep r9's
+    SHUFFLE_HASH(li) (it removed the SMJ sorts that storage now
+    provides); bucketed views drop it."""
     _view(spark, sf_dir, "customer", "orders", "lineitem", bucketed=_gated_orderkey(sf_dir, "lineitem", "orders"))
+    hint = (
+        ""
+        if _is_bucketed_view(spark, "lineitem", sf_dir)
+        else "/*+ SHUFFLE_HASH(li) */ "
+    )
     # orders.o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC so the
     # cast is an identity relabel and matches DuckDB's epoch_ms on naive ts
     rev = _money_sum(
@@ -506,7 +526,7 @@ WITH li AS (
          CAST(round(l_discount * 100) AS BIGINT) AS dc
   FROM lineitem
 ), t AS (
-  SELECT /*+ SHUFFLE_HASH(li) */ l_orderkey, o_orderdate, o_orderpriority,
+  SELECT {hint}l_orderkey, o_orderdate, o_orderpriority,
          {rev}
   FROM customer, orders, li
   WHERE c_mktsegment = 'BUILDING'
