@@ -113,6 +113,25 @@ def test_bucketed_scan_removes_exchanges(spark, sf_dir, bucketed_root):
     assert "lineitem_b" in b_q21 and "orders_b" in b_q21
 
 
+def test_q3_drops_hint_under_layout(spark, sf_dir, bucketed_root):
+    """q3's layout-conditional hint (r13): plain views keep r9's
+    SHUFFLE_HASH(li); bucketed views drop it so the fact join zips the
+    storage-sorted buckets — no Sort node feeds it (the sortBy metadata
+    is the whole point), and no exchange sits between the bucketed
+    scans."""
+    import re
+
+    plain = _plan(q_tpch_q3(spark, sf_dir))
+    assert "ShuffledHashJoin" in plain  # the r9 hint on plain views
+    with _layout_enabled(spark, bucketed_root):
+        b = _plan(q_tpch_q3(spark, sf_dir))
+    assert "lineitem_b" in b and "orders_b" in b
+    assert "ShuffledHashJoin" not in b  # hint dropped
+    # no Sort node anywhere in the bucketed plan: the fact join's order
+    # comes from storage, and the top-10 is TakeOrderedAndProject
+    assert not re.search(r"\bSort\b", b), b
+
+
 def test_custkey_family_removes_exchanges(spark, sf_dir, bucketed_root):
     """q13/q22 bind to the custkey family: the o_custkey rollup / DISTINCT
     runs on the bucket distribution and the customer join is co-located —
