@@ -420,6 +420,28 @@ def test_fsio_remote_detection(tmp_path):
     assert fsio.is_remote("abfss://c@a.dfs.core.windows.net/p")
 
 
+def test_fsio_dataset_bytes_both_branches(spark, tmp_path, monkeypatch):
+    """dataset_bytes: recursive stat walk locally, one getContentSummary
+    call on the remote branch (layout sizing at 100 TB is one metadata
+    RPC, not a million stats); missing paths raise OSError on both."""
+    from kafka_backup_spark import fsio
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x" * 100)
+    (d / "sub").mkdir()
+    (d / "sub" / "b.parquet").write_bytes(b"y" * 50)
+    assert fsio.dataset_bytes(str(d)) == 150
+    assert fsio.dataset_bytes(str(d / "a.parquet")) == 100
+    with pytest.raises(OSError):
+        fsio.dataset_bytes(str(tmp_path / "missing"))
+    # remote branch via the Hadoop FS (file:// forced remote)
+    monkeypatch.setattr(fsio, "is_remote", lambda p: str(p).startswith("file://"))
+    assert fsio.dataset_bytes(f"file://{d}") == 150
+    with pytest.raises(OSError):
+        fsio.dataset_bytes(f"file://{tmp_path}/missing")
+
+
 def test_manifest_store_writes_next_to_remote_style_store(spark, tmp_path):
     """ManifestStore through fsio: a file:///-rooted store URI lands the
     manifest on the target filesystem (here: local FS via the URI), not in a
