@@ -68,12 +68,31 @@ def main() -> int:
     qs = catalog.queries()
     sqls = catalog.oracle_sql()
 
+    # resolve the sorted-copy paths from the layout MANIFEST, not a
+    # hardcoded naming convention — a root built with other families (or
+    # renamed tables) must fail loudly, not read the wrong copies
+    # (ADVICE r13 #5)
+    layout_paths: dict[str, str] = {}
+    if args.oracle_layout:
+        mpath = os.path.join(args.oracle_layout, "bucketed_layout.json")
+        with open(mpath) as fh:
+            man = json.load(fh)
+        for t in ("lineitem", "orders"):
+            spec = man.get("tables", {}).get(t)  # orderkey family = bare name
+            if spec is None:
+                raise SystemExit(
+                    f"--oracle-layout {args.oracle_layout}: manifest has no "
+                    f"orderkey-family entry for {t!r}; build it with "
+                    "materialize_bucketed(families=('orderkey',...)) first"
+                )
+            layout_paths[t] = spec["path"]
+
     con = duckdb.connect()
     for t in TABLES:
         p = f"{args.sf_dir}/{t}.parquet"
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
-        if args.oracle_layout and t in ("lineitem", "orders"):
-            src = f"{args.oracle_layout}/{t}_b/*.parquet"
+        if t in layout_paths:
+            src = f"{layout_paths[t]}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     rows = []

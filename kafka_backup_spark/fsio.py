@@ -107,16 +107,22 @@ def list_dir(path: str) -> list[str]:
 
 
 def dataset_bytes(path: str) -> int:
-    """Total bytes of a file or directory tree.  Local: recursive stat walk
-    (a bare getsize on a directory would return the ~4 KB inode); remote:
-    one Hadoop getContentSummary call.  Raises OSError when the path does
-    not exist on either branch."""
+    """Total DATA bytes of a file or directory tree.  Local: recursive stat
+    walk (a bare getsize on a directory would return the ~4 KB inode),
+    skipping writer metadata — ``_SUCCESS`` markers, ``.crc`` sidecars,
+    dot-tmp files — so bucket-count sizing matches the inline ``*.parquet``
+    accounting it replaced (ADVICE r13 #4).  Remote: one Hadoop
+    getContentSummary call, which includes the (byte-trivial) markers — an
+    upper bound, fine for sizing.  Raises OSError when the path does not
+    exist on either branch."""
     if not is_remote(path):
         p = _local(path)
         if os.path.isdir(p):
             total = 0
             for root, _dirs, files in os.walk(p):
                 for f in files:
+                    if f.startswith((".", "_")):
+                        continue
                     total += os.path.getsize(os.path.join(root, f))
             return total
         return os.path.getsize(p)  # single file; raises OSError if unstatable

@@ -115,7 +115,12 @@ def materialize_bucketed(
     (saveAsTable with an explicit path), which is backend-agnostic
     already; the manifest lands next to them with atomic-PUT semantics
     (fsio.write_text)."""
-    prior = _load_manifest(out_root)
+    # strict: the BUILDER must distinguish "no layout" from "layout
+    # unreadable right now" — a transient remote-FS failure that looked
+    # like absence would recompute a possibly different bucket count and
+    # rewrite the manifest without the prior families, orphaning their
+    # files (ADVICE r13 #1)
+    prior = _load_manifest(out_root, strict=True)
     if prior is not None and prior.get("sf_dir") != sf_dir:
         prior = None  # a layout from another scale never merges
     if prior is not None:
@@ -173,11 +178,26 @@ def materialize_bucketed(
     return entry
 
 
-def _load_manifest(out_root: str) -> dict | None:
+def _load_manifest(out_root: str, strict: bool = False) -> dict | None:
     """The layout manifest at ``out_root`` via the fsio seam, or None when
     absent/torn (a torn manifest means no committed layout — the builder
-    rewrites it; readers fall back to plain parquet)."""
+    rewrites it; readers fall back to plain parquet).
+
+    ``strict`` (the builder path): only true ABSENCE (exists False /
+    FileNotFoundError) and a torn JSON body map to None; any other OSError
+    — transient remote-FS read failure, PermissionError — PROPAGATES, so a
+    merge never mistakes "unreadable right now" for "no layout" and
+    rewrites the manifest without the prior families (ADVICE r13 #1).
+    Read-only callers (register_bucketed and the query-side opt-ins) keep
+    the lenient fallback: on any error they just serve plain parquet."""
     mpath = os.path.join(out_root, MANIFEST)
+    if strict:
+        try:
+            if not fsio.exists(mpath):
+                return None
+            return json.loads(fsio.read_text(mpath))
+        except (FileNotFoundError, ValueError):
+            return None
     try:
         if not fsio.exists(mpath):
             return None
@@ -196,12 +216,40 @@ def _spec_cols(spec: dict) -> tuple[list[str], list[str]]:
     return keys, list(sort)
 
 
+def _norm_location(p: str) -> str:
+    """Normalize a table LOCATION for comparison: strip trailing slashes
+    and the ``file:``/``file://`` scheme the catalog adds to local paths."""
+    p = p.rstrip("/")
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _table_location(spark: SparkSession, name: str) -> str | None:
+    """LOCATION of an existing catalog table (None when indeterminable)."""
+    try:
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED `{name}`").collect():
+            if r.col_name == "Location":
+                return r.data_type
+    except Exception:
+        return None
+    return None
+
+
 def _register_table(spark: SparkSession, spec: dict, buckets: int) -> None:
     """Attach one manifest entry's files as a bucketed catalog table
-    (no-op when this session already has it)."""
+    (no-op when this session already has it AND it points at the same
+    files; a session that touched two layout roots re-binds to the root
+    being registered instead of silently serving the old one — ADVICE
+    r13 #2)."""
     name = spec["name"]
     if spark.catalog.tableExists(name):
-        return
+        loc = _table_location(spark, name)
+        if loc is not None and _norm_location(loc) == _norm_location(spec["path"]):
+            return
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
     keys, sort = _spec_cols(spec)
     kcols = ", ".join(f"`{k}`" for k in keys)
     scols = ", ".join(f"`{s}`" for s in sort)

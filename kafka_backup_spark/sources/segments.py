@@ -282,12 +282,30 @@ class SegmentStore:
         the plain partitioned store stays untouched as the record of
         truth.  Bucket count defaults to the same input-proportional
         sizing as the TPC-H families (~24 MB per bucket, clamped to the
-        session parallelism)."""
+        session parallelism).
+
+        The catalog table name defaults to ``segments_b`` — a ONE STORE
+        PER NAME contract: compacting a second store in the same session
+        under the same name would drop and rebind the first store's
+        catalog table out from under earlier references, so this raises
+        when ``table`` already exists bound to a DIFFERENT store root;
+        pass a distinct ``table`` per store (ADVICE r13 #3)."""
         import json
         import os
 
         from kafka_backup_spark import fsio
         from kafka_backup_spark.queries import layout
+
+        if spark.catalog.tableExists(table):
+            loc = layout._table_location(spark, table)
+            want = layout._norm_location(os.path.join(f"{self.root}/bucketed", table))
+            if loc is not None and layout._norm_location(loc) != want:
+                raise ValueError(
+                    f"catalog table {table!r} is already bound to {loc} — "
+                    f"compacting store {self.root!r} under the same name "
+                    "would silently rebind earlier references; pass a "
+                    "distinct table= per store"
+                )
 
         if buckets is None:
             nbytes = fsio.dataset_bytes(self.topics_path())

@@ -402,3 +402,86 @@ def test_register_bucketed_roundtrip(spark, sf_dir, bucketed_root):
     assert layout.register_bucketed(spark, str(bucketed_root) + "-missing") is None
     for t in ("lineitem_b", "orders_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_builder_manifest_read_failure_propagates(spark, sf_dir, tmp_path, monkeypatch):
+    """ADVICE r13 #1: a TRANSIENT manifest read failure (not absence) must
+    abort the builder — treating it as 'no layout' would recompute a
+    possibly different bucket count and rewrite the manifest without the
+    prior families, orphaning their files.  Read-only callers keep the
+    lenient fallback (serve plain parquet)."""
+    from kafka_backup_spark import fsio
+
+    root = str(tmp_path / "l")
+    layout.materialize_bucketed(spark, sf_dir, root, buckets=4, families=("orderkey",))
+    try:
+        real = fsio.read_text
+
+        def flaky(path):
+            if path.endswith(layout.MANIFEST):
+                raise PermissionError(f"transient: {path}")
+            return real(path)
+
+        monkeypatch.setattr(fsio, "read_text", flaky)
+        with pytest.raises(PermissionError):
+            layout.materialize_bucketed(spark, sf_dir, root, families=("orderkey", "custkey"))
+        # read-only path: lenient — unreadable manifest means 'not served'
+        assert layout.register_bucketed(spark, root) is None
+        monkeypatch.setattr(fsio, "read_text", real)
+        # nothing was rewritten: the original manifest + family intact
+        entry = layout.register_bucketed(spark, root)
+        assert entry is not None and sorted(entry["tables"]) == ["lineitem", "orders"]
+    finally:
+        for t in ("lineitem_b", "orders_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_register_table_rebinds_on_location_mismatch(spark, sf_dir, tmp_path):
+    """ADVICE r13 #2: a session that touched two layout roots must serve
+    the root being registered — registration drops and re-creates a
+    same-named table whose LOCATION differs, instead of no-op'ing on the
+    stale binding."""
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    for r in (ra, rb):
+        for t in ("lineitem_b", "orders_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        layout.materialize_bucketed(spark, sf_dir, r, buckets=4, families=("orderkey",))
+    try:
+        # catalog currently bound to rb (built last); re-register ra
+        entry = layout.register_bucketed(spark, ra)
+        assert entry is not None
+        loc = layout._table_location(spark, "lineitem_b")
+        assert loc is not None
+        assert layout._norm_location(loc) == layout._norm_location(
+            entry["tables"]["lineitem"]["path"]
+        )
+        # and same-location re-registration is still a no-op (no churn)
+        assert layout.register_bucketed(spark, ra) is not None
+    finally:
+        for t in ("lineitem_b", "orders_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_bucketed_second_store_guard(spark, sf_dir, tmp_path):
+    """ADVICE r13 #3: compacting a SECOND store under the default table
+    name must raise (not silently rebind the first store's catalog table);
+    a distinct table= per store works."""
+    from kafka_backup_spark.schema import events_as_records, load_table
+    from kafka_backup_spark.sources.segments import SegmentStore
+
+    recs = events_as_records(load_table(spark, sf_dir, "events")).limit(200)
+    s1 = SegmentStore(str(tmp_path / "s1"))
+    s2 = SegmentStore(str(tmp_path / "s2"))
+    s1.write(recs)
+    s2.write(recs)
+    try:
+        s1.compact_bucketed(spark, buckets=2)
+        with pytest.raises(ValueError, match="already bound"):
+            s2.compact_bucketed(spark, buckets=2)
+        entry = s2.compact_bucketed(spark, buckets=2, table="segments_s2_b")
+        assert "segments_s2_b" in entry["tables"]
+        # re-compacting the SAME store under its own name is allowed
+        s1.compact_bucketed(spark, buckets=2)
+    finally:
+        for t in ("segments_b", "segments_s2_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -431,13 +431,20 @@ def test_fsio_dataset_bytes_both_branches(spark, tmp_path, monkeypatch):
     (d / "a.parquet").write_bytes(b"x" * 100)
     (d / "sub").mkdir()
     (d / "sub" / "b.parquet").write_bytes(b"y" * 50)
+    # writer metadata is excluded from DATA bytes (ADVICE r13 #4): markers
+    # must not drift bucket-count sizing across a 24MB boundary
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".a.parquet.crc").write_bytes(b"c" * 999)
+    (d / "sub" / "_committed_1").write_bytes(b"m" * 777)
     assert fsio.dataset_bytes(str(d)) == 150
     assert fsio.dataset_bytes(str(d / "a.parquet")) == 100
     with pytest.raises(OSError):
         fsio.dataset_bytes(str(tmp_path / "missing"))
-    # remote branch via the Hadoop FS (file:// forced remote)
+    # remote branch via the Hadoop FS (file:// forced remote): one
+    # getContentSummary, which INCLUDES non-hidden markers (documented
+    # upper bound; Hadoop's ChecksumFileSystem hides the .crc sidecar)
     monkeypatch.setattr(fsio, "is_remote", lambda p: str(p).startswith("file://"))
-    assert fsio.dataset_bytes(f"file://{d}") == 150
+    assert fsio.dataset_bytes(f"file://{d}") == 150 + 777
     with pytest.raises(OSError):
         fsio.dataset_bytes(f"file://{tmp_path}/missing")
 
