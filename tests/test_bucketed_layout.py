@@ -485,3 +485,75 @@ def test_compact_bucketed_second_store_guard(spark, sf_dir, tmp_path):
     finally:
         for t in ("segments_b", "segments_s2_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_fingerprint_sidecar_parity_and_plans(spark, sf_dir, tmp_path):
+    """Fingerprint sidecar (VERDICT r13 #1, layout.materialize_fingerprints):
+    dedup_exact / leakage_safe_split / fingerprints must return IDENTICAL
+    results from the precomputed sidecar, and the sidecar plans must (a)
+    never touch documents.parquet and (b) run the content-group aggregation
+    exchange-free (the bucketing's whole point)."""
+    from kafka_backup_spark.queries.pipeline import q_dedup_exact, q_leakage_safe_split
+    from kafka_backup_spark.queries.textops import q_fingerprints
+
+    FP_QUERIES = {
+        "dedup_exact": q_dedup_exact,
+        "leakage_safe_split": q_leakage_safe_split,
+        "fingerprints": q_fingerprints,
+    }
+    plain = {n: _rows(fn(spark, sf_dir)) for n, fn in FP_QUERIES.items()}
+    root = str(tmp_path / "fp")
+    entry = layout.materialize_fingerprints(spark, sf_dir, root, buckets=2)
+    assert layout.FP_KEY in entry["tables"]
+    assert entry["tables"][layout.FP_KEY]["buckets"] == 2
+    try:
+        with _layout_enabled(spark, root):
+            assert pipeline._fp_sidecar(spark, sf_dir) == "documents_fp_b"
+            # a sidecar from ANOTHER scale never answers
+            assert pipeline._fp_sidecar(spark, "/other/sf") is None
+            for n, fn in FP_QUERIES.items():
+                assert _rows(fn(spark, sf_dir)) == plain[n], f"{n} diverged on the sidecar"
+                p = _plan(fn(spark, sf_dir))
+                assert "documents_fp" in p, f"{n} did not read the sidecar:\n{p}"
+                assert "documents.parquet" not in p, f"{n} still scans raw text:\n{p}"
+            # content-group agg is exchange-free on the text_hash bucketing
+            assert "Exchange" not in _plan(q_dedup_exact(spark, sf_dir))
+        # disabled again: plain path self-heals
+        assert pipeline._fp_sidecar(spark, sf_dir) is None
+        for n, fn in FP_QUERIES.items():
+            assert _rows(fn(spark, sf_dir)) == plain[n]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS documents_fp_b")
+
+
+def test_fingerprint_sidecar_merges_into_family_manifest(spark, sf_dir, tmp_path):
+    """The sidecar shares the layout manifest with the TPC-H families —
+    build order must not matter and register_bucketed must round-trip all
+    entries, each with its own bucket count."""
+    root = str(tmp_path / "mixed")
+    layout.materialize_bucketed(spark, sf_dir, root, buckets=4, families=("orderkey",))
+    entry = layout.materialize_fingerprints(spark, sf_dir, root, buckets=2)
+    try:
+        assert sorted(entry["tables"]) == ["documents@fp", "lineitem", "orders"]
+        assert entry["buckets"] == 4  # family count untouched
+        assert entry["tables"][layout.FP_KEY]["buckets"] == 2
+        # family merge AFTER the sidecar keeps it
+        entry = layout.materialize_bucketed(spark, sf_dir, root, families=("orderkey", "custkey"))
+        assert layout.FP_KEY in entry["tables"]
+        # fresh-session round-trip honors the per-spec count
+        for spec in entry["tables"].values():
+            spark.sql(f"DROP TABLE IF EXISTS {spec['name']}")
+        got = layout.register_bucketed(spark, root)
+        assert got is not None and layout.FP_KEY in got["tables"]
+        desc = "\n".join(
+            f"{r.col_name} {r.data_type}"
+            for r in spark.sql("DESCRIBE TABLE EXTENDED documents_fp_b").collect()
+        )
+        assert "Num Buckets 2" in desc, desc
+        # another scale's root refuses the sidecar build
+        with pytest.raises(ValueError, match="belongs to"):
+            layout.materialize_fingerprints(spark, "/root/testdata/sf0.01", root)
+    finally:
+        for t in ("lineitem_b", "orders_b", "orders_custkey_b",
+                  "customer_custkey_b", "documents_fp_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
