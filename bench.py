@@ -178,7 +178,11 @@ def main() -> int:
         floor = min(floor, time.perf_counter() - t0)
     floor = round(floor, 3)
 
-    spread_doc, summary_doc = build_output(timings, spreads, floor, sf, repeats)
+    # fixed CPU calibration anchors (see cpu_anchor): per-engine box-speed
+    # reference so cross-round BENCH deltas can be normalized in one line
+    anchors = (cpu_anchor(spark), cpu_anchor_duck())
+
+    spread_doc, summary_doc = build_output(timings, spreads, floor, sf, repeats, anchors)
     summary_doc["shuffle_partitions"] = n_shuffle
     summary_doc["bucketed_layout"] = use_layout
     summary_doc["layout_build_sec"] = layout_build
@@ -204,12 +208,58 @@ def spreads_path() -> str:
     )
 
 
+# ── fixed CPU calibration anchor (VERDICT r13 #4) ─────────────────────────
+# Cross-round BENCH deltas have moved ±40% on box drift alone (r12→r13),
+# and the noop floor only captures scheduler latency, not compute drift.
+# This anchor is a DETERMINISTIC, data-independent, pure-compute aggregate
+# — Spark: whole-stage-codegen over an in-memory range; DuckDB: the same
+# expression over range() — so its per-round movement is box speed and
+# nothing else.  To normalize a cross-round comparison, divide each
+# round's query seconds by that round's anchor seconds (per engine).
+_ANCHOR_N = 400_000_000
+_ANCHOR_EXPR = "sum(id * 2654435761 % 1000000007)"
+_ANCHOR_VALUE = 199999998161598127  # pinned: both engines must agree
+
+
+def cpu_anchor(spark) -> float:
+    """Min-of-3 seconds for the fixed JVM-side anchor aggregate (value
+    asserted — a wrong result means the anchor is not comparable)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got = (
+            spark.range(0, _ANCHOR_N, 1, spark.sparkContext.defaultParallelism)
+            .selectExpr(f"{_ANCHOR_EXPR} AS s")
+            .collect()[0].s
+        )
+        best = min(best, time.perf_counter() - t0)
+        assert got == _ANCHOR_VALUE, f"anchor value drifted: {got}"
+    return round(best, 3)
+
+
+def cpu_anchor_duck() -> float:
+    """The DuckDB twin of cpu_anchor (same expression, same pinned value)."""
+    import duckdb
+
+    con = duckdb.connect()
+    sql = f"SELECT {_ANCHOR_EXPR.replace('id', 'i')} FROM range({_ANCHOR_N}) t(i)"
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got = con.sql(sql).fetchall()[0][0]
+        best = min(best, time.perf_counter() - t0)
+        assert int(got) == _ANCHOR_VALUE, f"duck anchor value drifted: {got}"
+    con.close()
+    return round(best, 3)
+
+
 def build_output(
     timings: dict[str, float],
     spreads: dict[str, list[float]],
     floor: float,
     sf: float,
     repeats: int,
+    anchors: tuple[float, float] | None = None,
 ) -> tuple[dict, dict]:
     """Two-channel output (VERDICT r6 "what's wrong" #1): the driver captures
     only the TAIL of stdout and parses the LAST line, so the bulky per-repeat
@@ -233,6 +283,8 @@ def build_output(
         "noop_floor_sec": floor,
         "net_total_sec": round(sum(max(t - floor, 0.0) for t in timings.values()), 3),
     }
+    if anchors is not None:
+        summary_doc["cpu_anchor_sec"], summary_doc["cpu_anchor_duck_sec"] = anchors
     return spread_doc, summary_doc
 
 

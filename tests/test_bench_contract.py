@@ -40,7 +40,9 @@ def test_headline_includes_r6_operators():
 def test_summary_line_is_compact_and_spread_free():
     timings = {n: 0.1 for n in bench.HEADLINE}
     spreads = {n: [0.5, 0.2, 0.1, 0.15, 0.12] for n in bench.HEADLINE}
-    spread_doc, summary_doc = bench.build_output(timings, spreads, 0.03, 0.1, 5)
+    spread_doc, summary_doc = bench.build_output(
+        timings, spreads, 0.03, 0.1, 5, anchors=(0.93, 5.2)
+    )
 
     # the summary must never carry the per-repeat spreads, and its key set
     # is pinned so a future addition consciously re-checks the size budget
@@ -48,7 +50,10 @@ def test_summary_line_is_compact_and_spread_free():
     assert set(summary_doc) == {
         "metric", "value", "unit", "queries", "sf", "repeats",
         "noop_floor_sec", "net_total_sec",
+        "cpu_anchor_sec", "cpu_anchor_duck_sec",
     }
+    assert summary_doc["cpu_anchor_sec"] == 0.93
+    assert summary_doc["cpu_anchor_duck_sec"] == 5.2
     # the driver's tail buffer is finite; with ~33 queries the compact line
     # must stay well under 4 KiB (observed r6 failure: ~3.5 KiB of spreads
     # pushed the combined line past the capture)
@@ -59,3 +64,30 @@ def test_summary_line_is_compact_and_spread_free():
     assert summary_doc["net_total_sec"] == round(
         sum(max(t - 0.03, 0.0) for t in timings.values()), 3
     )
+
+
+def test_cpu_anchor_deterministic_and_engine_agreeing(spark):
+    """The calibration anchor (VERDICT r13 #4) is only useful if it is a
+    CONSTANT computation: both engines must produce the pinned value (the
+    anchor functions assert it internally) and return a positive time."""
+    # shrink the range for test speed — the pinned value only holds at the
+    # shipped N, so drive the internal assertion path directly instead
+    t_spark = None
+    import time as _time
+
+    t0 = _time.perf_counter()
+    got = (
+        spark.range(0, bench._ANCHOR_N, 1, 4)
+        .selectExpr(f"{bench._ANCHOR_EXPR} AS s")
+        .collect()[0].s
+    )
+    t_spark = _time.perf_counter() - t0
+    assert got == bench._ANCHOR_VALUE
+    assert t_spark > 0
+
+    import duckdb
+
+    con = duckdb.connect()
+    sql = f"SELECT {bench._ANCHOR_EXPR.replace('id', 'i')} FROM range({bench._ANCHOR_N}) t(i)"
+    assert int(con.sql(sql).fetchall()[0][0]) == bench._ANCHOR_VALUE
+    con.close()
