@@ -181,6 +181,10 @@ def release_plan_cache(spark: SparkSession | None = None) -> None:
     # gate, not serve the stale verdict (ADVICE r12).  Process-wide, like
     # the sf_dir-keyed plans it feeds.
     pipeline._GATE_MEMO.clear()
+    # money-mode memos share _GATE_MEMO's staleness story (footer-derived,
+    # data-keyed): a regenerated dataset must re-prove its overflow window
+    pipeline._MONEY_MODE.clear()
+    pipeline._MONEY_BOUNDS.clear()
     # the layout-manifest memo too: a family or sidecar added to the root
     # mid-session (bench builds the fp sidecar after registration) must be
     # visible to the next plan build, not hidden behind the stale manifest

@@ -338,27 +338,30 @@ def _parquet_footer_stats(path: str, *columns: str):
     return rows, maxes, mins
 
 
-_MONEY_MODE: dict[str, bool] = {}
+_MONEY_MODE: dict[tuple[str, str], bool] = {}
+_MONEY_BOUNDS: dict[str, dict | None] = {}
 
 
-def _money_single(spark: SparkSession, sf_dir: str) -> bool:
-    """True when a single BIGINT accumulator is provably overflow-safe for
-    every money aggregate in the TPC-H family on this dataset (see the
-    mode comment above).  Data-keyed cache: the decision depends only on
-    the files.  Any missing statistic disables single mode — the hi/lo
-    split is always correct, just slower."""
-    mode = ""
-    try:
-        mode = str(spark.conf.get("spark.kafkaBackupSpark.moneyMode", "auto"))
-    except Exception:
-        pass
-    if mode == "single":
-        return True
-    if mode == "hilo":
-        return False
-    if sf_dir in _MONEY_MODE:
-        return _MONEY_MODE[sf_dir]
-    single = False
+def _money_bounds(sf_dir: str) -> dict | None:
+    """Per-EXPRESSION worst-case per-row magnitudes (in 1e-6-dollar units)
+    derived from parquet footer min/max, plus the row count — cached per
+    sf_dir.  None when any footer statistic is missing (object stores,
+    stats-less writers): callers fall back to the scale-safe hi/lo path.
+
+    Kinds (VERDICT r13 #5 — the r13 gate applied ONE family-worst bound,
+    Q1's triple product, to every aggregate; at sf10 that blocked
+    single-sum for the plain revenue sums whose own per-row magnitude is
+    ~100× smaller):
+
+    - ``rev``:    pc·(100−dc)                    (q3/q5/q7/q10/q14/q15/q19…)
+    - ``disc``:   pc·dc                          (q6 — dc ≤ 10 in TPC-H data,
+                                                  so another ~10× headroom)
+    - ``charge``: pc·(100−dc)·(100+tc)           (q1's charge column)
+    - ``q9``:     |pc·(100−dc) − rp·qc|          (mixed-sign profit)
+    - ``worst``:  max of all (the r13 family-wide behavior, the default)"""
+    if sf_dir in _MONEY_BOUNDS:
+        return _MONEY_BOUNDS[sf_dir]
+    out = None
     try:
         li = _parquet_footer_stats(
             f"{sf_dir}/lineitem.parquet",
@@ -375,29 +378,67 @@ def _money_single(spark: SparkSession, sf_dir: str) -> bool:
             rp = pt[1]["p_retailprice"] * 100
             # Discount/tax amplification factors derived from the footer
             # min/max (ADVICE r9 #2) instead of assuming 0 ≤ dc ≤ 100 and
-            # tc ≤ 8: disc_amp bounds both |100-dc| (Q1/Q6 revenue) and
-            # |dc| (Q14 promo numerator); tax_amp bounds |100+tc|.  Data
+            # tc ≤ 8: comp_amp bounds |100-dc| (revenue), disc_amp bounds
+            # |dc| (Q6's forecast sum); tax_amp bounds |100+tc|.  Data
             # outside the classic TPC-H ranges just shrinks the admitted
             # window — never voids the proof.
             dc_lo, dc_hi = low["l_discount"] * 100, lim["l_discount"] * 100
             tc_lo, tc_hi = low["l_tax"] * 100, lim["l_tax"] * 100
-            disc_amp = max(abs(100 - dc_lo), abs(100 - dc_hi), abs(dc_lo), abs(dc_hi))
+            comp_amp = max(abs(100 - dc_lo), abs(100 - dc_hi))
+            disc_amp = max(abs(dc_lo), abs(dc_hi))
             tax_amp = max(abs(100 + tc_lo), abs(100 + tc_hi))
-            # worst per-row magnitude across the family: Q1's triple
-            # product pc·(100-dc)·(100+tc), or Q9's |pc·(100-dc) − rp·qc|
-            worst = max(pc * disc_amp * tax_amp, pc * disc_amp + rp * qc)
-            # 2^59, not 2^62 (ADVICE r9 #1): the oracle always reconstructs
-            # hi·1e6 + lo in doubles, and that expression is the correctly
-            # rounded double of the exact integer total only while
-            # hi·15625 < 2^53 ⇔ total < 2^53·64 = 2^59 (1e6 = 2^6·15625,
-            # so hi·1e6 is then exact) AND lo itself is exact
-            # (lo ≤ rows·(1e6−1) < 2^53).  Inside that window single mode's
-            # 0·1e6 + total and the oracle's hi·1e6 + lo are both the
-            # correctly-rounded double of the same integer — bit-identical.
-            single = rows * worst < float(2**59) and rows * 1e6 < float(2**53)
+            bounds = {
+                "rev": pc * comp_amp,
+                "disc": pc * disc_amp,
+                "charge": pc * comp_amp * tax_amp,
+                "q9": pc * comp_amp + rp * qc,
+            }
+            bounds["worst"] = max(bounds.values())
+            out = {"rows": rows, "bounds": bounds}
     except Exception:
-        single = False  # unreadable footers → scale-safe path
-    _MONEY_MODE[sf_dir] = single
+        out = None  # unreadable footers → scale-safe path
+    _MONEY_BOUNDS[sf_dir] = out
+    return out
+
+
+def _money_single(spark: SparkSession, sf_dir: str, kind: str = "worst") -> bool:
+    """True when a single BIGINT accumulator is provably parity-safe for
+    money aggregates of per-row shape ``kind`` on this dataset (see the
+    mode comment above and _money_bounds).  Data-keyed cache: the decision
+    depends only on the files.  Any missing statistic disables single
+    mode — the hi/lo split is always correct, just slower.  Mixed modes
+    within one query are sound: each aggregate's (hi, lo) reconstruction
+    is independent, so e.g. q1 runs its revenue sums single while its
+    charge column stays hi/lo."""
+    mode = ""
+    try:
+        mode = str(spark.conf.get("spark.kafkaBackupSpark.moneyMode", "auto"))
+    except Exception:
+        pass
+    if mode == "single":
+        return True
+    if mode == "hilo":
+        return False
+    key = (sf_dir, kind)
+    if key in _MONEY_MODE:
+        return _MONEY_MODE[key]
+    single = False
+    mb = _money_bounds(sf_dir)
+    if mb is not None:
+        # 2^59, not 2^62 (ADVICE r9 #1): the oracle always reconstructs
+        # hi·1e6 + lo in doubles, and that expression is the correctly
+        # rounded double of the exact integer total only while
+        # hi·15625 < 2^53 ⇔ total < 2^53·64 = 2^59 (1e6 = 2^6·15625,
+        # so hi·1e6 is then exact) AND lo itself is exact
+        # (lo ≤ rows·(1e6−1) < 2^53).  Inside that window single mode's
+        # 0·1e6 + total and the oracle's hi·1e6 + lo are both the
+        # correctly-rounded double of the same integer — bit-identical.
+        rows = mb["rows"]
+        single = (
+            rows * mb["bounds"][kind] < float(2**59)
+            and rows * 1e6 < float(2**53)
+        )
+    _MONEY_MODE[key] = single
     return single
 
 
@@ -440,13 +481,21 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelizes without a per-query exchange; at 100 TB the table exceeds
     # the pin gate and the scan's own splits provide the parallelism.
     _view(spark, sf_dir, "lineitem", bucketed=_gated_orderkey(sf_dir, "lineitem"))
-    s = _money_single(spark, sf_dir)
+    # per-expression gating (VERDICT r13 #5): the revenue sums admit
+    # single-sum ~100× earlier than the triple-product charge column, so
+    # each aggregate carries its own proof — at sf10 rev runs single while
+    # charge stays hi/lo, and the oracle's unchanged hi/lo text still
+    # hash-matches both (parity bound per aggregate)
     return spark.sql(_cents_sql(
         _Q1_BODY.format(
             IDIV="div",
-            REV_SUM=_money_sum("pc * (100 - dc)", "rev_hi", "rev_lo", "div", s),
+            REV_SUM=_money_sum(
+                "pc * (100 - dc)", "rev_hi", "rev_lo", "div",
+                _money_single(spark, sf_dir, "rev"),
+            ),
             CHG_SUM=_money_sum(
-                "pc * (100 - dc) * (100 + tc)", "chg_hi", "chg_lo", "div", s
+                "pc * (100 - dc) * (100 + tc)", "chg_hi", "chg_lo", "div",
+                _money_single(spark, sf_dir, "charge"),
             ),
         )
     ))
@@ -531,7 +580,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders.o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC so the
     # cast is an identity relabel and matches DuckDB's epoch_ms on naive ts
     rev = _money_sum(
-        "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
+        "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir, "rev")
     )
     return spark.sql(_cents_sql(f"""
 WITH li AS (
@@ -633,7 +682,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     60M fact rows, which no layout or plan shape touches."""
     _view(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region", bucketed=_gated_orderkey(sf_dir, "lineitem", "orders"))
     rev = _money_sum(
-        "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
+        "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir, "rev")
     )
     return spark.sql(_cents_sql(f"""
 WITH asia AS (
@@ -698,7 +747,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         _Q6_BODY.format(
             IDIV="div",
             REV_SUM=_money_sum(
-                "pc * dc", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
+                "pc * dc", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir, "disc")
             ),
         )
     ))
@@ -755,7 +804,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         else ""
     )
     rev = _money_sum(
-        "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
+        "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir, "rev")
     )
     return spark.sql(_cents_sql(f"""
 WITH li AS (
@@ -1237,7 +1286,7 @@ FROM t
 
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     _view(spark, sf_dir, "lineitem", "part")
-    s = _money_single(spark, sf_dir)
+    s = _money_single(spark, sf_dir, "rev")  # promo CASE and rev share the pc*(100-dc) bound
     promo = "CASE WHEN p_type = 'PROMO' THEN pc * (100 - dc) ELSE 0 END"
     return spark.sql(_cents_sql(
         _Q14_BODY.format(
@@ -1291,7 +1340,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             IDIV="div",
             REV_SUM=_money_sum(
                 "pc * (100 - dc)", "rev_hi", "rev_lo", "div",
-                _money_single(spark, sf_dir),
+                _money_single(spark, sf_dir, "rev"),
             ),
         )
     ))
@@ -2803,7 +2852,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         else ""
     )
     rev = _money_sum(
-        "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir)
+        "pc * (100 - dc)", "rev_hi", "rev_lo", "div", _money_single(spark, sf_dir, "rev")
     )
     return spark.sql(_cents_sql(f"""
 WITH sn AS (
@@ -2887,7 +2936,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             HINT=hint,
             IDIV="div",
             AMT_SUM=_money_sum(
-                "amount_u", "hi", "lo", "div", _money_single(spark, sf_dir)
+                "amount_u", "hi", "lo", "div", _money_single(spark, sf_dir, "q9")
             ),
         )
     ))
@@ -2950,7 +2999,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
         F.round(F.col("l_discount") * 100).cast("long").alias("dc"),
     )
-    if _money_single(spark, sf_dir):
+    if _money_single(spark, sf_dir, "rev"):
         total_u = F.sum(F.col("pc") * (100 - F.col("dc"))).cast("long")
     else:
         total_u = (

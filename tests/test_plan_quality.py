@@ -825,3 +825,44 @@ def test_money_gate_reads_footers(spark):
     assert _money_single(spark, "/root/testdata/sf0.001") is True
     assert _parquet_footer_stats("/nonexistent/lineitem.parquet", "x") is None
     assert _money_single(spark, "/nonexistent") is False
+
+
+def test_money_gate_per_expression_kinds(spark, monkeypatch):
+    """Per-expression money gating (VERDICT r13 #5): each aggregate shape
+    carries its OWN footer-derived per-row bound — at a row count between
+    the rev and charge thresholds, q1's revenue sums run single while its
+    charge column stays hi/lo, and the mixed-mode result is bit-identical
+    to forced hi/lo (each aggregate's reconstruction is independent)."""
+    from kafka_backup_spark import catalog
+    from kafka_backup_spark.queries import pipeline
+
+    sf = "/root/testdata/sf0.001"
+    bounds = pipeline._money_bounds(sf)
+    assert bounds is not None
+    b = bounds["bounds"]
+    # ordering invariants on real footers: the triple product dominates
+    # its own factors, and worst is the max of all kinds
+    assert b["rev"] < b["charge"]
+    assert b["disc"] <= b["rev"]  # TPC-H discounts ≤ 10% ⇒ |dc| ≤ |100−dc|
+    assert b["worst"] == max(b.values())
+
+    # craft a boundary dataset: rows chosen so rows*rev < 2^59 ≤ rows*charge
+    rows = int(float(2**59) / b["charge"]) + 1
+    crafted = dict(bounds, rows=rows)
+    monkeypatch.setitem(pipeline._MONEY_BOUNDS, "/fake/boundary", crafted)
+    assert pipeline._money_single(spark, "/fake/boundary", "rev") is True
+    assert pipeline._money_single(spark, "/fake/boundary", "charge") is False
+    assert pipeline._money_single(spark, "/fake/boundary", "worst") is False
+
+    # the shipped mixed-mode q1 at the real fixture must match forced hilo
+    # bit-for-bit (the driver oracle always runs hi/lo)
+    fn = catalog.queries()["tpch_q1_pricing"]
+    auto = sorted(map(tuple, fn(spark, sf).collect()))
+    spark.conf.set("spark.kafkaBackupSpark.moneyMode", "hilo")
+    catalog.release_plan_cache(spark)
+    try:
+        hilo = sorted(map(tuple, fn(spark, sf).collect()))
+    finally:
+        spark.conf.unset("spark.kafkaBackupSpark.moneyMode")
+        catalog.release_plan_cache(spark)
+    assert auto == hilo
