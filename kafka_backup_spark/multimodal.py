@@ -17,6 +17,7 @@ column expression (sequence/explode, JVM-side).
 from __future__ import annotations
 
 import hashlib
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -143,15 +144,196 @@ def synthesize_bmp(media_id: int, width: int = 12, height: int = 8) -> bytes:
     return encode_bmp(width, height, bytes(rgb))
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth_row(line: np.ndarray, prev: np.ndarray, ch: int) -> np.ndarray:
+    """Unfilter one Paeth-filtered scanline.  Left-neighbor dependency is
+    inherently sequential, but only ACROSS pixels — the ch channel bytes of
+    each pixel are independent, so the loop runs per pixel column (w
+    iterations of ch-wide numpy ops), not per byte."""
+    rec = np.empty(line.shape[0], np.int64)
+    prev64 = prev.astype(np.int64)
+    line64 = line.astype(np.int64)
+    w = line.shape[0] // ch
+    for i in range(w):
+        s = i * ch
+        a = rec[s - ch : s] if i else np.zeros(ch, np.int64)
+        b = prev64[s : s + ch]
+        c = prev64[s - ch : s] if i else np.zeros(ch, np.int64)
+        p = a + b - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+        rec[s : s + ch] = (line64[s : s + ch] + pred) & 0xFF
+    return rec.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Library-free decode of a non-interlaced 8-bit truecolor PNG (color
+    type 2 = RGB or 6 = RGBA, alpha dropped) — IHDR/IDAT chunk walk, one
+    stdlib ``zlib.decompress``, then per-scanline unfiltering (all five
+    PNG filter types).  VERDICT r13 #6: PNG is deflate-based and zlib is
+    stdlib, so unlike JPEG this codec needs NO external library.  Returns
+    (width, height, top-down RGB bytes), matching ``decode_bmp``.
+
+    Unfiltering is numpy-vectorized where the recurrence allows: None and
+    Up are whole-row ops, Sub is a per-channel cumulative sum (uint8
+    wraparound == mod-256), Average/Paeth walk pixels (not bytes) with
+    vectorized channel math.  Raises ValueError on any other PNG flavor
+    (palette, 16-bit, interlaced) — callers fall back to byte_profile."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing/short IHDR")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or ctype not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={ctype} interlace={interlace}"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PNG dims {width}x{height}")
+    ch = 3 if ctype == 2 else 4
+    if not idat:
+        raise ValueError("no IDAT chunk")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # torn payload → same fallback as other flavors
+        raise ValueError(f"bad IDAT stream: {e}") from e
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("scanline payload size mismatch")
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        if f == 0:  # None
+            rec = line.copy()
+        elif f == 1:  # Sub: cumsum per channel, uint8 cast == mod 256
+            rec = (
+                line.reshape(width, ch)
+                .astype(np.int64)
+                .cumsum(axis=0)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up: uint8 addition wraps mod 256
+            rec = line + prev
+        elif f == 3:  # Average
+            rec = np.empty(stride, np.uint8)
+            for i in range(width):
+                s = i * ch
+                a = rec[s - ch : s].astype(np.int64) if i else np.zeros(ch, np.int64)
+                b = prev[s : s + ch].astype(np.int64)
+                rec[s : s + ch] = (line[s : s + ch] + ((a + b) >> 1)).astype(np.uint8)
+        elif f == 4:  # Paeth
+            rec = _paeth_row(line, prev, ch)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(height, width, ch)
+    if ch == 4:
+        px = px[..., :3]  # drop alpha
+    return width, height, px.tobytes()
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes, filters=None) -> bytes:
+    """Deterministic fixture encoder (inverse of ``decode_png``): 8-bit RGB,
+    non-interlaced.  ``filters`` picks the per-row filter type (default:
+    row_index % 5, so a multi-row fixture exercises every unfilter path —
+    the oracle-checked catalog row then proves all five)."""
+    px = np.frombuffer(rgb, np.uint8).reshape(height, width * 3).astype(np.int64)
+    lines = bytearray()
+    zero = np.zeros(width * 3, np.int64)
+    for y in range(height):
+        f = (y % 5) if filters is None else filters[y % len(filters)]
+        cur = px[y]
+        prev = px[y - 1] if y else zero
+        left = np.concatenate([np.zeros(3, np.int64), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int64), prev[:-3]])
+        if f == 0:
+            raw = cur
+        elif f == 1:
+            raw = cur - left
+        elif f == 2:
+            raw = cur - prev
+        elif f == 3:
+            raw = cur - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            raw = cur - pred
+        else:
+            raise ValueError(f"bad filter {f}")
+        lines += bytes([f]) + (raw & 0xFF).astype(np.uint8).tobytes()
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # 8-bit, truecolor RGB, non-interlaced
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synthesize_png(media_id: int, width: int = 12, height: int = 8) -> bytes:
+    """The same deterministic gradient as ``synthesize_bmp``, PNG-encoded
+    (cycling through all five scanline filters)."""
+    rgb = bytearray()
+    for y in range(height):
+        for x in range(width):
+            rgb += bytes(
+                (
+                    (media_id * 37 + x * 11) % 256,
+                    (media_id * 59 + y * 13) % 256,
+                    (x * y + media_id) % 256,
+                )
+            )
+    return encode_png(width, height, bytes(rgb))
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload to (width, height, top-down RGB bytes).
 
-    Real in this container for uncompressed 24-bit BMPs (``decode_bmp``,
-    pure Python).  Other formats need an imaging library that is not
+    Real in this container for uncompressed 24-bit BMPs (``decode_bmp``)
+    and non-interlaced 8-bit truecolor PNGs (``decode_png``, stdlib zlib)
+    — both pure Python.  Other formats need an imaging library that is not
     installed here: with PIL present they would decode through it; without
     one this raises, and pipeline callers fall back to ``byte_profile``."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     if _have_image_codec():  # pragma: no cover - container has no codec libs
         import io
 
@@ -303,7 +485,8 @@ def image_stats(media: DataFrame) -> DataFrame:
                         (
                             int(mid), w, h, w * h,
                             int(s[0]), int(s[1]), int(s[2]),
-                            "bmp" if b[:2] == b"BM" else "pil",
+                            "bmp" if b[:2] == b"BM"
+                            else ("png" if b[:8] == _PNG_SIG else "pil"),
                         )
                     )
                 except (NotImplementedError, ValueError):

