@@ -72,6 +72,10 @@ HEADLINE = [
     "ann_recall",
     "compaction_plan",
     "dup_membership",
+    # r14: the ingest-side bucketed segment layout in the measured path
+    # (VERDICT r13 #7) — exchange-free (topic, partition) rollup over
+    # compact_bucketed output
+    "segment_rollup_bucketed",
 ]
 
 

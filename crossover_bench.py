@@ -73,6 +73,7 @@ def main() -> int:
     # renamed tables) must fail loudly, not read the wrong copies
     # (ADVICE r13 #5)
     layout_paths: dict[str, str] = {}
+    oracle_fp = False
     if args.oracle_layout:
         mpath = os.path.join(args.oracle_layout, "bucketed_layout.json")
         with open(mpath) as fh:
@@ -86,6 +87,10 @@ def main() -> int:
                     "materialize_bucketed(families=('orderkey',...)) first"
                 )
             layout_paths[t] = spec["path"]
+        fp_spec = man.get("tables", {}).get("documents@fp")
+        if fp_spec is not None:
+            layout_paths["documents_fp"] = fp_spec["path"]
+            oracle_fp = True
 
     con = duckdb.connect()
     for t in TABLES:
@@ -94,6 +99,22 @@ def main() -> int:
         if t in layout_paths:
             src = f"{layout_paths[t]}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    if oracle_fp:
+        # fair-storage twin for the content-group queries: DuckDB reads the
+        # SAME ingest-computed fingerprint sidecar the Spark side serves
+        # (pipeline.SQL_*_FP; standard oracles keep hashing raw text)
+        from kafka_backup_spark.queries.pipeline import (
+            SQL_DEDUP_EXACT_FP,
+            SQL_LEAKAGE_SAFE_SPLIT_FP,
+        )
+
+        con.sql(
+            "CREATE VIEW documents_fp AS SELECT * FROM "
+            f"'{layout_paths['documents_fp']}/*.parquet'"
+        )
+        sqls = dict(sqls)
+        sqls["dedup_exact"] = SQL_DEDUP_EXACT_FP
+        sqls["leakage_safe_split"] = SQL_LEAKAGE_SAFE_SPLIT_FP
 
     rows = []
     for name in names:
@@ -124,6 +145,7 @@ def main() -> int:
         "metric": "crossover_summary",
         "sf_dir": args.sf_dir,
         "oracle_layout": args.oracle_layout or None,
+        "oracle_fp_sidecar": oracle_fp,
         "queries": len(rows),
         "spark_total_s": round(total_s, 3),
         "duck_total_s": round(total_o, 3),

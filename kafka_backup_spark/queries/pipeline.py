@@ -1022,6 +1022,28 @@ SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_doc_
 FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 """
 
+# Symmetric-protocol (fair-storage) twin: when the comparison serves BOTH
+# engines the ingest-computed artifacts (crossover_bench --oracle-layout,
+# the r13 precedent for the sorted fact copies), DuckDB reads the same
+# fingerprint sidecar (view ``documents_fp``) instead of re-hashing raw
+# text — same algebraic twin-folding as _corpus_groups' sidecar branch.
+# The STANDARD oracle above stays on raw text; this alt is used only by
+# the symmetric chain and recorded in its summary JSON.
+_FP_GROUPS_SQL = """
+gr AS (
+    SELECT text_hash AS h,
+           CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS n,
+           min(doc_id) AS gid
+    FROM documents_fp GROUP BY text_hash
+)
+"""
+
+SQL_DEDUP_EXACT_FP = f"""
+WITH {_FP_GROUPS_SQL}
+SELECT h AS text_hash, n AS n_docs, gid AS canonical_doc_id
+FROM gr WHERE n > 1
+"""
+
 
 # ── M7: text quality metrics ──────────────────────────────────────────────
 
@@ -2809,6 +2831,30 @@ FROM assigned GROUP BY split
 
 
 SQL_LEAKAGE_SAFE_SPLIT = _leakage_safe_split_sql()
+
+
+def _leakage_safe_split_fp_sql() -> str:
+    """Symmetric-protocol twin over the fingerprint sidecar view (see
+    SQL_DEDUP_EXACT_FP): groups from ``documents_fp``, identical split
+    assignment and rollup."""
+    from kafka_backup_spark.functions.hashing import fast_hash64_duckdb as fh
+
+    return f"""
+WITH {_FP_GROUPS_SQL},
+assigned AS (
+    SELECT n,
+           CASE WHEN {fh('CAST(gid AS VARCHAR)')} % 100 < 98 THEN 'train'
+                WHEN {fh('CAST(gid AS VARCHAR)')} % 100 = 98 THEN 'val'
+                ELSE 'test' END AS split
+    FROM gr
+)
+SELECT split, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM assigned GROUP BY split
+"""
+
+
+SQL_LEAKAGE_SAFE_SPLIT_FP = _leakage_safe_split_fp_sql()
 
 
 # ── TPC-H Q7-shaped: volume shipping between a nation pair ────────────────
