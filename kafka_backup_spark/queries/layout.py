@@ -336,11 +336,17 @@ def materialize_fingerprints(
         )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if buckets is None:
-        # ~48 bytes/row (8B id + two 32-hex hashes zstd'd + ints), 24 MB
-        # per bucket, clamped like the family sizing
+        # ROWS-based sizing, not bytes (unlike the fact families): the
+        # sidecar's bucket count IS the parallelism of every single-phase
+        # content-group aggregation over it, and its rows are fixed-width
+        # (~48 B) — a byte target sized for fact scans gave sf10's 550k
+        # rows TWO buckets and a 2-way agg (r14 A/B: 0.58 s at 2 buckets
+        # vs 0.23 s at 32).  ~16k hash-rows per bucket keeps per-task agg
+        # maps small and reaches the parallelism cap quickly; tiny corpora
+        # still land at 2.
         n = docs.count()
         cap = max(2, spark.sparkContext.defaultParallelism)
-        buckets = min(cap, max(2, -(-(n * 48) // (24 << 20))))
+        buckets = min(cap, max(2, -(-n // 16384)))
     name = "documents_fp_b"
     path = os.path.join(out_root, name)
     spec = write_bucketed_table(
