@@ -121,6 +121,22 @@ def main() -> int:
 
     docs = load("documents")
 
+    # Id-space contract (r14, learned the hard way): the replica shift is a
+    # FIXED 1e7, so amplifying an ALREADY-AMPLIFIED corpus makes replica i
+    # of source-replica j collide with (i', j') whenever i+j = i'+j' —
+    # 500k rows with only ~95k distinct doc_ids at ×10-of-×10.  Duplicate
+    # doc_ids violate the corpus primary-key contract and silently diverge
+    # the per-row Spark gram arrays from the per-doc_id SQL twins
+    # (selfcheck caught it as near-dup FAILs at sf10).  Always amplify
+    # from the ORIGINAL sf0.1 with a larger --factor instead.
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
+    if max_doc >= 10_000_000:
+        raise SystemExit(
+            f"--src documents look already amplified (max doc_id {max_doc} "
+            ">= the 1e7 replica shift): re-amplifying would collide doc_ids; "
+            "amplify from the original sf0.1 with a larger --factor"
+        )
+
     def doc_extra(r, i):
         if i == 0:
             return r
