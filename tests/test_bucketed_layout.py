@@ -581,3 +581,41 @@ def test_segment_rollup_bucketed_is_exchange_free(spark, sf_dir):
     )
     got = {(r.topic, r.partition): r.n_records for r in df.collect()}
     assert got == {(r.topic, r.partition): r["count"] for r in plain}
+
+
+def test_fp_alt_oracle_sql_matches_standard(spark, sf_dir, tmp_path):
+    """The symmetric-protocol DuckDB twins (SQL_DEDUP_EXACT_FP /
+    SQL_LEAKAGE_SAFE_SPLIT_FP, reading the fingerprint sidecar) must
+    return exactly what the standard raw-text oracles return — pinned
+    here so the crossover chain's fair-storage mode can never drift."""
+    import duckdb
+
+    from kafka_backup_spark.queries.pipeline import (
+        SQL_DEDUP_EXACT,
+        SQL_DEDUP_EXACT_FP,
+        SQL_LEAKAGE_SAFE_SPLIT,
+        SQL_LEAKAGE_SAFE_SPLIT_FP,
+    )
+
+    root = str(tmp_path / "fp_alt")
+    entry = layout.materialize_fingerprints(spark, sf_dir, root, buckets=2)
+    try:
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf_dir}/documents.parquet'"
+        )
+        con.sql(
+            "CREATE VIEW documents_fp AS SELECT * FROM "
+            f"'{entry['tables'][layout.FP_KEY]['path']}/*.parquet'"
+        )
+        for std, alt in (
+            (SQL_DEDUP_EXACT, SQL_DEDUP_EXACT_FP),
+            (SQL_LEAKAGE_SAFE_SPLIT, SQL_LEAKAGE_SAFE_SPLIT_FP),
+        ):
+            a = con.sql(std)
+            b = con.sql(alt)
+            assert [d[0] for d in a.description] == [d[0] for d in b.description]
+            assert sorted(a.fetchall()) == sorted(b.fetchall())
+    finally:
+        spark.sql("DROP TABLE IF EXISTS documents_fp_b")
