@@ -56,12 +56,24 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.bench_json:
+        bench_source = args.bench_json
         bench = json.load(open(args.bench_json))
     else:
         files = sorted(glob.glob("BENCH_r*.json"))
         if not files:
             print("no BENCH_r*.json found; pass --bench-json", file=sys.stderr)
             return 2
+        bench_source = files[-1]
+        # the default pairs fresh oracle times with the DRIVER's bench —
+        # a DIFFERENT session, possibly a different box state.  Valid for
+        # the per-round report; for a within-chain record run bench.py
+        # first and pass its output via --bench-json (r14 lesson: two
+        # artifacts were discarded for exactly this mispairing).
+        print(
+            f"WARNING: pairing against {bench_source} (cross-session); "
+            "pass --bench-json <fresh bench output> for a within-chain record",
+            file=sys.stderr,
+        )
         bench = json.load(open(files[-1]))
     # driver BENCH_r*.json wraps the bench line under "parsed"; raw bench.py
     # output is the dict itself
@@ -170,6 +182,7 @@ def main() -> int:
         json.dumps(
             {
                 "metric": "oracle_ratio",
+                "bench_source": bench_source,
                 "spark_total_sec": round(tot_s, 3),
                 "oracle_total_sec": round(tot_o, 3),
                 "ratio": round(tot_s / tot_o, 2) if tot_o else None,
