@@ -76,6 +76,9 @@ HEADLINE = [
     # (VERDICT r13 #7) — exchange-free (topic, partition) rollup over
     # compact_bucketed output
     "segment_rollup_bucketed",
+    # r14: real PCM decode in the measured path (the audio twin of
+    # image_stats — every new operator is benched when it lands)
+    "audio_stats",
 ]
 
 

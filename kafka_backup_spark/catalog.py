@@ -20,12 +20,12 @@ _MERGED: dict[str, tuple] = {
 }
 
 # The driver oracle-checks the FIRST 50 catalog entries only.  Rotation
-# policy (VERDICT r8 #6): the catalog holds 104 queries, so the window
+# policy (VERDICT r8 #6): the catalog holds 105 queries, so the window
 # ALTERNATES between two halves round by round — each round's window is
 # (a) every entry whose last driver CORRECTNESS row is oldest (everything
 # displaced in a prior round), then (b) every entry whose implementation
 # CHANGED this round (a change invalidates its old proof).  With selfcheck
-# verifying all 103 per session, the maximum driver-proof staleness for any
+# verifying all 105 per session, the maximum driver-proof staleness for any
 # entry is TWO rounds, and an entry never ships changed code on a stale
 # proof.  Entries past the cut stay in the catalog tail, so selfcheck and
 # the bench still cover them every round.
@@ -38,9 +38,10 @@ _FIRST = [
     # proof): the fingerprint-sidecar trio (dedup_exact,
     # leakage_safe_split, fingerprints), image_stats (PNG codec mix),
     # segment_rollup_bucketed, and the ten money-gate call sites
-    # (q1/q3/q5/q6/q7/q9/q10/q14/q15/q19).  That is 4 + 40 unchanged
-    # r12-proof + 15 changed = 59 candidates for 50 slots — NINE r12-proof
-    # entries slip to r15 (they MUST lead r15), each kin-justified by an
+    # (q1/q3/q5/q6/q7/q9/q10/q14/q15/q19), plus audio_stats (NEW).  That is
+    # 4 + 40 unchanged r12-proof + 16 changed/new = 60 candidates for 50
+    # slots — TEN r12-proof entries slip to r15 (they MUST lead r15), each
+    # kin-justified by an
     # in-window or fresh-proof entry exercising the same logic:
     # near_dup_jaccard (kin: near_dup_pipeline leads this window — same
     # pair-verify; the O(n²) baseline is also pinned by test_textops
@@ -52,8 +53,11 @@ _FIRST = [
     # lang_stats (kin: text_analysis IN window composes the quality and
     # lang-ID subexpressions verbatim; text_metrics r13 row),
     # scalar_hashes (kin: evidence_digest r13 row shares the sha256/base64
-    # scalar path + golden-vector pytest).  All nine are selfcheck-green
-    # at sf0.01 this session.
+    # scalar path + golden-vector pytest), topic_rename (kin:
+    # snapshot_import r13 row exercises rename_topics/remap_partitions —
+    # the same P11 projections — and test_filters pins both; its slot goes
+    # to audio_stats, NEW this round, which must earn a first driver hash
+    # row).  All ten are selfcheck-green at sf0.01 this session.
     # ── the four r11-proof entries, oldest proofs in the catalog
     "ann_recall",
     "dup_membership",
@@ -64,7 +68,6 @@ _FIRST = [
     "topic_glob_filter",
     "offset_range_scan",
     "partition_select",
-    "topic_rename",
     "manifest_build",
     "list_summary",
     "dry_run_estimate",
@@ -96,6 +99,7 @@ _FIRST = [
     # expression money gate's call sites — the driver proves every new
     # body against the UNCHANGED reference oracles
     "segment_rollup_bucketed",
+    "audio_stats",
     "dedup_exact",
     "leakage_safe_split",
     "fingerprints",
@@ -124,7 +128,7 @@ _FIRST = [
 # 54-into-50 exception (the four r9-proof entries that led r12); r12
 # honored it with a 59-into-50 exception (the nine r10-proof entries that
 # led r13); r13 honored it with a 54-into-50 exception (the four r11-proof
-# entries that LEAD this r14 window).  selfcheck.py verifies the full 104
+# entries that LEAD this r14 window).  selfcheck.py verifies the full 105
 # every session regardless.
 _FIRST = [n for n in _FIRST if n in _MERGED]
 assert len(_FIRST) == len(set(_FIRST)), "duplicate window entries"

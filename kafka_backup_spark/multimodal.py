@@ -511,6 +511,121 @@ def image_stats(media: DataFrame) -> DataFrame:
     ).mapInPandas(run, IMAGE_STATS_SCHEMA)
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Library-free decode of a PCM WAV (RIFF little-endian, format 1,
+    16-bit) — the audio twin of decode_bmp/decode_png (r14): RIFF chunk
+    walk for ``fmt `` and ``data``, then one zero-copy int16 frombuffer.
+    Returns (sample_rate, n_channels, samples) with ``samples`` the
+    interleaved int16 array.  Raises ValueError on any other WAV flavor
+    (float/ADPCM/24-bit) — callers fall back to byte_profile."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or n_channels < 1:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    if len(data) % 2:
+        raise ValueError("odd PCM byte length")
+    return sample_rate, n_channels, np.frombuffer(data, "<i2")
+
+
+def encode_wav(sample_rate: int, n_channels: int, samples: np.ndarray) -> bytes:
+    """Inverse of ``decode_wav`` (PCM 16-bit): deterministic fixture
+    encoder for tests and ``synthesize_wav``."""
+    data = np.asarray(samples, "<i2").tobytes()
+    block = n_channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) % 2:
+        body += b"\x00"
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def synthesize_wav(media_id: int, n_samples: int = 256, rate: int = 16000) -> bytes:
+    """Deterministic mono PCM keyed on media_id (no codec library needed):
+    sample[i] = ((id·31 + i·7) mod 65536) − 32768."""
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((media_id * 31 + i * 7) % 65536 - 32768).astype("<i2")
+    return encode_wav(rate, 1, samples)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sum_samples", LongType(), False),
+        StructField("max_abs", IntegerType(), False),
+        StructField("decoded", StringType(), False),  # pcm16 | fallback
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Per-clip PCM statistics through a REAL decode (mapInPandas →
+    ``decode_wav``): exact integer sample sum and peak amplitude, so the
+    output is deterministic and oracle-checkable without float tolerance
+    — the audio twin of image_stats (r14).  Non-PCM payloads degrade per
+    row to the byte-profile fallback with ``decoded='fallback'``; batch
+    shape, schema and partitioning identical either way (payload bytes
+    never leave the executors, no shuffle, Arrow-batched)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                try:
+                    rate, _ch, samples = decode_wav(b)
+                    s64 = samples.astype(np.int64)
+                    rows.append(
+                        (
+                            int(mid), rate, len(samples),
+                            int(s64.sum()),
+                            int(np.abs(s64).max()) if len(samples) else 0,
+                            "pcm16",
+                        )
+                    )
+                except ValueError:
+                    prof = byte_profile(b)
+                    rows.append(
+                        (int(mid), 0, 0, int(prof[0] * 255), 0, "fallback")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "sum_samples", "max_abs", "decoded",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: one row per sampled timestamp —
     pure column expressions (sequence/explode), no Python in the hot path.

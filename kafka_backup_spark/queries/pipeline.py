@@ -1713,6 +1713,71 @@ FROM documents
 """
 
 
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the Arrow mapInPandas stage (r14): one
+    deterministic PCM-16 WAV per document id (sample[i] = (id·31 + i·7)
+    mod 65536 − 32768, n = 200 + id%50 samples), decoded with the
+    library-free RIFF parser (multimodal.decode_wav) and reduced to exact
+    integer sums/peaks.  The ORACLE computes the same statistics in
+    closed form from the generator — the driver hash-compare proves the
+    encode→decode→aggregate pipeline bit-exact, like image_stats does for
+    the BMP/PNG codecs.  100-TB shape: payloads built and consumed inside
+    the executors, embarrassingly parallel, no shuffle."""
+    from kafka_backup_spark.multimodal import audio_stats, synthesize_wav
+
+    ids = _docs_hot(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        (200 + F.col("doc_id") % 50).cast("int").alias("n_samples"),
+    )
+
+    import pandas as pd_mod
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd_mod.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [
+                        synthesize_wav(int(m), int(n))
+                        for m, n in zip(pdf["media_id"], pdf["n_samples"])
+                    ],
+                }
+            )
+
+    from pyspark.sql.types import (
+        BinaryType as _Bin,
+        LongType as _Long,
+        StringType as _Str,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    media = ids.mapInPandas(
+        synth,
+        _ST([
+            _SF("media_id", _Long(), False),
+            _SF("kind", _Str(), False),
+            _SF("payload", _Bin(), False),
+        ]),
+    )
+    return audio_stats(media)
+
+
+SQL_AUDIO_STATS = """
+SELECT doc_id AS media_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(200 + doc_id % 50 AS BIGINT) AS n_samples,
+       CAST(list_sum([(doc_id * 31 + i * 7) % 65536 - 32768
+                      for i in range(0, CAST(200 + doc_id % 50 AS INT))]) AS BIGINT) AS sum_samples,
+       CAST(list_max([abs((doc_id * 31 + i * 7) % 65536 - 32768)
+                      for i in range(0, CAST(200 + doc_id % 50 AS INT))]) AS INT) AS max_abs,
+       'pcm16' AS decoded
+FROM documents
+"""
+
+
 # ── M8: packing, PII redaction, corpus stats, mixture, incremental dedup ──
 # Five more training-pipeline staples added in round 3.  Scale notes inline;
 # each is one shuffle or less at 100 TB.
@@ -3709,6 +3774,7 @@ SQL_DUP_SPAN_EXTENTS = _dup_span_extents_sql()
 PIPELINE_QUERIES: dict[str, tuple] = {
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "image_stats": (q_image_stats, SQL_IMAGE_STATS),
+    "audio_stats": (q_audio_stats, SQL_AUDIO_STATS),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_priority": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q4_exists": (q_tpch_q4, SQL_TPCH_Q4),

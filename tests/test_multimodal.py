@@ -217,3 +217,63 @@ def test_image_stats_mixes_png_and_bmp(spark):
     assert got[0]["decoded"] == "bmp" and got[1]["decoded"] == "png"
     for col in ("width", "height", "n_px", "sum_r", "sum_g", "sum_b"):
         assert got[0][col] == got[1][col], col
+
+
+def test_wav_roundtrip_pure_python():
+    """encode_wav → decode_wav is the identity on int16 PCM (mono and
+    stereo, odd data length padding), and non-PCM flavors raise ValueError
+    (the fallback contract) — the library-free audio codec (r14)."""
+    import numpy as np
+
+    from kafka_backup_spark.multimodal import decode_wav, encode_wav, synthesize_wav
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32768, 33, dtype=np.int16)  # odd length
+    rate, ch, back = decode_wav(encode_wav(8000, 1, mono))
+    assert (rate, ch) == (8000, 1) and (back == mono).all()
+    stereo = rng.integers(-32768, 32768, 64, dtype=np.int16)
+    rate, ch, back = decode_wav(encode_wav(44100, 2, stereo))
+    assert (rate, ch) == (44100, 2) and (back == stereo).all()
+    # synthesized generator values
+    rate, ch, s = decode_wav(synthesize_wav(7, 10))
+    assert (rate, ch, len(s)) == (16000, 1, 10)
+    assert s[0] == (7 * 31) % 65536 - 32768
+    assert s[3] == (7 * 31 + 21) % 65536 - 32768
+    # failure modes
+    good = synthesize_wav(1, 8)
+    float_fmt = bytearray(good)
+    float_fmt[20] = 3  # IEEE float format tag
+    for bad in (b"RIFFxxxx", good[:20], bytes(float_fmt), b"not riff"):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_audio_stats_decodes_pcm_through_mapinpandas(spark):
+    """A synthesized WAV decodes FOR REAL inside the Arrow mapInPandas
+    stage; a non-decodable payload degrades to the fallback row."""
+    import numpy as np
+
+    from kafka_backup_spark.multimodal import (
+        MEDIA_SCHEMA,
+        audio_stats,
+        decode_wav,
+        synthesize_wav,
+    )
+
+    rows = [
+        (0, "audio", synthesize_wav(0, 16), None, None, 16000, 1),
+        (1, "audio", synthesize_wav(9, 20), None, None, 16000, 1),
+        (2, "audio", b"mp3ish garbage", None, None, 44100, 1),
+        (3, "image", b"BMnot really", 4, 4, None, None),  # filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in audio_stats(media).collect()}
+    assert set(got) == {0, 1, 2}
+    for mid, n in ((0, 16), (9, 20)):
+        _r, _c, s = decode_wav(synthesize_wav(mid, n))
+        key = 0 if mid == 0 else 1
+        assert got[key]["n_samples"] == n
+        assert got[key]["sum_samples"] == int(s.astype(np.int64).sum())
+        assert got[key]["max_abs"] == int(np.abs(s.astype(np.int64)).max())
+        assert got[key]["decoded"] == "pcm16"
+    assert got[2]["decoded"] == "fallback" and got[2]["n_samples"] == 0
