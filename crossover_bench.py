@@ -68,6 +68,7 @@ def main() -> int:
     qs = catalog.queries()
     sqls = catalog.oracle_sql()
 
+
     # resolve the sorted-copy paths from the layout MANIFEST, not a
     # hardcoded naming convention — a root built with other families (or
     # renamed tables) must fail loudly, not read the wrong copies
@@ -141,6 +142,22 @@ def main() -> int:
         print(json.dumps(row), flush=True)
     total_s = sum(r["spark_s"] for r in rows)
     total_o = sum(r["duck_s"] for r in rows)
+
+    # fixed per-engine CPU anchors (VERDICT r14 #2): the sf10 chains are
+    # the measurements that need box-drift normalization MOST (cross-round
+    # deltas have moved ±40% on drift alone), so the chain carries the
+    # same anchors bench.py emits.  Run AFTER the query loop — the JVM is
+    # JIT-warm there, matching bench.py's measurement point (a cold-start
+    # anchor read ~2.7× slower on this box and would poison cross-round
+    # normalization).  Per-row `*_anchor_units` = seconds / this session's
+    # anchor seconds, per engine — comparable across rounds and boxes.
+    from bench import cpu_anchor, cpu_anchor_duck
+
+    anchor_spark = cpu_anchor(spark)
+    anchor_duck = cpu_anchor_duck()
+    for r in rows:
+        r["spark_anchor_units"] = round(r["spark_s"] / anchor_spark, 2)
+        r["duck_anchor_units"] = round(r["duck_s"] / anchor_duck, 3)
     print(json.dumps({
         "metric": "crossover_summary",
         "sf_dir": args.sf_dir,
@@ -150,6 +167,14 @@ def main() -> int:
         "spark_total_s": round(total_s, 3),
         "duck_total_s": round(total_o, 3),
         "ratio": round(total_s / max(total_o, 1e-3), 2),
+        "cpu_anchor_sec": anchor_spark,
+        "cpu_anchor_duck_sec": anchor_duck,
+        # per-query normalized units land here (the per-row lines print
+        # before the warm anchors run): [spark_s/anchor, duck_s/anchor]
+        "anchor_units": {
+            r["query"]: [r["spark_anchor_units"], r["duck_anchor_units"]]
+            for r in rows
+        },
         "spark_faster": sorted(r["query"] for r in rows if r["ratio"] < 1.0),
         "under_2x": sorted(r["query"] for r in rows if r["ratio"] < 2.0),
     }))

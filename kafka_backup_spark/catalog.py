@@ -30,93 +30,91 @@ _MERGED: dict[str, tuple] = {
 # proof.  Entries past the cut stay in the catalog tail, so selfcheck and
 # the bench still cover them every round.
 _FIRST = [
-    # ── r14 window.  Candidates: the FOUR entries at the two-round
-    # staleness limit on r11 proofs (VERDICT r13 #2 — they LEAD, honoring
-    # the r13 comment's promise), the 54-entry r12-proof tail displaced by
-    # the r13 window (including segment_rollup_bucketed, NEW this round),
-    # and every body changed this round (a change invalidates its old
-    # proof): the fingerprint-sidecar trio (dedup_exact,
-    # leakage_safe_split, fingerprints), image_stats (PNG codec mix),
-    # segment_rollup_bucketed, and the ten money-gate call sites
-    # (q1/q3/q5/q6/q7/q9/q10/q14/q15/q19), plus audio_stats (NEW).  That is
-    # 4 + 40 unchanged r12-proof + 16 changed/new = 60 candidates for 50
-    # slots — TEN r12-proof entries slip to r15 (they MUST lead r15), each
-    # kin-justified by an
-    # in-window or fresh-proof entry exercising the same logic:
-    # near_dup_jaccard (kin: near_dup_pipeline leads this window — same
-    # pair-verify; the O(n²) baseline is also pinned by test_textops
-    # parity), dup_clusters (kin: dup_membership leads — shared LSS core;
-    # cluster_balance r13 row), embedding_near_dup + ivf_topk (kin:
-    # ann_recall leads — rides the same IVF index and embeds cosine_topk,
-    # r13 row), simhash (kin: kgram_fingerprint r13 row + fingerprints
-    # in-window — shared rolling-hash lanes), quality_score + lang_id +
-    # lang_stats (kin: text_analysis IN window composes the quality and
-    # lang-ID subexpressions verbatim; text_metrics r13 row),
-    # scalar_hashes (kin: evidence_digest r13 row shares the sha256/base64
-    # scalar path + golden-vector pytest), topic_rename (kin:
-    # snapshot_import r13 row exercises rename_topics/remap_partitions —
-    # the same P11 projections — and test_filters pins both; its slot goes
-    # to audio_stats, NEW this round, which must earn a first driver hash
-    # row).  All ten are selfcheck-green at sf0.01 this session.
-    # ── the four r11-proof entries, oldest proofs in the catalog
-    "ann_recall",
-    "dup_membership",
-    "near_dup_pipeline",
-    "salted_topic_agg",
-    # ── r12-proof tail (displaced by the r13 window), unchanged bodies
-    "pitr_window",
-    "topic_glob_filter",
-    "offset_range_scan",
-    "partition_select",
-    "manifest_build",
-    "list_summary",
-    "dry_run_estimate",
-    "resume_anti_join",
-    "asof_offset_lookup",
-    "group_reset_plan",
-    "murmur2_repartition",
-    "multimodal_meta",
-    "tpch_q4_exists",
-    "tpch_q18_large_orders",
-    "tpch_q12_priority_lines",
-    "tpch_q13_order_dist",
-    "tpch_q22_dormant_balance",
-    "tpch_q17_small_qty",
-    "tpch_q21_sole_returns",
-    "contamination_check",
-    "pii_redaction",
-    "repetition_metrics",
-    "filtered_mixture",
-    "token_budget_selection",
-    "quality_quantile_filter",
-    "text_analysis",
-    "legacy_segment_read",
-    "header_roundtrip",
-    "integrity_scan",
-    "time_format",
-    # ── changed-this-round (r14): fingerprint-sidecar opt-ins, PNG codec
-    # mix, the NEW ingest-side bucketed segment rollup, and the per-
-    # expression money gate's call sites — the driver proves every new
-    # body against the UNCHANGED reference oracles
+    # ── r15 window.  Candidates: the TEN entries at the two-round
+    # staleness limit on r12 proofs (VERDICT r14 #5 — they LEAD,
+    # positions 1-10, honoring the r14 comment's promise), the 45-entry
+    # r13-proof tail displaced by the r14 window, and every body changed
+    # this round: segment_rollup_bucketed (its compacted store is now
+    # fingerprint-keyed with a completion marker — ADVICE r14 #1 — which
+    # changes the served table name) and leakage_safe_split (size-gated
+    # single-stage collapse of the sidecar agg — VERDICT r14 #3).  NOT
+    # counted as changed: the TWIN_MODULUS/TWIN_SHIFT constant hoist
+    # (ADVICE r14 #3) — verified plan-IDENTICAL this session (md5 of
+    # optimizedPlan for all eight corpus consumers unchanged pre/post
+    # refactor), so those proofs stand.  That is 10 + 2 + 45 = 57
+    # candidates for 50 slots — SEVEN r13-proof entries slip to r16 (they
+    # MUST lead r16), each kin-justified by an in-window or fresh-proof
+    # entry exercising the same logic:
+    # cosine_topk (kin: ivf_topk + embedding_near_dup lead this window —
+    # same cosine kernel; r14-fresh ann_recall embeds the exact brute
+    # baseline), embedding_dup_clusters (kin: embedding_near_dup leads —
+    # same quantizer/pair-verify; r14-fresh dup_membership shares the LSS
+    # core), cluster_balance (kin: dup_clusters leads — shared LSS
+    # rounds), text_metrics (kin: quality_score + lang_id + lang_stats
+    # lead — its exact subexpressions; r14-fresh text_analysis composes
+    # them verbatim), kgram_fingerprint (kin: simhash leads — shared
+    # packed rolling-hash lanes; r14-fresh fingerprints), evidence_digest
+    # (kin: scalar_hashes leads — shared sha256/base64 scalar path +
+    # golden-vector pytest), snapshot_import (kin: topic_rename leads —
+    # the same P11 rename/remap projections, both pinned by test_filters).
+    # All seven are selfcheck-green at sf0.01 this session.
+    # ── the ten r12-proof entries, oldest proofs in the catalog
+    "near_dup_jaccard",
+    "dup_clusters",
+    "embedding_near_dup",
+    "ivf_topk",
+    "simhash",
+    "quality_score",
+    "lang_id",
+    "lang_stats",
+    "scalar_hashes",
+    "topic_rename",
+    # ── changed-this-round (r15): fingerprint-keyed segment store,
+    # size-gated single-stage sidecar agg
     "segment_rollup_bucketed",
-    "audio_stats",
-    "dedup_exact",
     "leakage_safe_split",
-    "fingerprints",
-    "image_stats",
-    "tpch_q1_pricing",
-    "tpch_q3_priority",
-    "tpch_q5_region_volume",
-    "tpch_q6_forecast",
-    "tpch_q7_nation_volume",
-    "tpch_q9_profit",
-    "tpch_q10_returns",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive",
+    # ── r13-proof tail (displaced by the r14 window), unchanged bodies
+    "compaction_plan",
+    "consumer_group_check",
+    "dedup_keep_best",
+    "dedup_records",
+    "describe_rollup",
+    "doc_fingerprint",
+    "dup_span_extents",
+    "dup_span_fraction",
+    "incremental_dedup",
+    "lag_metrics",
+    "lsh_candidates",
+    "manifest_merge",
+    "manifest_totals",
+    "minhash_signatures",
+    "mixture_weights",
+    "ngram_topk",
+    "offset_gap_scan",
+    "offset_interpolation",
+    "offset_mapping_capture",
+    "packing_efficiency",
+    "reset_percentiles",
+    "reset_plan_summary",
+    "round_robin_repartition",
+    "semi_join_topics",
+    "sequence_packing",
+    "set_difference_topics",
+    "stratified_sample",
+    "timestamp_asof",
+    "token_counts",
+    "token_histogram",
+    "topic_regex_filter",
+    "topk_events",
+    "tpch_q16_supplier_cnt",
+    "validation_message_count",
+    "validation_offset_range",
+    "validation_summary",
+    "vocab_coverage",
+    "windowed_throughput",
 ]
-# Driver-check scale note (ADVICE r10 #3): near_dup_jaccard — in the tail
-# on a fresh r12 proof — is the documented O(n²) exact baseline and
+# Driver-check scale note (ADVICE r10 #3): near_dup_jaccard — leading
+# this window — is the documented O(n²) exact baseline and
 # hard-raises past BRUTE_JACCARD_MAX_DOCS (200k docs ≈ sf4 documents)
 # unless spark.kafkaBackupSpark.bruteJaccardUnbounded is set.  The driver
 # oracle-check runs at sf0.01 (~5k docs) and the sf1 selfcheck at ~50k
@@ -128,8 +126,9 @@ _FIRST = [
 # 54-into-50 exception (the four r9-proof entries that led r12); r12
 # honored it with a 59-into-50 exception (the nine r10-proof entries that
 # led r13); r13 honored it with a 54-into-50 exception (the four r11-proof
-# entries that LEAD this r14 window).  selfcheck.py verifies the full 105
-# every session regardless.
+# entries that led r14); r14 honored it with a 60-into-50 exception (the
+# ten r12-proof entries that LEAD this r15 window).  selfcheck.py verifies
+# the full 105 every session regardless.
 _FIRST = [n for n in _FIRST if n in _MERGED]
 assert len(_FIRST) == len(set(_FIRST)), "duplicate window entries"
 assert len(_FIRST) <= 50, f"driver checks only 50 entries, got {len(_FIRST)} priority queries"
@@ -195,6 +194,15 @@ def release_plan_cache(spark: SparkSession | None = None) -> None:
     # data-keyed): a regenerated dataset must re-prove its overflow window
     pipeline._MONEY_MODE.clear()
     pipeline._MONEY_BOUNDS.clear()
+    # the bucketed-segment-store memo likewise (ADVICE r14 #1): the table
+    # name embeds a source-data fingerprint, so re-resolving after a
+    # release lands a regenerated dataset on a FRESH store path instead of
+    # serving the stale compacted store
+    from kafka_backup_spark.queries import extra
+
+    for k in list(extra._SEG_BUCKETED):
+        if app is None or k[0] == app:
+            extra._SEG_BUCKETED.pop(k, None)
     # the layout-manifest memo too: a family or sidecar added to the root
     # mid-session (bench builds the fp sidecar after registration) must be
     # visible to the next plan build, not hidden behind the stale manifest

@@ -111,10 +111,13 @@ def dataset_bytes(path: str) -> int:
     walk (a bare getsize on a directory would return the ~4 KB inode),
     skipping writer metadata — ``_SUCCESS`` markers, ``.crc`` sidecars,
     dot-tmp files — so bucket-count sizing matches the inline ``*.parquet``
-    accounting it replaced (ADVICE r13 #4).  Remote: one Hadoop
-    getContentSummary call, which includes the (byte-trivial) markers — an
-    upper bound, fine for sizing.  Raises OSError when the path does not
-    exist on either branch."""
+    accounting it replaced (ADVICE r13 #4).  Remote: a recursive
+    ``listFiles`` walk applying the SAME hidden-leaf filter, so the same
+    dataset lands on the same bucket count whether sf_dir is a local path
+    or an object-store URI (ADVICE r14 #4); if the walk fails mid-iteration
+    the one-call getContentSummary upper bound is the fallback (markers are
+    byte-trivial).  Raises OSError when the path does not exist on either
+    branch."""
     if not is_remote(path):
         p = _local(path)
         if os.path.isdir(p):
@@ -129,7 +132,19 @@ def dataset_bytes(path: str) -> int:
     fs, jpath, _ = _jvm_fs(path)
     if not fs.exists(jpath):
         raise OSError(f"path does not exist: {path}")
-    return int(fs.getContentSummary(jpath).getLength())
+    if not fs.getFileStatus(jpath).isDirectory():
+        return int(fs.getFileStatus(jpath).getLen())
+    try:
+        total = 0
+        it = fs.listFiles(jpath, True)  # recursive, paginated server-side
+        while it.hasNext():
+            st = it.next()
+            if not st.getPath().getName().startswith((".", "_")):
+                total += int(st.getLen())
+        return total
+    except Exception:
+        # transient listing failure: serve the documented upper bound
+        return int(fs.getContentSummary(jpath).getLength())
 
 
 def delete_path(path: str) -> None:

@@ -21,6 +21,18 @@ from kafka_backup_spark.schema import events_as_records, load_table
 
 SEGMENT_SPAN = 1000
 
+# Twin-planting rule shared by every planted-duplicate corpus (ADVICE r14
+# #3): a doc with doc_id % TWIN_MODULUS == 0 gets one replica at
+# doc_id + TWIN_SHIFT.  Consumed by pipeline's exact-dup corpus (_corpus,
+# q_dedup_keep_best, the sidecar algebra in _corpus_groups, the
+# fair-storage DuckDB twin _FP_GROUPS_SQL) and textops' near-dup corpus
+# (_near_corpus + its CTE) — one definition, so the fast paths and the
+# oracles can never silently diverge.  TWIN_SHIFT must exceed max(doc_id)
+# at every tested scale (make_sf1.py's amplifier guard enforces the data
+# side of that contract).
+TWIN_MODULUS = 10
+TWIN_SHIFT = 1_000_000
+
 
 def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Round-robin repartition a narrow input for parallel consumption.

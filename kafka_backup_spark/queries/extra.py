@@ -620,13 +620,45 @@ WHERE prev_offset IS NOT NULL AND "offset" > prev_offset + 1
 _SEG_BUCKETED: dict[tuple[str, str], str] = {}
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Cheap content key for the record stream under ``sf_dir``: md5 over
+    the sorted (relpath, size, mtime_ns) of events.parquet's files.  A
+    dataset regenerated in place gets a NEW fingerprint, so the temp
+    segment store below is never mistaken for current (ADVICE r14 #1).
+    Remote / unwalkable paths fall back to the path hash — those datasets
+    are immutable fixtures in this harness."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    h = hashlib.md5(sf_dir.encode())
+    try:
+        if os.path.isfile(src):
+            st = os.stat(src)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        elif os.path.isdir(src):
+            for root, _dirs, files in sorted(os.walk(src)):
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    rel = os.path.relpath(os.path.join(root, f), src)
+                    h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        pass
+    return h.hexdigest()[:12]
+
+
 def _segments_bucketed(spark: SparkSession, sf_dir: str) -> str:
     """Catalog table name of the session's compacted bucketed segment
     store for sf_dir (built on first use).  Table name is sf_dir-keyed so
     one session can hold several scales without tripping the
-    one-store-per-name guard."""
+    one-store-per-name guard.  The on-disk store path is keyed by a DATA
+    fingerprint (not just the path), and a write is only trusted when its
+    completion marker exists — a regenerated dataset or a crashed prior
+    write triggers a clean rebuild instead of silently compacting stale or
+    torn data (ADVICE r14 #1)."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from kafka_backup_spark.sources.segments import SegmentStore
@@ -637,12 +669,18 @@ def _segments_bucketed(spark: SparkSession, sf_dir: str) -> str:
         return _SEG_BUCKETED[key]
     for k in [k for k in _SEG_BUCKETED if k[0] != app]:
         _SEG_BUCKETED.pop(k, None)
+    fp = _source_fingerprint(sf_dir)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    table = f"segments_q{tag}_b"
-    root = os.path.join(tempfile.gettempdir(), f"kbs_segq_{tag}_{app}")
+    table = f"segments_q{tag}_{fp[:6]}_b"
+    root = os.path.join(tempfile.gettempdir(), f"kbs_segq_{fp}_{app}")
     store = SegmentStore(root)
-    if not os.path.isdir(store.topics_path()):
+    marker = os.path.join(root, "_KBS_STORE_COMPLETE")
+    if not os.path.isfile(marker):
+        if os.path.isdir(root):  # torn prior write: rebuild from scratch
+            shutil.rmtree(root, ignore_errors=True)
         store.write(records_df(spark, sf_dir))
+        with open(marker, "w") as f:
+            f.write(fp)
     store.compact_bucketed(spark, table=table)
     _SEG_BUCKETED[key] = table
     return table

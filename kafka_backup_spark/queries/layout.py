@@ -124,14 +124,21 @@ def materialize_bucketed(
     if prior is not None and prior.get("sf_dir") != sf_dir:
         prior = None  # a layout from another scale never merges
     if prior is not None:
-        if buckets is not None and prior["buckets"] != buckets:
-            raise ValueError(
-                f"bucket count conflict at {out_root}: manifest has "
-                f"{prior['buckets']} buckets for {sf_dir}, caller asked for "
-                f"{buckets}; families must share one count to stay "
-                "join-compatible — rebuild into a fresh out_root instead"
-            )
-        buckets = prior["buckets"]
+        # a sidecar-only manifest (materialize_fingerprints on a fresh
+        # root) carries NO top-level count — the sidecar's rows-based
+        # count must neither bind the fact families nor conflict with an
+        # explicit request (ADVICE r14 #2); the family count is computed
+        # below as if this were a fresh root
+        prior_buckets = prior.get("buckets")
+        if prior_buckets is not None:
+            if buckets is not None and prior_buckets != buckets:
+                raise ValueError(
+                    f"bucket count conflict at {out_root}: manifest has "
+                    f"{prior_buckets} buckets for {sf_dir}, caller asked for "
+                    f"{buckets}; families must share one count to stay "
+                    "join-compatible — rebuild into a fresh out_root instead"
+                )
+            buckets = prior_buckets
     tables = sorted({t for f in families for t in FAMILIES[f]})
     if buckets is None:
         # scale-aware default: ~24 MB of compressed parquet per bucket from
@@ -238,7 +245,7 @@ def _table_location(spark: SparkSession, name: str) -> str | None:
     return None
 
 
-def _register_table(spark: SparkSession, spec: dict, buckets: int) -> None:
+def _register_table(spark: SparkSession, spec: dict, buckets: int | None) -> None:
     """Attach one manifest entry's files as a bucketed catalog table
     (no-op when this session already has it AND it points at the same
     files; a session that touched two layout roots re-binds to the root
@@ -253,6 +260,12 @@ def _register_table(spark: SparkSession, spec: dict, buckets: int) -> None:
     # join-family tables share the manifest-level count (join
     # compatibility); standalone sidecars carry their own
     buckets = spec.get("buckets", buckets)
+    if buckets is None:
+        raise ValueError(
+            f"manifest entry {name!r} has no bucket count (neither its own "
+            "nor a manifest-level one) — the manifest is torn; rebuild the "
+            "layout"
+        )
     keys, sort = _spec_cols(spec)
     kcols = ", ".join(f"`{k}`" for k in keys)
     scols = ", ".join(f"`{s}`" for s in sort)
@@ -353,7 +366,12 @@ def materialize_fingerprints(
         spark, fingerprint_frame(docs), name, path, ["text_hash"], ["text_hash"], buckets
     )
     spec["buckets"] = buckets
-    entry = prior if prior is not None else {"buckets": buckets, "sf_dir": sf_dir, "tables": {}}
+    # a fresh (sidecar-only) manifest carries NO top-level 'buckets': the
+    # shared count belongs to the join families, and seeding it with the
+    # sidecar's rows-based count would either bind a later
+    # materialize_bucketed to the wrong sizing or raise a spurious
+    # conflict (ADVICE r14 #2) — the sidecar's own count lives in spec
+    entry = prior if prior is not None else {"sf_dir": sf_dir, "tables": {}}
     entry["tables"][FP_KEY] = spec
     if not fsio.is_remote(out_root):
         os.makedirs(out_root, exist_ok=True)
@@ -370,5 +388,7 @@ def register_bucketed(spark: SparkSession, out_root: str) -> dict | None:
     if entry is None:
         return None
     for _t, spec in entry["tables"].items():
-        _register_table(spark, spec, entry["buckets"])
+        # sidecar-only manifests have no top-level count; every such spec
+        # carries its own (enforced by _register_table's fallback order)
+        _register_table(spark, spec, entry.get("buckets"))
     return entry

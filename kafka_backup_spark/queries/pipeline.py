@@ -926,11 +926,19 @@ SQL_TPCH_Q18 = _Q18_BODY
 # (sf documents have no exact dups; plant them deterministically so the
 # dedup path is actually exercised)
 
-_CORPUS = """
+# Twin-planting rule hoisted to ONE definition in common.py (ADVICE r14
+# #3) — consumed here by the exploded corpus (_corpus), the keep-best
+# corpus (q_dedup_keep_best + its oracle), the sidecar's algebraic
+# twin-folding (_corpus_groups), and the fair-storage DuckDB twin
+# (_FP_GROUPS_SQL), and by textops' near-dup corpus.
+from kafka_backup_spark.queries.common import TWIN_MODULUS, TWIN_SHIFT
+
+_CORPUS = f"""
 corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id + {TWIN_SHIFT} AS doc_id, text FROM documents
+    WHERE doc_id % {TWIN_MODULUS} = 0
 )
 """
 
@@ -948,7 +956,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = cold_table(spark, sf_dir, "documents", "doc_id", "text")
     shifts = F.when(
-        F.col("doc_id") % 10 == 0, F.array(F.lit(0), F.lit(1_000_000))
+        F.col("doc_id") % TWIN_MODULUS == 0, F.array(F.lit(0), F.lit(TWIN_SHIFT))
     ).otherwise(F.array(F.lit(0)))
     return docs.select(
         F.col("doc_id"), F.col("text"), F.explode(shifts).alias("_shift")
@@ -976,7 +984,7 @@ def _corpus_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       on the 128-bit hash (the r9-pinned form)."""
     fp = _fp_sidecar(spark, sf_dir)
     if fp is not None:
-        w = F.when(F.col("doc_id") % 10 == 0, F.lit(2)).otherwise(F.lit(1))
+        w = F.when(F.col("doc_id") % TWIN_MODULUS == 0, F.lit(2)).otherwise(F.lit(1))
         return (
             spark.table(fp)
             .groupBy(F.col("text_hash").alias("h"))
@@ -1029,10 +1037,11 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 # text — same algebraic twin-folding as _corpus_groups' sidecar branch.
 # The STANDARD oracle above stays on raw text; this alt is used only by
 # the symmetric chain and recorded in its summary JSON.
-_FP_GROUPS_SQL = """
+_FP_GROUPS_SQL = f"""
 gr AS (
     SELECT text_hash AS h,
-           CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN doc_id % {TWIN_MODULUS} = 0 THEN 2 ELSE 1 END)
+                AS BIGINT) AS n,
            min(doc_id) AS gid
     FROM documents_fp GROUP BY text_hash
 )
@@ -1396,8 +1405,8 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the content hash, map-side combinable, no window, no sort, regardless
     of group sizes (asserted in test_plan_quality)."""
     docs = _docs_hot(spark, sf_dir).select("doc_id", "text", "n_chars")
-    planted = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1000000
+    planted = docs.filter(F.col("doc_id") % TWIN_MODULUS == 0).withColumn(
+        "doc_id", F.col("doc_id") + TWIN_SHIFT
     )
     c = docs.unionByName(planted)
     # longer docs win, ties → smaller doc_id (deterministic total order)
@@ -1414,7 +1423,8 @@ SQL_DEDUP_KEEP_BEST = f"""
 WITH corpus AS (
     SELECT doc_id, text, n_chars FROM documents
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text, n_chars FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id + {TWIN_SHIFT} AS doc_id, text, n_chars FROM documents
+    WHERE doc_id % {TWIN_MODULUS} = 0
 )
 SELECT md5(text) AS text_hash, count(*) AS n_docs,
        min(CAST({_PACK} - n_chars AS BIGINT) * {_PACK} + doc_id) % {_PACK} AS kept_doc_id

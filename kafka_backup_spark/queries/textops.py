@@ -291,21 +291,26 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_backup_spark.queries.common import TWIN_MODULUS, TWIN_SHIFT
+
     d = _docs(spark, sf_dir).select("doc_id", F.lower(F.col("text")).alias("text"))
     # planted rows inherit the parent's partitioning; no extra spread needed
-    planted = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+    planted = d.filter(F.col("doc_id") % TWIN_MODULUS == 0).select(
+        (F.col("doc_id") + TWIN_SHIFT).alias("doc_id"),
         F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
     )
     return d.unionByName(planted)
 
 
+from kafka_backup_spark.queries.common import TWIN_MODULUS as _TWIN_MOD
+from kafka_backup_spark.queries.common import TWIN_SHIFT as _TWIN_SHIFT
+
 _NEAR_CORPUS_CTE = f"""
 corpus AS (
     SELECT doc_id, lower(text) AS text FROM documents
     UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, lower(text) || '{NEAR_DUP_TAIL}' AS text
-    FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id + {_TWIN_SHIFT} AS doc_id, lower(text) || '{NEAR_DUP_TAIL}' AS text
+    FROM documents WHERE doc_id % {_TWIN_MOD} = 0
 )
 """
 

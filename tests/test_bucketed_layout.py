@@ -619,3 +619,78 @@ def test_fp_alt_oracle_sql_matches_standard(spark, sf_dir, tmp_path):
             assert sorted(a.fetchall()) == sorted(b.fetchall())
     finally:
         spark.sql("DROP TABLE IF EXISTS documents_fp_b")
+
+
+def test_segment_store_rebuilds_after_data_regeneration(spark, tmp_path):
+    """ADVICE r14 #1: regenerating a dataset at the SAME sf_dir and
+    releasing the plan cache must land segment_rollup_bucketed on a fresh
+    compacted store (fingerprint-keyed path), not the stale one; a torn
+    prior write (store dir present, completion marker absent) must be
+    rebuilt, not compacted."""
+    import os
+    import shutil
+
+    from kafka_backup_spark.queries import extra
+    from kafka_backup_spark.queries.common import release_meta_cache
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", f"{sf}/events.parquet")
+    n1 = extra.q_segment_rollup_bucketed(spark, sf).agg({"n_records": "sum"}).collect()[0][0]
+
+    # regenerate IN PLACE with half the rows (distinct mtime/size)
+    import duckdb
+
+    half = duckdb.sql(
+        f"SELECT * FROM read_parquet('{sf}/events.parquet') WHERE event_id % 2 = 0"
+    ).arrow()
+    import pyarrow.parquet as pq
+
+    os.remove(f"{sf}/events.parquet")
+    pq.write_table(half, f"{sf}/events.parquet")
+    release_meta_cache(spark)  # the documented in-place-writer entry point
+
+    n2 = extra.q_segment_rollup_bucketed(spark, sf).agg({"n_records": "sum"}).collect()[0][0]
+    assert n2 < n1, (n1, n2)
+
+    # torn write: drop the marker, poison the store dir, expect a rebuild
+    fp = extra._source_fingerprint(sf)
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    root = os.path.join(tempfile.gettempdir(), f"kbs_segq_{fp}_{app}")
+    assert os.path.isfile(os.path.join(root, "_KBS_STORE_COMPLETE"))
+    os.remove(os.path.join(root, "_KBS_STORE_COMPLETE"))
+    release_meta_cache(spark)
+    n3 = extra.q_segment_rollup_bucketed(spark, sf).agg({"n_records": "sum"}).collect()[0][0]
+    assert n3 == n2, (n2, n3)
+
+
+def test_sidecar_first_root_does_not_bind_family_bucket_count(spark, sf_dir, tmp_path):
+    """ADVICE r14 #2: a sidecar-only manifest (materialize_fingerprints on
+    a fresh root) must not seed the manifest-level shared bucket count —
+    a later materialize_bucketed must size the families itself (or honor
+    an explicit request without a spurious conflict)."""
+    import json
+
+    root = str(tmp_path / "fp_first")
+    entry = layout.materialize_fingerprints(spark, sf_dir, root, buckets=2)
+    try:
+        assert "buckets" not in entry  # sidecar-only: no shared count
+        on_disk = json.loads(open(f"{root}/{layout.MANIFEST}").read())
+        assert "buckets" not in on_disk
+        # explicit family count: no spurious 'bucket count conflict'
+        entry = layout.materialize_bucketed(
+            spark, sf_dir, root, buckets=4, families=("orderkey",)
+        )
+        assert entry["buckets"] == 4
+        assert layout.FP_KEY in entry["tables"]  # sidecar carried over
+        assert entry["tables"][layout.FP_KEY]["buckets"] == 2
+        # fresh-session round-trip still registers both counts
+        for spec in entry["tables"].values():
+            spark.sql(f"DROP TABLE IF EXISTS {spec['name']}")
+        got = layout.register_bucketed(spark, root)
+        assert got is not None and got["buckets"] == 4
+    finally:
+        for t in ("lineitem_b", "orders_b", "documents_fp_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

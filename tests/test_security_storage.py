@@ -440,11 +440,13 @@ def test_fsio_dataset_bytes_both_branches(spark, tmp_path, monkeypatch):
     assert fsio.dataset_bytes(str(d / "a.parquet")) == 100
     with pytest.raises(OSError):
         fsio.dataset_bytes(str(tmp_path / "missing"))
-    # remote branch via the Hadoop FS (file:// forced remote): one
-    # getContentSummary, which INCLUDES non-hidden markers (documented
-    # upper bound; Hadoop's ChecksumFileSystem hides the .crc sidecar)
+    # remote branch via the Hadoop FS (file:// forced remote): the
+    # recursive listFiles walk applies the SAME hidden-leaf filter as the
+    # local branch, so both branches agree and bucket-count sizing can't
+    # drift across backends (ADVICE r14 #4)
     monkeypatch.setattr(fsio, "is_remote", lambda p: str(p).startswith("file://"))
-    assert fsio.dataset_bytes(f"file://{d}") == 150 + 777
+    assert fsio.dataset_bytes(f"file://{d}") == 150
+    assert fsio.dataset_bytes(f"file://{d}/a.parquet") == 100
     with pytest.raises(OSError):
         fsio.dataset_bytes(f"file://{tmp_path}/missing")
 
