@@ -36,15 +36,17 @@ _FIRST = [
     # r13-proof tail displaced by the r14 window, and every body changed
     # this round: segment_rollup_bucketed (its compacted store is now
     # fingerprint-keyed with a completion marker — ADVICE r14 #1 — which
-    # changes the served table name) and leakage_safe_split (size-gated
-    # single-stage collapse of the sidecar agg — VERDICT r14 #3).  NOT
-    # counted as changed: the TWIN_MODULUS/TWIN_SHIFT constant hoist
-    # (ADVICE r14 #3) — verified plan-IDENTICAL this session (md5 of
-    # optimizedPlan for all eight corpus consumers unchanged pre/post
-    # refactor), so those proofs stand.  That is 10 + 2 + 45 = 57
-    # candidates for 50 slots — SEVEN r13-proof entries slip to r16 (they
-    # MUST lead r16), each kin-justified by an in-window or fresh-proof
-    # entry exercising the same logic:
+    # changes the served table name) and image_stats (baseline JPEG joins
+    # the codec mix — VERDICT r14 #8).  NOT counted as changed: the
+    # TWIN_MODULUS/TWIN_SHIFT constant hoist (ADVICE r14 #3) — verified
+    # plan-IDENTICAL this session (md5 of optimizedPlan for all eight
+    # corpus consumers unchanged pre/post refactor) — and
+    # leakage_safe_split/q18, whose r14 floor probes (sym_floor_probe.py,
+    # SCALE.md r15) pinned every candidate lever NEGATIVE, so their bodies
+    # and proofs stand.  That is 10 + 2 + 45 = 57 candidates for 50 slots
+    # — SEVEN r13-proof entries slip to r16 (they MUST lead r16), each
+    # kin-justified by an in-window or fresh-proof entry exercising the
+    # same logic:
     # cosine_topk (kin: ivf_topk + embedding_near_dup lead this window —
     # same cosine kernel; r14-fresh ann_recall embeds the exact brute
     # baseline), embedding_dup_clusters (kin: embedding_near_dup leads —
@@ -70,9 +72,9 @@ _FIRST = [
     "scalar_hashes",
     "topic_rename",
     # ── changed-this-round (r15): fingerprint-keyed segment store,
-    # size-gated single-stage sidecar agg
+    # JPEG in the codec mix
     "segment_rollup_bucketed",
-    "leakage_safe_split",
+    "image_stats",
     # ── r13-proof tail (displaced by the r14 window), unchanged bodies
     "compaction_plan",
     "consumer_group_check",

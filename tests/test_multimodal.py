@@ -277,3 +277,104 @@ def test_audio_stats_decodes_pcm_through_mapinpandas(spark):
         assert got[key]["max_abs"] == int(np.abs(s.astype(np.int64)).max())
         assert got[key]["decoded"] == "pcm16"
     assert got[2]["decoded"] == "fallback" and got[2]["n_samples"] == 0
+
+
+def test_jpeg_solid_roundtrip_exact():
+    """Baseline JPEG codec (r15): a solid-gray fixture at quality=100
+    (all-ones quant tables) is DC-only per block, so encode→decode is
+    bit-exact — the property the oracle-checked catalog row relies on."""
+    import numpy as np
+
+    from kafka_backup_spark.multimodal import decode_jpeg, synthesize_jpeg
+
+    for mid, w, h in ((0, 12, 8), (7, 9, 7), (42, 16, 16), (255, 1, 1), (13, 10, 3)):
+        v = (mid * 41 + 7) % 256
+        got_w, got_h, rgb = decode_jpeg(synthesize_jpeg(mid, w, h))
+        assert (got_w, got_h) == (w, h)
+        px = np.frombuffer(rgb, np.uint8)
+        assert px.shape[0] == w * h * 3
+        assert (px == v).all(), (mid, v, px[:9])
+
+
+def test_jpeg_gradient_roundtrip_tolerance():
+    """Non-constant content exercises the full AC path (zigzag, run-length,
+    Huffman, IDCT): at quality=100 the reconstruction error is bounded by
+    DCT float round-trip + channel rounding (±3); quality=50 is visibly
+    lossy but must still decode to the declared dimensions."""
+    import numpy as np
+
+    from kafka_backup_spark.multimodal import decode_jpeg, encode_jpeg
+
+    w, h = 24, 17  # non-multiples of 8: exercises edge padding + crop
+    rgb = bytes(((np.arange(w * h * 3) * 13 + 5) % 256).astype(np.uint8))
+    got_w, got_h, out = decode_jpeg(encode_jpeg(w, h, rgb, quality=100))
+    assert (got_w, got_h) == (w, h)
+    err = np.abs(
+        np.frombuffer(rgb, np.uint8).astype(int)
+        - np.frombuffer(out, np.uint8).astype(int)
+    )
+    assert err.max() <= 3, err.max()
+    # asymmetric gradient guards the zigzag/transpose orientation: a
+    # flipped coefficient layout would displace energy and blow the bound
+    grad = np.zeros((h, w, 3), np.uint8)
+    grad[:, :, 0] = (np.arange(w) * 9 % 256)[None, :]
+    grad[:, :, 1] = (np.arange(h) * 17 % 256)[:, None]
+    _w, _h, out2 = decode_jpeg(encode_jpeg(w, h, grad.tobytes(), quality=100))
+    err2 = np.abs(
+        grad.astype(int)
+        - np.frombuffer(out2, np.uint8).astype(int).reshape(h, w, 3)
+    )
+    assert err2.max() <= 3, err2.max()
+    # lossy quality still structurally sound
+    _w, _h, out3 = decode_jpeg(encode_jpeg(w, h, rgb, quality=50))
+    assert len(out3) == w * h * 3
+
+
+def test_jpeg_flavor_gates():
+    """Unsupported JPEG flavors raise ValueError (the byte-profile
+    fallback contract), never return garbage pixels."""
+    import numpy as np
+
+    from kafka_backup_spark.multimodal import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"NOPE")
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x05aaa")
+    good = encode_jpeg(8, 8, bytes(192), quality=100)
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-20])
+    # subsampled: flip the sampling byte in SOF0 and fix nothing else —
+    # decoder must refuse rather than misassemble
+    i = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[i + 11] = 0x22  # Y component h=2, v=2
+    with pytest.raises(ValueError, match="4:4:4"):
+        decode_jpeg(bytes(bad))
+
+
+def test_image_stats_mixes_all_three_codecs(spark):
+    """image_stats provenance covers bmp/png/jpeg in one batch; the JPEG
+    solid fixture's sums are the closed form v·n_px."""
+    from kafka_backup_spark.multimodal import (
+        MEDIA_SCHEMA,
+        image_stats,
+        synthesize_bmp,
+        synthesize_jpeg,
+        synthesize_png,
+    )
+
+    rows = [
+        (0, "image", synthesize_bmp(5, 10, 6), 10, 6, None, None),
+        (1, "image", synthesize_png(5, 10, 6), 10, 6, None, None),
+        (2, "image", synthesize_jpeg(5, 10, 6), 10, 6, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in image_stats(media).collect()}
+    assert got[0]["decoded"] == "bmp"
+    assert got[1]["decoded"] == "png"
+    assert got[2]["decoded"] == "jpeg"
+    v = (5 * 41 + 7) % 256
+    for ch in ("sum_r", "sum_g", "sum_b"):
+        assert got[2][ch] == v * 60, (ch, got[2][ch], v * 60)
