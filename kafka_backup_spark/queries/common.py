@@ -27,9 +27,11 @@ SEGMENT_SPAN = 1000
 # q_dedup_keep_best, the sidecar algebra in _corpus_groups, the
 # fair-storage DuckDB twin _FP_GROUPS_SQL) and textops' near-dup corpus
 # (_near_corpus + its CTE) — one definition, so the fast paths and the
-# oracles can never silently diverge.  TWIN_SHIFT must exceed max(doc_id)
-# at every tested scale (make_sf1.py's amplifier guard enforces the data
-# side of that contract).
+# oracles can never silently diverge.  A planted id may land inside the
+# real id RANGE at larger scales (canonical sf10 ids reach ~9.9e8) —
+# harmless, because group identity is the CONTENT hash and raw texts are
+# unique per id (the invariant make_sf1.py's amplifier guard protects),
+# so a planted row can only ever share a group with its own source.
 TWIN_MODULUS = 10
 TWIN_SHIFT = 1_000_000
 
