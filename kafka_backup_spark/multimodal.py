@@ -617,6 +617,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("JPEG truncated before SOS")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill bytes before a marker are legal (B.1.1.2)
         marker = payload[pos + 1]
         ln = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         body = payload[pos + 4 : pos + 2 + ln]
