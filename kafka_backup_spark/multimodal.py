@@ -3,10 +3,15 @@ as opaque ``binary`` payloads + typed metadata, with decode / feature /
 frame-sample operators as Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing — schema, partition sizing, UDF signatures, batch
-iteration — is real and tested; the codec step itself is stubbed behind
-import-try (image/audio libraries are not in this container): with a codec
-present ``decode_image`` would return pixel arrays, without one it computes a
-deterministic byte-level profile so downstream stages stay testable.
+iteration — is real and tested, and so are the in-container codecs:
+uncompressed 24-bit BMP, non-interlaced 8-bit PNG (stdlib zlib, all five
+scanline filters), baseline 4:4:4 JPEG (DHT-driven Huffman + IDCT,
+restart intervals handled — r15) and PCM WAV, all pure Python + numpy.
+Remaining compressed-media flavors (progressive JPEG, MP3, video
+containers) gate behind import-try: with PIL-class libraries present they
+would decode through them; without, ``decode_image`` raises and callers
+compute a deterministic byte-level profile so downstream stages stay
+testable.
 
 At 100 TB: payloads ride executor-side only (never collected); batches are
 bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``; feature
@@ -455,6 +460,12 @@ class _JBitWriter:
             self.write(0x7F, 8 - self.n)  # pad with 1-bits (F.1.2.3)
         return bytes(self.out)
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align and emit RSTm (markers are never byte-stuffed)."""
+        if self.n:
+            self.write(0x7F, 8 - self.n)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _jpeg_encode_block(
     w: _JBitWriter, coefs: np.ndarray, prev_dc: int,
@@ -488,7 +499,10 @@ def _jpeg_encode_block(
     return int(zz[0])
 
 
-def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 100) -> bytes:
+def encode_jpeg(
+    width: int, height: int, rgb: bytes, quality: int = 100,
+    restart_interval: int = 0,
+) -> bytes:
     """Deterministic fixture encoder (inverse of ``decode_jpeg``):
     baseline sequential, 4:4:4, three components, fixed-depth Huffman
     tables declared in DHT.  At quality=100 the quant tables are all ones,
@@ -513,14 +527,24 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 100) -> byte
         for p in planes
     ]
     quants = [qy, qc, qc]
+    mcus_done, rst = 0, 0
+    n_mcus = bw * bh
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcus_done and mcus_done % restart_interval == 0:
+                # byte-align + RSTm between intervals (F.2.1.3); DC
+                # predictors reset on both sides of the marker
+                w.restart_marker(rst)
+                rst = (rst + 1) & 7
+                prev = [0, 0, 0]
             for ci in range(3):
                 blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
                 f = _JDCT @ blk @ _JDCT.T
                 q = np.rint(f.reshape(64) / quants[ci]).astype(np.int64)
                 ti = 0 if ci == 0 else 1
                 prev[ci] = _jpeg_encode_block(w, q, prev[ci], dc_tabs[ti], ac_tabs[ti])
+            mcus_done += 1
+    assert mcus_done == n_mcus
     ent = w.finish()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -538,10 +562,14 @@ def encode_jpeg(width: int, height: int, rgb: bytes, quality: int = 100) -> byte
         + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dri = (
+        seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    )
     return (
         b"\xff\xd8"
         + seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + dqt(0, qy) + dqt(1, qc)
+        + dri
         + sof
         + dht(0, 0, _JHUFF_DC_BITS, _JHUFF_DC_VALS)
         + dht(1, 0, _JHUFF_AC_BITS, _JHUFF_AC_VALS)
@@ -569,7 +597,9 @@ class _JBitReader:
                 if nxt == 0x00:
                     self.pos += 1  # stuffed 0xFF data byte
                 elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                    raise ValueError("JPEG restart markers not supported")
+                    # reading INTO a restart marker means the scan and the
+                    # declared interval disagree — desync, not a flavor gap
+                    raise ValueError("unexpected JPEG restart marker (desync)")
                 else:
                     raise ValueError("JPEG entropy stream truncated at marker")
             self.acc = b
@@ -582,6 +612,17 @@ class _JBitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker (F.2.1.3)."""
+        self.n = 0  # discard pad bits of the closing interval
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
 
     def huff(self, table: dict[tuple[int, int], int]) -> int:
         code, ln = 0, 0
@@ -601,13 +642,15 @@ def _jext(v: int, size: int) -> int:
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     """Baseline JPEG to (width, height, top-down RGB bytes) — stdlib +
     numpy only.  Supported flavor: SOF0, 8-bit, 1 or 3 components, all
-    sampling factors 1 (4:4:4), Huffman-coded, no restart intervals;
-    anything else raises ValueError and callers fall back to the byte
-    profile (same contract as decode_bmp/decode_png)."""
+    sampling factors 1 (4:4:4), Huffman-coded; restart intervals
+    (DRI/RSTn) are handled; anything else raises ValueError and callers
+    fall back to the byte profile (same contract as
+    decode_bmp/decode_png)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
+    restart_interval = 0
     huff: dict[tuple[int, int], dict] = {}
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     width = height = 0
@@ -662,8 +705,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
-            if int.from_bytes(body[:2], "big"):
-                raise ValueError("JPEG restart intervals not supported")
+            restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
             for c in range(ns):
@@ -678,8 +720,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     bw, bh = -(-width // 8), -(-height // 8)
     planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in comps]
     prev = [0] * len(comps)
+    mcus_done = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcus_done and mcus_done % restart_interval == 0:
+                rd.restart()
+                prev = [0] * len(comps)
+            mcus_done += 1
             for si, (ci, td, ta) in enumerate(scan):
                 dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
                 if dc_tab is None or ac_tab is None:

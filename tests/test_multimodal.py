@@ -378,3 +378,89 @@ def test_image_stats_mixes_all_three_codecs(spark):
     v = (5 * 41 + 7) % 256
     for ch in ("sum_r", "sum_g", "sum_b"):
         assert got[2][ch] == v * 60, (ch, got[2][ch], v * 60)
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn handling (r15): restart markers byte-align the stream and
+    reset DC predictors on both sides; solid fixtures stay bit-exact and
+    gradients keep the ±3 bound at every interval."""
+    import numpy as np
+
+    from kafka_backup_spark.multimodal import decode_jpeg, encode_jpeg
+
+    w, h = 24, 17
+    rgb = bytes(((np.arange(w * h * 3) * 13 + 5) % 256).astype(np.uint8))
+    for ri in (1, 2, 7):
+        got_w, got_h, out = decode_jpeg(
+            encode_jpeg(w, h, rgb, quality=100, restart_interval=ri)
+        )
+        assert (got_w, got_h) == (w, h)
+        err = np.abs(
+            np.frombuffer(rgb, np.uint8).astype(int)
+            - np.frombuffer(out, np.uint8).astype(int)
+        ).max()
+        assert err <= 3, (ri, err)
+        solid = encode_jpeg(w, h, bytes([77]) * (w * h * 3), restart_interval=ri)
+        assert set(decode_jpeg(solid)[2]) == {77}
+
+
+def test_jpeg_decodes_standard_annex_k_tables(monkeypatch):
+    """The decoder builds its Huffman tables from the file's DHT, so it
+    must read files coded with the frequency-tuned MULTI-LENGTH standard
+    tables (ITU T.81 Annex K.3) — the fixture encoder's fixed-depth codes
+    never exercise variable-length code walking in _JBitReader.huff.
+    Re-encode the same image with the Annex K tables monkeypatched into
+    the encoder and require pixel-identical decode output."""
+    import numpy as np
+
+    from kafka_backup_spark import multimodal as mm
+
+    dc_luma_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_chroma_bits = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_luma_bits = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    ac_luma_vals = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+    assert sum(ac_luma_bits) == len(ac_luma_vals) == 162
+
+    w, h = 24, 17
+    rgb = bytes(((np.arange(w * h * 3) * 29 + 3) % 256).astype(np.uint8))
+    reference = mm.decode_jpeg(mm.encode_jpeg(w, h, rgb, quality=90))
+
+    # swap the encoder onto the standard tables (luma set reused for
+    # chroma — both components' DHT slots then carry multi-length codes)
+    monkeypatch.setattr(mm, "_JHUFF_DC_BITS", dc_luma_bits)
+    monkeypatch.setattr(mm, "_JHUFF_DC_VALS", dc_vals)
+    monkeypatch.setattr(mm, "_JHUFF_AC_BITS", ac_luma_bits)
+    monkeypatch.setattr(mm, "_JHUFF_AC_VALS", ac_luma_vals)
+    monkeypatch.setattr(
+        mm, "_JHUFF_DC_ENC", mm._huff_encode_table(dc_luma_bits, dc_vals)
+    )
+    monkeypatch.setattr(
+        mm, "_JHUFF_AC_ENC", mm._huff_encode_table(ac_luma_bits, ac_luma_vals)
+    )
+    std_file = mm.encode_jpeg(w, h, rgb, quality=90)
+    got = mm.decode_jpeg(std_file)
+    assert got == reference  # same pixels through multi-length codes
+    assert len(std_file) < 2200  # frequency-tuned codes actually compress
+    # the chroma DC table (Annex K) decodes too
+    monkeypatch.setattr(mm, "_JHUFF_DC_BITS", dc_chroma_bits)
+    monkeypatch.setattr(
+        mm, "_JHUFF_DC_ENC", mm._huff_encode_table(dc_chroma_bits, dc_vals)
+    )
+    assert mm.decode_jpeg(mm.encode_jpeg(w, h, rgb, quality=90)) == reference
