@@ -166,11 +166,16 @@ def main() -> int:
     # per-repeat spread lets the reader judge which, instead of trusting
     # the min blindly
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(repeats):
+    for rep in range(repeats):
         for name in HEADLINE:
+            # label the job so the UI/event log maps stages back to the
+            # query being timed (guide §1.5); a local-property set, no
+            # measurable cost inside the timed region
+            spark.sparkContext.setJobDescription(f"bench:{name}#r{rep}")
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+    spark.sparkContext.setJobDescription(None)
     timings = {name: round(min(ts), 3) for name, ts in samples.items()}
     spreads = {name: [round(x, 3) for x in ts] for name, ts in samples.items()}
 
@@ -179,10 +184,12 @@ def main() -> int:
     # latency, not engine work; "net" totals subtract it so the 2×-of-oracle
     # rule compares the part that actually scales with data.
     floor = float("inf")
+    spark.sparkContext.setJobDescription("bench:noop_floor")
     for _ in range(5):
         t0 = time.perf_counter()
         spark.range(1).write.format("noop").mode("overwrite").save()
         floor = min(floor, time.perf_counter() - t0)
+    spark.sparkContext.setJobDescription(None)
     floor = round(floor, 3)
 
     # fixed CPU calibration anchors (see cpu_anchor): per-engine box-speed

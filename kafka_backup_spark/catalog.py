@@ -36,8 +36,13 @@ _FIRST = [
     # r13-proof tail displaced by the r14 window, and every body changed
     # this round: segment_rollup_bucketed (its compacted store is now
     # fingerprint-keyed with a completion marker — ADVICE r14 #1 — which
-    # changes the served table name) and image_stats (baseline JPEG joins
-    # the codec mix — VERDICT r14 #8).  NOT counted as changed: the
+    # changes the served table name), image_stats (baseline JPEG joins
+    # the codec mix — VERDICT r14 #8), and embedding_near_dup (pair-cosine
+    # UDF pinned single-eval via asNondeterministic, guide §4.4 — 2→1
+    # ArrowEvalPython; already leads at position 3 via the staleness
+    # rotation, so its fresh proof covers the changed body; its consumer
+    # embedding_dup_clusters re-proven at sf0.01/sf0.1/sf10 in-session,
+    # kin: dup_membership's fresh r14 row shares the LSS core).  NOT counted as changed: the
     # TWIN_MODULUS/TWIN_SHIFT constant hoist (ADVICE r14 #3) — verified
     # plan-IDENTICAL this session (md5 of optimizedPlan for all eight
     # corpus consumers unchanged pre/post refactor) — and

@@ -1024,13 +1024,24 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = corpus.select(F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa"))
     pb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("qe").alias("qb"))
+    # asNondeterministic (r15, guide §4.4): the threshold filter references
+    # the UDF column, and the optimizer's filter pushdown otherwise plans
+    # the pair-cosine TWICE — one ArrowEvalPython below the filter over all
+    # candidates, a second above it re-scoring every survivor (re-shipping
+    # qa/qb across the Arrow boundary: ~2× the pair-stage transfer at sf10's
+    # 10.5M-row survivor set).  The function is pure; the marking only pins
+    # single evaluation.  Plan: 2 ArrowEvalPython → 1 for the pair stage
+    # (plans/r15/embedding_near_dup_{before,after}.txt), result hash-equal,
+    # 1.117 → 1.047 s warm min-of-8 at sf0.1 (embdup_ab.py).
     return (
         cand.join(pa, "vec_a")
         .join(pb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            _pair_cosine_udf(4)(F.col("qa"), F.col("qb")).alias("cosine_sim"),
+            _pair_cosine_udf(4)
+            .asNondeterministic()(F.col("qa"), F.col("qb"))
+            .alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= COSINE_DUP_THRESHOLD)
     )

@@ -93,6 +93,17 @@ def main() -> int:
             .config("spark.ui.retainedJobs", "100")
             .config("spark.ui.retainedStages", "100")
         )
+    # extra session confs for scale runs, "k=v;k=v" (r15): some sandboxes
+    # stall the local-mode driver event loop for minutes under full-core
+    # Arrow load (observed: 147 s heartbeat gaps → executor suicide after
+    # 60 failures, job cancelled mid-collect).  Correctness runs at scale
+    # may need e.g. spark.executor.heartbeatInterval=60s and
+    # spark.network.timeout=600s; a knob keeps the driver-mimic default
+    # session untouched.
+    for kv in os.environ.get("SPARK_GRAFT_SELF_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     con = duckdb.connect()
     # Bound the oracle's memory (r10): DuckDB defaults to 80% of RAM, and

@@ -866,3 +866,46 @@ def test_money_gate_per_expression_kinds(spark, monkeypatch):
         spark.conf.unset("spark.kafkaBackupSpark.moneyMode")
         catalog.release_plan_cache(spark)
     assert auto == hilo
+
+
+def _live_node_count(plan: str, node: str) -> int:
+    """Count ``node`` occurrences in the live `formatted` tree, excluding
+    subtrees under InMemoryRelation (one-time index-build cost, not
+    per-query cost) — same walk as _live_exchange_count."""
+    started = False
+    skip_below = None
+    count = 0
+    for line in plan.split("== Physical Plan ==", 1)[-1].splitlines():
+        if not line.strip():
+            if started:
+                break
+            continue
+        started = True
+        ind = _node_indent(line)
+        if skip_below is not None:
+            if ind > skip_below:
+                continue
+            skip_below = None
+        if "InMemoryRelation" in line:
+            skip_below = ind
+            continue
+        if node in line:
+            count += 1
+    return count
+
+
+def test_embedding_near_dup_single_pair_cosine_eval(spark):
+    """The cosine threshold filter references the pair-cosine UDF column;
+    without the asNondeterministic pin (r15, guide §4.4) the optimizer
+    plans the ArrowEvalPython TWICE — once below the pushed filter over
+    every candidate pair and once above it re-scoring (and re-shipping
+    qa/qb for) every survivor.  Pin: exactly ONE live Python stage in the
+    pair path (the index-build UDFs live under InMemoryRelation and are
+    excluded, as in _live_exchange_count)."""
+    qs = catalog.queries()
+    try:
+        df = qs["embedding_near_dup"](spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert _live_node_count(plan, "ArrowEvalPython") == 1, plan
+    finally:
+        catalog.release_plan_cache(spark)
