@@ -852,6 +852,73 @@ def _pair_cosine_udf(prec: int):
     return F.pandas_udf(pair_cos, DoubleType())
 
 
+def _score_pairs(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    prec: int,
+    threshold: float | None = None,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Exact quantized pair cosine through ONE ``mapInArrow`` stage (r15,
+    guide §4.2): ``pairs`` carries (id_a, id_b, qa, qb); output is
+    (id_a, id_b, cosine_sim), optionally pre-filtered by ``threshold``.
+
+    Replaces the ``_pair_cosine_udf`` pandas UDF in the two query-side
+    call sites.  The pandas path materialized every array<bigint> cell as
+    a Python list (Series-of-objects → ``tolist()`` → ``np.array``) —
+    per-element Python object churn that dominated the pair stage
+    (embdup_probe.py: the scoring fragment was +1.20 s of a 1.23 s query
+    at sf0.1).  Arrow's list layout is one contiguous int64 values buffer
+    plus offsets, so the batch reshapes ZERO-COPY into an (n, dim) matrix
+    and the whole score is three numpy reductions — identical float64
+    ops in identical order to the pandas scorer (exactness argument in
+    ``_cells_udf``), so results are bit-equal.
+
+    Fusing the threshold filter (embedding_near_dup) also retires the
+    §4.4 double-eval hazard structurally: there is no UDF column for the
+    optimizer to re-plan below a pushed filter.  Emitted batches carry
+    only ids + the scalar — vectors never cross the boundary back."""
+    scale = float(10**prec)
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            # column order is pinned by the select below: id_a, id_b, qa, qb
+            A = batch.column(2).flatten().to_numpy(zero_copy_only=True)
+            B = batch.column(3).flatten().to_numpy(zero_copy_only=True)
+            A = A.reshape(n, dim).astype(np.float64)
+            B = B.reshape(n, dim).astype(np.float64)
+            s = (A * B).sum(axis=1) / (
+                np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            )
+            sim = np.copysign(np.floor(np.abs(s) * scale + 0.5) / scale, s)
+            ia = batch.column(0).to_numpy(zero_copy_only=True)
+            ib = batch.column(1).to_numpy(zero_copy_only=True)
+            if threshold is not None:
+                m = sim >= threshold
+                if not m.any():
+                    continue
+                ia, ib, sim = ia[m], ib[m], sim[m]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ia, type=pa.int64()),
+                    pa.array(ib, type=pa.int64()),
+                    pa.array(sim, type=pa.float64()),
+                ],
+                [id_a, id_b, "cosine_sim"],
+            )
+
+    return pairs.select(id_a, id_b, "qa", "qb").mapInArrow(
+        run, f"{id_a} long, {id_b} long, cosine_sim double"
+    )
+
+
 def _kmeans_cells(corpus: DataFrame, dim: int, k: int):
     """One-refinement k-means over a persisted ``corpus`` (vec_id, qe —
     see ``_shared_ann_index``).
@@ -1024,26 +1091,24 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pa = corpus.select(F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa"))
     pb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("qe").alias("qb"))
-    # asNondeterministic (r15, guide §4.4): the threshold filter references
-    # the UDF column, and the optimizer's filter pushdown otherwise plans
-    # the pair-cosine TWICE — one ArrowEvalPython below the filter over all
-    # candidates, a second above it re-scoring every survivor (re-shipping
-    # qa/qb across the Arrow boundary: ~2× the pair-stage transfer at sf10's
-    # 10.5M-row survivor set).  The function is pure; the marking only pins
-    # single evaluation.  Plan: 2 ArrowEvalPython → 1 for the pair stage
-    # (plans/r15/embedding_near_dup_{before,after}.txt), result hash-equal,
-    # 1.117 → 1.047 s warm min-of-8 at sf0.1 (embdup_ab.py).
-    return (
-        cand.join(pa, "vec_a")
-        .join(pb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            _pair_cosine_udf(4)
-            .asNondeterministic()(F.col("qa"), F.col("qb"))
-            .alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= COSINE_DUP_THRESHOLD)
+    # Scoring history (r15, guide §4.2/§4.4): the original pandas-UDF
+    # scorer was planned TWICE (the threshold filter references the UDF
+    # column, and filter pushdown re-evaluates it below the filter — one
+    # ArrowEvalPython over all candidates plus a second re-scoring every
+    # survivor); an asNondeterministic pin took it to single-eval
+    # (1.117 → 1.047 s warm min-of-8 at sf0.1, embdup_ab.py).  The shipped
+    # shape goes further: ONE mapInArrow stage scores the batch zero-copy
+    # and applies the threshold inside (_score_pairs) — no UDF column
+    # exists for the optimizer to duplicate, vectors never cross the
+    # Python boundary back, and the per-element list materialization the
+    # pandas path paid is gone (plan + A/B in _score_pairs and
+    # plans/r15/embedding_near_dup_after.txt).
+    return _score_pairs(
+        cand.join(pa, "vec_a").join(pb, "vec_b"),
+        "vec_a",
+        "vec_b",
+        4,
+        threshold=COSINE_DUP_THRESHOLD,
     )
 
 
@@ -1343,10 +1408,21 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = F.broadcast(pcells).join(neighbors, on="cell").filter(
         F.col("probe_id") != F.col("vec_id")
     )
-    sims = cand.select(
+    # mapInArrow scorer (r15): same zero-copy batch cosine as
+    # embedding_near_dup — see _score_pairs.  No threshold here (the
+    # top-k cut is the window rank below, which already forced single
+    # evaluation of the old UDF — this change is purely the §4.2
+    # boundary-cost win, shared with ann_recall's IVF side).
+    sims = _score_pairs(
+        cand.select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("pq").alias("qa"),
+            F.col("qe").alias("qb"),
+        ),
         "probe_id",
-        F.col("vec_id").alias("neighbor_id"),
-        _pair_cosine_udf(4)(F.col("pq"), F.col("qe")).alias("cosine_sim"),
+        "neighbor_id",
+        4,
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

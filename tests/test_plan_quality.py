@@ -895,17 +895,46 @@ def _live_node_count(plan: str, node: str) -> int:
 
 
 def test_embedding_near_dup_single_pair_cosine_eval(spark):
-    """The cosine threshold filter references the pair-cosine UDF column;
-    without the asNondeterministic pin (r15, guide §4.4) the optimizer
-    plans the ArrowEvalPython TWICE — once below the pushed filter over
-    every candidate pair and once above it re-scoring (and re-shipping
-    qa/qb for) every survivor.  Pin: exactly ONE live Python stage in the
-    pair path (the index-build UDFs live under InMemoryRelation and are
-    excluded, as in _live_exchange_count)."""
+    """The pair-cosine stage must cross the Python boundary exactly ONCE.
+
+    History (r15): the original pandas-UDF scorer was planned TWICE — the
+    threshold filter references the UDF column, and filter pushdown
+    re-evaluates it below the filter (guide §4.4) — fixed first with an
+    asNondeterministic pin, then structurally by fusing score+threshold
+    into one mapInArrow stage (_score_pairs, guide §4.2): no UDF column
+    exists for the optimizer to duplicate.  Pin: exactly one live
+    Python-boundary node of any flavor in the pair path (the index-build
+    UDFs live under InMemoryRelation and are excluded, as in
+    _live_exchange_count), and no residual ArrowEvalPython."""
     qs = catalog.queries()
     try:
         df = qs["embedding_near_dup"](spark, "/root/testdata/sf0.001")
         plan = _plan(df)
+        live = sum(
+            _live_node_count(plan, node)
+            for node in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow", "MapInPandas")
+        )
+        assert live == 1, plan
+        assert _live_node_count(plan, "ArrowEvalPython") == 0, plan
+    finally:
+        catalog.release_plan_cache(spark)
+
+
+def test_ivf_topk_single_python_boundary(spark):
+    """ivf_topk's scorer is the same one-mapInArrow shape (_score_pairs):
+    exactly one live MapInArrow for the candidate-scoring stage, nothing
+    pandas-serialized there (r15, guide §4.2).  The ONE other live Python
+    node is the probe-side ``_cells_udf`` ArrowEvalPython (5 probe vectors
+    assigned to their nprobe cells at query time — constant-size, not a
+    per-candidate cost); the corpus-side cell assignment lives under
+    InMemoryRelation and is excluded."""
+    qs = catalog.queries()
+    try:
+        df = qs["ivf_topk"](spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert _live_node_count(plan, "MapInArrow") == 1, plan
         assert _live_node_count(plan, "ArrowEvalPython") == 1, plan
+        assert _live_node_count(plan, "BatchEvalPython") == 0, plan
+        assert _live_node_count(plan, "MapInPandas") == 0, plan
     finally:
         catalog.release_plan_cache(spark)
