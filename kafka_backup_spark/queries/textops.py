@@ -919,6 +919,83 @@ def _score_pairs(
     )
 
 
+def _cell_pairs_fn(prec: int, threshold: float, dim: int = EMB_DIM, chunk: int = 1 << 16):
+    """Per-cell pair generator + exact scorer for ``groupBy().applyInArrow``
+    (r15, guide §2.4/§8): the group table carries one probe cell's
+    (cell, vec_id, qe) members; output is every a<b member pair with
+    quantized cosine ≥ ``threshold``.
+
+    Pairs are GENERATED inside the stage from the cell's (m, dim) vector
+    matrix instead of materialized by a JVM self-join, so each vector
+    crosses the Python boundary once per probe cell (2n rows total under
+    top-2 assignment) instead of once per candidate pair, and the
+    candidate-distinct exchange disappears (the caller dedups the far
+    smaller survivor set instead — pairs sharing both probe cells score
+    identically, so a post-distinct is exact).
+
+    Exactness: scoring slices the float64 matrix into per-pair rows and
+    applies the SAME op sequence as ``_score_pairs`` — elementwise product,
+    ``sum(axis=1)`` over a (k, dim) array, one IEEE sqrt/div, half-away
+    rounding — so every sim is bit-equal to the pair-join path.  Pair
+    indices are generated per ANCHOR BLOCK (all (i, j>i) for a run of
+    anchors i whose pair count sums to ~``chunk``), never as a full
+    ``triu_indices`` array, so peak per-task memory is
+    O(chunk·dim + m·dim) regardless of cell size — a hot cell of 63k
+    members (n = 10⁹ under √n cells) costs ~70 MB of block buffers, not
+    the 32 GB a materialized m²/2 index would."""
+    scale = float(10**prec)
+
+    def cell_pairs(table):
+        import numpy as np
+        import pyarrow as pa
+
+        empty = lambda: pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine_sim": pa.array([], pa.float64()),
+            }
+        )
+        m = table.num_rows
+        if m < 2:
+            return empty()
+        ids = table.column("vec_id").to_numpy(zero_copy_only=False)
+        qe = table.column("qe").combine_chunks()
+        V = qe.flatten().to_numpy(zero_copy_only=True).reshape(m, dim)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = V[order].astype(np.float64)
+        out_a, out_b, out_s = [], [], []
+        i0 = 0
+        while i0 < m - 1:
+            bs = max(1, chunk // (m - 1 - i0))
+            anchors = np.arange(i0, min(i0 + bs, m - 1))
+            ii = np.repeat(anchors, m - 1 - anchors)
+            jj = np.concatenate([np.arange(i + 1, m) for i in anchors])
+            i0 = int(anchors[-1]) + 1
+            A, B = V[ii], V[jj]
+            s = (A * B).sum(axis=1) / (
+                np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            )
+            sim = np.copysign(np.floor(np.abs(s) * scale + 0.5) / scale, s)
+            msk = sim >= threshold
+            if msk.any():
+                out_a.append(ids[ii[msk]])
+                out_b.append(ids[jj[msk]])
+                out_s.append(sim[msk])
+        if not out_a:
+            return empty()
+        return pa.table(
+            {
+                "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine_sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    return cell_pairs
+
+
 def _kmeans_cells(corpus: DataFrame, dim: int, k: int):
     """One-refinement k-means over a persisted ``corpus`` (vec_id, qe —
     see ``_shared_ann_index``).
@@ -1066,12 +1143,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = f"near_dup:{sf_dir}"
     idx = _shared_ann_index(spark, tag, build_corpus, n)
     corpus, cells, cent_mat = idx["corpus"], idx["cells"], idx["cent_mat"]
-    # candidate generation stays NARROW: same-cell (vec_a, vec_b) id pairs,
-    # deduped (a pair can share both probe cells) BEFORE the expensive exact
-    # cosine — the vectors join in only for surviving candidates.  member is
-    # part of the index (top-2-cell assignment is a build-time artifact);
-    # persisting it also keeps the self-join from running the scoring UDF
-    # once per side.
+    # member is part of the index (top-2-cell assignment is a build-time
+    # artifact) and stays NARROW — (vec_id, cell) only; the vectors attach
+    # via one vec_id join right before the per-cell stage below.
     member = _ann_index_frame(
         spark,
         tag,
@@ -1080,36 +1154,30 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.explode(_cells_udf(cells, cent_mat, 2)(F.col("qe"))).alias("cell")
         ),
     )
-    a, b = member.alias("a"), member.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+    # Scoring history (r15, guide §2.4/§4.2/§4.4): the original shape was
+    # a same-cell id-pair self-join + candidate distinct + two vector-
+    # attach joins + a pandas-UDF scorer that the optimizer planned TWICE
+    # (threshold filter on the UDF column → re-eval below the pushed
+    # filter); an asNondeterministic pin took it to single-eval (1.117 →
+    # 1.047 s, embdup_ab.py), a fused mapInArrow scorer retired the
+    # double-eval hazard structurally (1.408 s min on the final A/B box).
+    # The shipped shape goes further and deletes the pair join itself:
+    # group the (vec_id, qe) members by probe cell and GENERATE the a<b
+    # pairs inside one applyInArrow stage from the cell's vector matrix
+    # (_cell_pairs_fn).  Each vector crosses the Python boundary once per
+    # probe cell (2n rows under top-2 assignment) instead of once per
+    # candidate pair (~86n at sf0.1), and the self-join + candidate-
+    # distinct exchanges disappear; the distinct moves to the far smaller
+    # survivor set (a pair sharing both probe cells scores identically in
+    # both groups — same float64 op sequence on the same rows — so the
+    # post-distinct is exact).  A/B at sf0.1: 1.408 → 0.522 s min-of-8
+    # interleaved, parity hash identical (embdup_cell_ab.py).
+    mm = member.join(corpus, "vec_id").select("cell", "vec_id", "qe")
+    scored = mm.groupBy("cell").applyInArrow(
+        _cell_pairs_fn(4, COSINE_DUP_THRESHOLD),
+        "vec_a long, vec_b long, cosine_sim double",
     )
-    pa = corpus.select(F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa"))
-    pb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("qe").alias("qb"))
-    # Scoring history (r15, guide §4.2/§4.4): the original pandas-UDF
-    # scorer was planned TWICE (the threshold filter references the UDF
-    # column, and filter pushdown re-evaluates it below the filter — one
-    # ArrowEvalPython over all candidates plus a second re-scoring every
-    # survivor); an asNondeterministic pin took it to single-eval
-    # (1.117 → 1.047 s warm min-of-8 at sf0.1, embdup_ab.py).  The shipped
-    # shape goes further: ONE mapInArrow stage scores the batch zero-copy
-    # and applies the threshold inside (_score_pairs) — no UDF column
-    # exists for the optimizer to duplicate, vectors never cross the
-    # Python boundary back, and the per-element list materialization the
-    # pandas path paid is gone (plan + A/B in _score_pairs and
-    # plans/r15/embedding_near_dup_after.txt).
-    return _score_pairs(
-        cand.join(pa, "vec_a").join(pb, "vec_b"),
-        "vec_a",
-        "vec_b",
-        4,
-        threshold=COSINE_DUP_THRESHOLD,
-    )
+    return scored.distinct()
 
 
 _NEAR_DUP_CORPUS_SQL = f"""SELECT vec_id, {_Q_SQL.format(c='embedding')} AS qe FROM (

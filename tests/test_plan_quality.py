@@ -895,27 +895,37 @@ def _live_node_count(plan: str, node: str) -> int:
 
 
 def test_embedding_near_dup_single_pair_cosine_eval(spark):
-    """The pair-cosine stage must cross the Python boundary exactly ONCE.
+    """The pair-scoring work must cross the Python boundary exactly ONCE.
 
     History (r15): the original pandas-UDF scorer was planned TWICE — the
     threshold filter references the UDF column, and filter pushdown
     re-evaluates it below the filter (guide §4.4) — fixed first with an
     asNondeterministic pin, then structurally by fusing score+threshold
-    into one mapInArrow stage (_score_pairs, guide §4.2): no UDF column
-    exists for the optimizer to duplicate.  Pin: exactly one live
-    Python-boundary node of any flavor in the pair path (the index-build
-    UDFs live under InMemoryRelation and are excluded, as in
-    _live_exchange_count), and no residual ArrowEvalPython."""
+    into one mapInArrow stage (_score_pairs, guide §4.2).  The shipped
+    shape goes further (guide §2.4/§8): pairs are GENERATED inside one
+    per-cell groupBy().applyInArrow stage (_cell_pairs_fn) — the same-cell
+    self-join, candidate distinct, and vector-attach joins are gone, and
+    each vector crosses the boundary once per probe cell instead of once
+    per candidate pair.  Pin: exactly one live Python-boundary node of any
+    flavor (the index-build UDFs live under InMemoryRelation and are
+    excluded, as in _live_exchange_count), and it is the per-cell
+    FlatMapGroupsInArrow stage."""
     qs = catalog.queries()
     try:
         df = qs["embedding_near_dup"](spark, "/root/testdata/sf0.001")
         plan = _plan(df)
         live = sum(
             _live_node_count(plan, node)
-            for node in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow", "MapInPandas")
+            for node in (
+                "ArrowEvalPython",
+                "BatchEvalPython",
+                "MapInArrow",
+                "MapInPandas",
+                "FlatMapGroupsInArrow",
+            )
         )
         assert live == 1, plan
-        assert _live_node_count(plan, "ArrowEvalPython") == 0, plan
+        assert _live_node_count(plan, "FlatMapGroupsInArrow") == 1, plan
     finally:
         catalog.release_plan_cache(spark)
 
