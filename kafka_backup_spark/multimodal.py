@@ -922,6 +922,49 @@ IMAGE_STATS_SCHEMA = StructType(
 )
 
 
+def image_stat_row(media_id: int, payload: bytes) -> tuple:
+    """One IMAGE_STATS_SCHEMA row from a payload: real decode with exact
+    int64 channel sums, per-row byte-profile fallback for codecs the
+    container cannot decode.  Shared by the ``image_stats`` operator and
+    the fused synth+decode query stage (r15, guide §4.1 — one Python
+    boundary instead of two)."""
+    try:
+        w, h, rgb = decode_image(payload)
+        s = np.frombuffer(rgb, np.uint8).reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        return (
+            int(media_id), w, h, w * h,
+            int(s[0]), int(s[1]), int(s[2]),
+            "bmp" if payload[:2] == b"BM"
+            else ("png" if payload[:8] == _PNG_SIG
+                  else ("jpeg" if payload[:3] == b"\xff\xd8\xff" else "pil")),
+        )
+    except (NotImplementedError, ValueError):
+        prof = byte_profile(payload)
+        return (
+            int(media_id), 0, 0, 0,
+            int(prof[0] * 255), int(prof[1] * 255), int(prof[2] * 255),
+            "fallback",
+        )
+
+
+def audio_stat_row(media_id: int, payload: bytes) -> tuple:
+    """One AUDIO_STATS_SCHEMA row from a payload — the audio twin of
+    ``image_stat_row``, shared by ``audio_stats`` and the fused query
+    stage."""
+    try:
+        rate, _ch, samples = decode_wav(payload)
+        s64 = samples.astype(np.int64)
+        return (
+            int(media_id), rate, len(samples),
+            int(s64.sum()),
+            int(np.abs(s64).max()) if len(samples) else 0,
+            "pcm16",
+        )
+    except ValueError:
+        prof = byte_profile(payload)
+        return (int(media_id), 0, 0, int(prof[0] * 255), 0, "fallback")
+
+
 def image_stats(media: DataFrame) -> DataFrame:
     """Per-image channel statistics through a REAL decode (mapInPandas →
     ``decode_image``): exact integer sums per channel, so the output is
@@ -938,34 +981,11 @@ def image_stats(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(p)
-                try:
-                    w, h, rgb = decode_image(b)
-                    s = np.frombuffer(rgb, np.uint8).reshape(-1, 3).sum(
-                        axis=0, dtype=np.int64
-                    )
-                    rows.append(
-                        (
-                            int(mid), w, h, w * h,
-                            int(s[0]), int(s[1]), int(s[2]),
-                            "bmp" if b[:2] == b"BM"
-                            else ("png" if b[:8] == _PNG_SIG
-                                  else ("jpeg" if b[:3] == b"\xff\xd8\xff" else "pil")),
-                        )
-                    )
-                except (NotImplementedError, ValueError):
-                    prof = byte_profile(b)
-                    rows.append(
-                        (
-                            int(mid), 0, 0, 0,
-                            int(prof[0] * 255), int(prof[1] * 255),
-                            int(prof[2] * 255), "fallback",
-                        )
-                    )
             yield pd.DataFrame(
-                rows,
+                [
+                    image_stat_row(int(mid), bytes(p))
+                    for mid, p in zip(pdf["media_id"], pdf["payload"])
+                ],
                 columns=[
                     "media_id", "width", "height", "n_px",
                     "sum_r", "sum_g", "sum_b", "decoded",
@@ -1060,27 +1080,11 @@ def audio_stats(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(p)
-                try:
-                    rate, _ch, samples = decode_wav(b)
-                    s64 = samples.astype(np.int64)
-                    rows.append(
-                        (
-                            int(mid), rate, len(samples),
-                            int(s64.sum()),
-                            int(np.abs(s64).max()) if len(samples) else 0,
-                            "pcm16",
-                        )
-                    )
-                except ValueError:
-                    prof = byte_profile(b)
-                    rows.append(
-                        (int(mid), 0, 0, int(prof[0] * 255), 0, "fallback")
-                    )
             yield pd.DataFrame(
-                rows,
+                [
+                    audio_stat_row(int(mid), bytes(p))
+                    for mid, p in zip(pdf["media_id"], pdf["payload"])
+                ],
                 columns=[
                     "media_id", "sample_rate", "n_samples",
                     "sum_samples", "max_abs", "decoded",

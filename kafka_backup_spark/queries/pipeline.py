@@ -1671,7 +1671,8 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads are built and consumed inside the executors (never shuffled,
     never collected); the stage is embarrassingly parallel."""
     from kafka_backup_spark.multimodal import (
-        image_stats,
+        IMAGE_STATS_SCHEMA,
+        image_stat_row,
         synthesize_bmp,
         synthesize_jpeg,
         synthesize_png,
@@ -1679,7 +1680,6 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ids = _docs_hot(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
         (8 + F.col("doc_id") % 5).cast("int").alias("width"),
         (6 + F.col("doc_id") % 3).cast("int").alias("height"),
     )
@@ -1688,38 +1688,30 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _synths = (synthesize_bmp, synthesize_png, synthesize_jpeg)
 
-    def synth(batches):
+    # Fused synth+decode (r15, guide §4.1): the original shape ran TWO
+    # mapInPandas stages — synth shipped every payload Python→JVM only for
+    # the stats stage to ship it straight back JVM→Python; nothing between
+    # them was JVM work.  One stage synthesizes each payload and reduces
+    # it to its stats row in place (the encode→decode roundtrip the query
+    # exists to prove still executes in full — image_stat_row is the same
+    # code path the image_stats operator runs); only the narrow
+    # (media_id, dims) frame enters and the narrow stats frame leaves.
+    # A/B at sf0.1: 0.836 → 0.730 s min-of-8 interleaved, parity hash
+    # identical (media_fuse_ab.py).
+    def synth_stats(batches):
         for pdf in batches:
             yield pd_mod.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "payload": [
-                        _synths[int(m) % 3](int(m), int(w), int(h))
-                        for m, w, h in zip(
-                            pdf["media_id"], pdf["width"], pdf["height"]
-                        )
-                    ],
-                }
+                [
+                    image_stat_row(int(m), _synths[int(m) % 3](int(m), int(w), int(h)))
+                    for m, w, h in zip(pdf["media_id"], pdf["width"], pdf["height"])
+                ],
+                columns=[
+                    "media_id", "width", "height", "n_px",
+                    "sum_r", "sum_g", "sum_b", "decoded",
+                ],
             )
 
-    from pyspark.sql.types import (
-        BinaryType as _Bin,
-        LongType as _Long,
-        StringType as _Str,
-        StructField as _SF,
-        StructType as _ST,
-    )
-
-    media = ids.mapInPandas(
-        synth,
-        _ST([
-            _SF("media_id", _Long(), False),
-            _SF("kind", _Str(), False),
-            _SF("payload", _Bin(), False),
-        ]),
-    )
-    return image_stats(media)
+    return ids.mapInPandas(synth_stats, IMAGE_STATS_SCHEMA)
 
 
 SQL_IMAGE_STATS = """
@@ -1763,46 +1755,37 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode→decode→aggregate pipeline bit-exact, like image_stats does for
     the BMP/PNG codecs.  100-TB shape: payloads built and consumed inside
     the executors, embarrassingly parallel, no shuffle."""
-    from kafka_backup_spark.multimodal import audio_stats, synthesize_wav
+    from kafka_backup_spark.multimodal import (
+        AUDIO_STATS_SCHEMA,
+        audio_stat_row,
+        synthesize_wav,
+    )
 
     ids = _docs_hot(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
-        F.lit("audio").alias("kind"),
         (200 + F.col("doc_id") % 50).cast("int").alias("n_samples"),
     )
 
     import pandas as pd_mod
 
-    def synth(batches):
+    # Fused synth+decode — same §4.1 move as q_image_stats above (the WAV
+    # payload crossed the Arrow boundary twice between two back-to-back
+    # Python stages).  A/B at sf0.1: 0.492 → 0.398 s min-of-8 interleaved,
+    # parity hash identical (media_fuse_ab.py).
+    def synth_stats(batches):
         for pdf in batches:
             yield pd_mod.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "payload": [
-                        synthesize_wav(int(m), int(n))
-                        for m, n in zip(pdf["media_id"], pdf["n_samples"])
-                    ],
-                }
+                [
+                    audio_stat_row(int(m), synthesize_wav(int(m), int(n)))
+                    for m, n in zip(pdf["media_id"], pdf["n_samples"])
+                ],
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "sum_samples", "max_abs", "decoded",
+                ],
             )
 
-    from pyspark.sql.types import (
-        BinaryType as _Bin,
-        LongType as _Long,
-        StringType as _Str,
-        StructField as _SF,
-        StructType as _ST,
-    )
-
-    media = ids.mapInPandas(
-        synth,
-        _ST([
-            _SF("media_id", _Long(), False),
-            _SF("kind", _Str(), False),
-            _SF("payload", _Bin(), False),
-        ]),
-    )
-    return audio_stats(media)
+    return ids.mapInPandas(synth_stats, AUDIO_STATS_SCHEMA)
 
 
 SQL_AUDIO_STATS = """

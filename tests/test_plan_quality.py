@@ -930,6 +930,24 @@ def test_embedding_near_dup_single_pair_cosine_eval(spark):
         catalog.release_plan_cache(spark)
 
 
+def test_media_stats_single_python_boundary(spark):
+    """audio_stats / image_stats must cross the Python boundary ONCE.
+
+    History (r15, guide §4.1): the original bodies ran TWO back-to-back
+    mapInPandas stages — synth shipped every payload Python→JVM only for
+    the stats stage to ship it straight back.  The fused stage
+    synthesizes and reduces each payload in place (multimodal
+    audio_stat_row / image_stat_row — the operators' own code path), so
+    only narrow id/param rows enter and narrow stats rows leave."""
+    qs = catalog.queries()
+    try:
+        for name in ("audio_stats", "image_stats"):
+            plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
+            assert _live_node_count(plan, "MapInPandas") == 1, (name, plan)
+    finally:
+        catalog.release_plan_cache(spark)
+
+
 def test_ivf_topk_single_python_boundary(spark):
     """ivf_topk's scorer is the same one-mapInArrow shape (_score_pairs):
     exactly one live MapInArrow for the candidate-scoring stage, nothing
