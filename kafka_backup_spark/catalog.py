@@ -37,7 +37,9 @@ _FIRST = [
     # this round: segment_rollup_bucketed (its compacted store is now
     # fingerprint-keyed with a completion marker — ADVICE r14 #1 — which
     # changes the served table name), image_stats (baseline JPEG joins
-    # the codec mix — VERDICT r14 #8), and embedding_near_dup (pair-cosine
+    # the codec mix — VERDICT r14 #8 — and the §4.1 media fuse),
+    # audio_stats (the §4.1 media fuse — its r14 proof predates the fused
+    # body), and embedding_near_dup (pair-cosine
     # UDF pinned single-eval via asNondeterministic, guide §4.4 — 2→1
     # ArrowEvalPython; already leads at position 3 via the staleness
     # rotation, so its fresh proof covers the changed body; its consumer
@@ -48,8 +50,8 @@ _FIRST = [
     # corpus consumers unchanged pre/post refactor) — and
     # leakage_safe_split/q18, whose r14 floor probes (sym_floor_probe.py,
     # SCALE.md r15) pinned every candidate lever NEGATIVE, so their bodies
-    # and proofs stand.  That is 10 + 2 + 45 = 57 candidates for 50 slots
-    # — SEVEN r13-proof entries slip to r16 (they MUST lead r16), each
+    # and proofs stand.  That is 10 + 3 + 45 = 58 candidates for 50 slots
+    # — EIGHT r13-proof entries slip to r16 (they MUST lead r16), each
     # kin-justified by an in-window or fresh-proof entry exercising the
     # same logic:
     # cosine_topk (kin: ivf_topk + embedding_near_dup lead this window —
@@ -63,8 +65,12 @@ _FIRST = [
     # packed rolling-hash lanes; r14-fresh fingerprints), evidence_digest
     # (kin: scalar_hashes leads — shared sha256/base64 scalar path +
     # golden-vector pytest), snapshot_import (kin: topic_rename leads —
-    # the same P11 rename/remap projections, both pinned by test_filters).
-    # All seven are selfcheck-green at sf0.01 this session.
+    # the same P11 rename/remap projections, both pinned by test_filters),
+    # validation_summary (kin: validation_message_count +
+    # validation_offset_range stay in-window — A7 is a pure composition of
+    # those two checks, validation/checks.py:80; displaced when
+    # audio_stats re-entered for its changed body).
+    # All eight are selfcheck-green at sf0.01 this session.
     # ── the ten r12-proof entries, oldest proofs in the catalog
     "near_dup_jaccard",
     "dup_clusters",
@@ -77,9 +83,12 @@ _FIRST = [
     "scalar_hashes",
     "topic_rename",
     # ── changed-this-round (r15): fingerprint-keyed segment store,
-    # JPEG in the codec mix
+    # JPEG in the codec mix, fused media synth+decode stage (guide §4.1 —
+    # audio_stats' r14 proof predates the fuse, so it re-enters the window;
+    # image_stats' slot covers both of its r15 changes)
     "segment_rollup_bucketed",
     "image_stats",
+    "audio_stats",
     # ── r13-proof tail (displaced by the r14 window), unchanged bodies
     "compaction_plan",
     "consumer_group_check",
@@ -116,7 +125,6 @@ _FIRST = [
     "tpch_q16_supplier_cnt",
     "validation_message_count",
     "validation_offset_range",
-    "validation_summary",
     "vocab_coverage",
     "windowed_throughput",
 ]
