@@ -6,7 +6,8 @@ V_old : zip_with + aggregate fold — a Catalyst higher-order function whose
         the probe × corpus cross join (the pre-change shipped shape).
 V_new : flat 64-term whole-stage-codegen expression with the fold's exact
         op sequence — ((0.0 + t0) + t1) + …, t_i = double(a_i)·double(b_i)
-        (the shipped q_cosine_topk after this change).
+        (the candidate unroll — measured 3× SLOWER by this probe and
+        REVERTED; the shipped body keeps the zip_with/aggregate fold).
 
 Parity is a sorted-row hash before timing; min-of-N interleaved, noop
 sink, per-rep job descriptions (guide §1.4/1.5).  ann_recall is timed

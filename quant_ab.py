@@ -51,10 +51,12 @@ def quant_i64(col):
 def rows_hash(df) -> str:
     """Sorted-row sha256 by default; at larger SFs set
     SPARK_GRAFT_PROBE_AGG_PARITY=1 for an order-insensitive in-engine
-    checksum (count + sum/xor of xxhash64 over all columns) so the
-    parity step never collects a multi-million-row result to the
-    driver.  The bit-identity claim itself was settled by the sorted-row
-    variant at sf0.1; the agg checksum re-verifies it at scale."""
+    checksum (count + sum of xxhash64 over all columns) so the parity
+    step never collects a multi-million-row result to the driver.  A
+    sum-of-hashes is weaker than the sorted-row hash (compensating-pair
+    collisions are possible in principle); the bit-identity claim itself
+    was settled by the sorted-row variant at sf0.1, and the agg checksum
+    only re-verifies it at scale."""
     if os.environ.get("SPARK_GRAFT_PROBE_AGG_PARITY"):
         row = df.select(
             F.count(F.lit(1)).alias("n"),
