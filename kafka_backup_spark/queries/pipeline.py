@@ -1154,12 +1154,35 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted.  Skipping the per-doc dedup is free for correctness —
     # min() is duplicate-insensitive, so min over the multiset equals min
     # over the distinct set the oracle computes.
-    shingles = docs.select(
+    #
+    # ASCII-guarded binary slice (r16, guide §1.2 per-task work —
+    # minhash_ab.py): substring on a STRING walks i bytes to find the char
+    # offset (UTF8String counts chars from the start per call), an O(L²)
+    # byte walk per document that measured as the LARGEST fragment of this
+    # query (0.255 of 0.519 s at sf0.1 — more than the md5s).  When a doc
+    # is pure ASCII (octet_length = length, checked ONCE per doc before the
+    # explode, like the binary cast), the char slice equals the byte slice,
+    # so substring on the pre-cast BINARY column — an O(1) offset copy —
+    # feeds md5 the identical bytes; non-ASCII docs keep the char path, so
+    # results are bit-identical for ANY corpus, not just the fixtures.
+    # A/B: 0.519 → 0.293 s min-of-8 interleaved, parity hash equal.
+    base = docs.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
         "text",
-    ).select("doc_id", F.expr("substring(text, i, 8)").alias("shingle"))
-    h = shingles.withColumn("h", fast_hash64(F.col("shingle")))
+        (F.octet_length("text") == F.length("text")).alias("is_ascii"),
+        F.col("text").cast("binary").alias("tb"),
+    )
+    shingles = base.select(
+        "doc_id",
+        "is_ascii",
+        "tb",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+    )
+    h_col = F.when(
+        F.col("is_ascii"), fast_hash64(F.expr("substring(tb, i, 8)"))
+    ).otherwise(fast_hash64(F.expr("substring(text, i, 8)")))
+    h = shingles.select("doc_id", h_col.alias("h"))
     mins = h.groupBy("doc_id").agg(
         *[
             F.min(seeded_hash(F.col("h"), s)).alias(f"m{s}")
@@ -3410,6 +3433,21 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference double-correlated formulation (SQL_TPCH_Q21), so every
     driver run proves the decorrelation equivalent.
 
+    r16 (q21_decompose.py / q21_ab.py): the window pair was the largest
+    stage fragment (+0.20 s of 0.60 at sf0.1) because a window needs a
+    SORT of the ~550k per_os rows.  The filter keeps rows with r_rows > 0
+    AND n_supp_r = 1 — i.e. EXACTLY ONE supplier with 'R' rows per
+    qualifying order — so that supplier and its count pull through one
+    more hash aggregate on l_orderkey via conditional max()es (max over a
+    single qualifying value IS the value): no sort, no self-join, and the
+    orderkey agg reuses the clustered distribution the (orderkey,
+    suppkey) rollup established (this is NOT the r9 shared-exchange form,
+    which joined the counts back to the per_os rows).  A/B at sf0.1:
+    0.554 → 0.414 s min-of-10 interleaved, parity hash identical; sf10
+    confirmation in OPTIMIZATION_r16.md.  Window (37/39) + Sort (36)
+    leave the plan; HashAggregate pair takes their place
+    (plans/r16/tpch_q21_sole_returns_{before,after}.txt).
+
     Under the bucketed layout (r12) the fact join gets a co-located
     SHUFFLE_HASH hint: both sides already satisfy the orderkey hash
     distribution, so the hint swaps the SMJ's per-bucket merge for a
@@ -3433,16 +3471,17 @@ WITH lf AS (
   SELECT l_orderkey, l_suppkey,
          CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r_rows
   FROM lf GROUP BY l_orderkey, l_suppkey
-), per AS (
-  SELECT l_suppkey, r_rows,
-         count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
-         sum(CASE WHEN r_rows > 0 THEN 1 ELSE 0 END)
-             OVER (PARTITION BY l_orderkey) AS n_supp_r
-  FROM per_os
+), per_o AS (
+  SELECT l_orderkey,
+         count(*) AS n_supp,
+         sum(CASE WHEN r_rows > 0 THEN 1 ELSE 0 END) AS n_supp_r,
+         max(CASE WHEN r_rows > 0 THEN l_suppkey END) AS l_suppkey,
+         max(CASE WHEN r_rows > 0 THEN r_rows END) AS r_rows
+  FROM per_os GROUP BY l_orderkey
 )
 SELECT s_name, CAST(sum(r_rows) AS BIGINT) AS numwait
-FROM per JOIN supplier ON s_suppkey = l_suppkey
-WHERE r_rows > 0 AND n_supp >= 2 AND n_supp_r = 1
+FROM per_o JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_supp >= 2 AND n_supp_r = 1
 GROUP BY s_name
 """))
 
