@@ -38,6 +38,18 @@ from kafka_backup_spark.session import autosize_shuffle_partitions, get_spark
 
 
 def rows_hash(df) -> str:
+    """Sorted-row sha256 by default; at larger SFs set
+    SPARK_GRAFT_PROBE_AGG_PARITY=1 for an order-insensitive in-engine
+    checksum (count + sum of xxhash64 over all columns) so the parity
+    step never collects the 10.5M-row sf10 result to the driver (same
+    escape as quant_ab.py; the bit-identity claim was settled by the
+    sorted-row variant at sf0.1)."""
+    if os.environ.get("SPARK_GRAFT_PROBE_AGG_PARITY"):
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return f"n{row['n']}_s{row['s']}"
     rows = sorted(tuple(r) for r in df.collect())
     h = hashlib.sha256()
     for r in rows:
