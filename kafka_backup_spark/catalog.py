@@ -30,106 +30,83 @@ _MERGED: dict[str, tuple] = {
 # proof.  Entries past the cut stay in the catalog tail, so selfcheck and
 # the bench still cover them every round.
 _FIRST = [
-    # ── r15 window.  Candidates: the TEN entries at the two-round
-    # staleness limit on r12 proofs (VERDICT r14 #5 — they LEAD,
-    # positions 1-10, honoring the r14 comment's promise), the 45-entry
-    # r13-proof tail displaced by the r14 window, and every body changed
-    # this round: segment_rollup_bucketed (its compacted store is now
-    # fingerprint-keyed with a completion marker — ADVICE r14 #1 — which
-    # changes the served table name), image_stats (baseline JPEG joins
-    # the codec mix — VERDICT r14 #8 — and the §4.1 media fuse),
-    # audio_stats (the §4.1 media fuse — its r14 proof predates the fused
-    # body), and embedding_near_dup (pair-cosine
-    # UDF pinned single-eval via asNondeterministic, guide §4.4 — 2→1
-    # ArrowEvalPython; already leads at position 3 via the staleness
-    # rotation, so its fresh proof covers the changed body; its consumer
-    # embedding_dup_clusters re-proven at sf0.01/sf0.1/sf10 in-session,
-    # kin: dup_membership's fresh r14 row shares the LSS core).  NOT counted as changed: the
-    # TWIN_MODULUS/TWIN_SHIFT constant hoist (ADVICE r14 #3) — verified
-    # plan-IDENTICAL this session (md5 of optimizedPlan for all eight
-    # corpus consumers unchanged pre/post refactor) — and
-    # leakage_safe_split/q18, whose r14 floor probes (sym_floor_probe.py,
-    # SCALE.md r15) pinned every candidate lever NEGATIVE, so their bodies
-    # and proofs stand.  That is 10 + 3 + 45 = 58 candidates for 50 slots
-    # — EIGHT r13-proof entries slip to r16 (they MUST lead r16), each
-    # kin-justified by an in-window or fresh-proof entry exercising the
-    # same logic:
-    # cosine_topk (kin: ivf_topk + embedding_near_dup lead this window —
-    # same cosine kernel; r14-fresh ann_recall embeds the exact brute
-    # baseline), embedding_dup_clusters (kin: embedding_near_dup leads —
-    # same quantizer/pair-verify; r14-fresh dup_membership shares the LSS
-    # core), cluster_balance (kin: dup_clusters leads — shared LSS
-    # rounds), text_metrics (kin: quality_score + lang_id + lang_stats
-    # lead — its exact subexpressions; r14-fresh text_analysis composes
-    # them verbatim), kgram_fingerprint (kin: simhash leads — shared
-    # packed rolling-hash lanes; r14-fresh fingerprints), evidence_digest
-    # (kin: scalar_hashes leads — shared sha256/base64 scalar path +
-    # golden-vector pytest), snapshot_import (kin: topic_rename leads —
-    # the same P11 rename/remap projections, both pinned by test_filters),
-    # validation_summary (kin: validation_message_count +
-    # validation_offset_range stay in-window — A7 is a pure composition of
-    # those two checks, validation/checks.py:80; displaced when
-    # audio_stats re-entered for its changed body).
-    # All eight are selfcheck-green at sf0.01 this session.
-    # ── the ten r12-proof entries, oldest proofs in the catalog
-    "near_dup_jaccard",
-    "dup_clusters",
-    "embedding_near_dup",
-    "ivf_topk",
-    "simhash",
-    "quality_score",
-    "lang_id",
-    "lang_stats",
-    "scalar_hashes",
-    "topic_rename",
-    # ── changed-this-round (r15): fingerprint-keyed segment store,
-    # JPEG in the codec mix, fused media synth+decode stage (guide §4.1 —
-    # audio_stats' r14 proof predates the fuse, so it re-enters the window;
-    # image_stats' slot covers both of its r15 changes)
-    "segment_rollup_bucketed",
-    "image_stats",
-    "audio_stats",
-    # ── r13-proof tail (displaced by the r14 window), unchanged bodies
-    "compaction_plan",
-    "consumer_group_check",
-    "dedup_keep_best",
-    "dedup_records",
-    "describe_rollup",
-    "doc_fingerprint",
-    "dup_span_extents",
-    "dup_span_fraction",
-    "incremental_dedup",
-    "lag_metrics",
-    "lsh_candidates",
-    "manifest_merge",
-    "manifest_totals",
+    # ── r16 window.  Candidates: the EIGHT r13-proof entries the r15
+    # rotation promised must lead (they do, positions 1–8 — each was
+    # kin-justified when it slipped in r15 and is now at the staleness
+    # limit), every body changed this round (minhash_signatures — the
+    # ASCII-guarded binary shingle slice, r16 §1; tpch_q21_sole_returns —
+    # per-order windows → conditional hash aggregate, r16 §2 — already a
+    # rest-tail candidate), and the 47-entry r14-proof tail displaced by
+    # the r15 window.  That is 8 + 1 + 47 = 56 candidates for 50 slots —
+    # SIX r14-proof entries slip (selfcheck still proves them at sf0.01
+    # every session), each kin-justified by an in-window entry exercising
+    # the same logic:
+    # tpch_q4_exists (kin: tpch_q21_sole_returns leads with a FRESH body —
+    # the same decorrelated-EXISTS-over-lineitem core), tpch_q12_priority_lines
+    # (kin: tpch_q3_priority + tpch_q10_returns in-window — the same
+    # lineitem⋈orders conditional-agg shape), tpch_q14_promo and
+    # tpch_q19_disjunctive (kin: tpch_q17_small_qty in-window — the same
+    # part⋈lineitem join with conditional/filter arms), time_format (kin:
+    # pitr_window in-window — the same ts-formatting expression core, also
+    # pinned by test_formatting golden vectors), list_summary (kin:
+    # manifest_build + manifest_totals... manifest_build in-window — the
+    # same manifest listing projections, pinned by test_manifest).
+    # ── the eight promised r13-proof entries, oldest proofs in the catalog
+    "cosine_topk",
+    "embedding_dup_clusters",
+    "cluster_balance",
+    "text_metrics",
+    "kgram_fingerprint",
+    "evidence_digest",
+    "snapshot_import",
+    "validation_summary",
+    # ── changed-this-round (r16) bodies
     "minhash_signatures",
-    "mixture_weights",
-    "ngram_topk",
-    "offset_gap_scan",
-    "offset_interpolation",
-    "offset_mapping_capture",
-    "packing_efficiency",
-    "reset_percentiles",
-    "reset_plan_summary",
-    "round_robin_repartition",
-    "semi_join_topics",
-    "sequence_packing",
-    "set_difference_topics",
-    "stratified_sample",
-    "timestamp_asof",
-    "token_counts",
-    "token_histogram",
-    "topic_regex_filter",
-    "topk_events",
-    "tpch_q16_supplier_cnt",
-    "validation_message_count",
-    "validation_offset_range",
-    "vocab_coverage",
-    "windowed_throughput",
+    "tpch_q21_sole_returns",
+    # ── r14-proof tail (displaced by the r15 window), unchanged bodies
+    "pitr_window",
+    "topic_glob_filter",
+    "offset_range_scan",
+    "partition_select",
+    "manifest_build",
+    "dry_run_estimate",
+    "resume_anti_join",
+    "asof_offset_lookup",
+    "group_reset_plan",
+    "murmur2_repartition",
+    "multimodal_meta",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q5_region_volume",
+    "tpch_q6_forecast",
+    "tpch_q10_returns",
+    "tpch_q18_large_orders",
+    "tpch_q13_order_dist",
+    "tpch_q22_dormant_balance",
+    "tpch_q7_nation_volume",
+    "tpch_q9_profit",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "dedup_exact",
+    "contamination_check",
+    "pii_redaction",
+    "repetition_metrics",
+    "filtered_mixture",
+    "token_budget_selection",
+    "quality_quantile_filter",
+    "leakage_safe_split",
+    "text_analysis",
+    "fingerprints",
+    "near_dup_pipeline",
+    "ann_recall",
+    "dup_membership",
+    "legacy_segment_read",
+    "salted_topic_agg",
+    "header_roundtrip",
+    "integrity_scan",
 ]
-# Driver-check scale note (ADVICE r10 #3): near_dup_jaccard — leading
-# this window — is the documented O(n²) exact baseline and
+# Driver-check scale note (ADVICE r10 #3): near_dup_jaccard — in the
+# catalog tail this round — is the documented O(n²) exact baseline and
 # hard-raises past BRUTE_JACCARD_MAX_DOCS (200k docs ≈ sf4 documents)
 # unless spark.kafkaBackupSpark.bruteJaccardUnbounded is set.  The driver
 # oracle-check runs at sf0.01 (~5k docs) and the sf1 selfcheck at ~50k
@@ -142,7 +119,10 @@ _FIRST = [
 # honored it with a 59-into-50 exception (the nine r10-proof entries that
 # led r13); r13 honored it with a 54-into-50 exception (the four r11-proof
 # entries that led r14); r14 honored it with a 60-into-50 exception (the
-# ten r12-proof entries that LEAD this r15 window).  selfcheck.py verifies
+# ten r12-proof entries that LEAD this r15 window); r15 honored it with a
+# 58-into-50 exception (the eight r13-proof entries that LEAD this r16
+# window, positions 1-8).  The full r15 window list lives at the r15 tag
+# (git show 8afc0e4:kafka_backup_spark/catalog.py).  selfcheck.py verifies
 # the full 105 every session regardless.
 _FIRST = [n for n in _FIRST if n in _MERGED]
 assert len(_FIRST) == len(set(_FIRST)), "duplicate window entries"
